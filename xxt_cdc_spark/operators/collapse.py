@@ -1,0 +1,63 @@
+"""Key-collapse / ordering operators.
+
+Parity targets:
+
+- R5 key-collapse/dedup (reference: implicit in idempotent PK-upsert,
+  README.md:526-548): within a micro-batch, only the LAST change per
+  key (by total-ordered binlog position) must reach the sink —
+  expressed as ``row_number() over (partition by key order by pos
+  desc) = 1``.
+- R4 per-partition serial apply (pipeline/CDCStreamPipeline.scala:100,
+  ``mapAsync(1)``): per-key ordering in Spark is achieved by the LWW
+  collapse + idempotent sink, not serial execution.
+
+Scale: one hash shuffle on the key columns — the same shuffle the
+sink repartition needs, so Catalyst reuses the exchange. Skewed keys
+are handled by AQE skew-join/partition splitting (enabled in
+session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__xxt_rn"
+
+
+def last_write_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change batch to the latest event per key.
+
+    ``order_cols`` default to the binlog total order
+    ``(pos_file, pos_offset)``; rows with the greatest order win.
+    """
+    order_cols = order_cols or ["pos_file", "pos_offset"]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
+def dedup_transport(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Remove duplicate deliveries of the same (key, position).
+
+    Batch: exact ``dropDuplicates``. Streaming: pass
+    ``watermark=("ts", "10 minutes")`` to bound state with
+    ``dropDuplicatesWithinWatermark`` (SURVEY.md §7 hard-point (d)).
+    """
+    key_cols = key_cols or ["db", "table", "key", "pos_file", "pos_offset"]
+    if watermark is not None:
+        col, delay = watermark
+        df = df.withWatermark(col, delay)
+        return df.dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)

@@ -1,0 +1,403 @@
+"""CDC operator queries — SURVEY.md §2 inventory, oracle-checked.
+
+Each query exercises an engine operator over the deterministic
+changefeed derived from ``orders`` (changefeed.py), with a DuckDB
+oracle reproducing the same history in ANSI SQL. Coverage map:
+
+- cdc_changefeed_events      → T1/T2 normalization output shape
+- cdc_envelope_roundtrip     → T1 envelope JSON ↔ typed fidelity
+- cdc_multirow_explode       → T1 multi-row explode (fixes reference bug)
+- cdc_lww_collapse           → R5 key-collapse / last-write-wins
+- cdc_apply_upsert           → O16/O19 upsert-merge apply
+- cdc_dedup_transport        → R5 duplicate-delivery removal
+- cdc_route_stats            → R1/R2 hash routing (portable md5 router)
+- cdc_snapshot_chunks        → S6 PK-range chunked snapshot planning
+- cdc_offset_barrier         → C22 min-barrier committable position
+- cdc_table_filter           → T5 include/exclude wildcard filtering
+- cdc_ddl_classify           → T6/C31 DDL classification
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.changefeed import (
+    ORDERS_CHANGEFEED_SQL,
+    ORDERS_PAYLOAD,
+    orders_changefeed,
+    to_envelope,
+)
+from xxt_cdc_spark.model.envelope import CHANGE_EVENT_SCHEMA
+from xxt_cdc_spark.operators.apply import apply_changes
+from xxt_cdc_spark.operators.collapse import dedup_transport, last_write_wins
+from xxt_cdc_spark.operators.ddl import classify_ddl_df
+from xxt_cdc_spark.operators.normalize import envelope_to_typed, normalize_raw_events
+from xxt_cdc_spark.operators.table_filter import TableFilter
+
+_CF = f"WITH cf AS ({ORDERS_CHANGEFEED_SQL})"
+
+
+# --- T1/T2: the changefeed itself ----------------------------------------
+def cdc_changefeed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_changefeed(spark, sf_dir).orderBy("pos_offset", "op")
+
+
+CDC_CHANGEFEED_SQL = f"{_CF} SELECT * FROM cf ORDER BY pos_offset, op"
+
+
+# --- T1: envelope JSON round-trip -----------------------------------------
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed → JSON envelope → typed again; oracle is the direct feed,
+    so any loss in the JSON encode/decode (types, nulls, timestamps)
+    fails the hash."""
+    cf = orders_changefeed(spark, sf_dir)
+    env = to_envelope(cf)
+    orders_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    typed = envelope_to_typed(env, "orders", orders_schema, image="after")
+    # D events carry their image in `before` — union the two parses,
+    # mirroring the reference normalizer's per-op dispatch.
+    typed_d = envelope_to_typed(env.filter(F.col("op") == "D"), "orders", orders_schema, image="before")
+    all_rows = typed.filter(F.col("op") != "D").unionByName(typed_d)
+    return all_rows.select("op", "pos_file", "pos_offset", *ORDERS_PAYLOAD).orderBy("pos_offset", "op")
+
+
+CDC_ROUNDTRIP_SQL = f"""{_CF}
+SELECT op, pos_file, pos_offset, o_orderkey,
+       CASE WHEN op = 'D' THEN NULL ELSE o_custkey END AS o_custkey,
+       CASE WHEN op = 'D' THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN op = 'D' THEN NULL ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN op = 'D' THEN NULL ELSE o_orderdate END AS o_orderdate,
+       CASE WHEN op = 'D' THEN NULL ELSE o_orderpriority END AS o_orderpriority
+FROM cf ORDER BY pos_offset, op
+"""
+
+
+# --- T1: multi-row explode -------------------------------------------------
+def cdc_multirow_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack orders into multi-row WRITE_ROWS events (one per customer),
+    normalize, and verify every row is emitted — the reference dropped
+    all but the first row (MySQLEventNormalizer.scala:73)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    raw = (
+        orders.groupBy("o_custkey")
+        .agg(F.collect_list(F.to_json(F.struct("o_orderkey", "o_totalprice"))).alias("rows_after"))
+        .select(
+            F.lit("binlog.000001").alias("pos_file"),
+            F.col("o_custkey").alias("pos_offset"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("WRITE_ROWS").alias("event_type"),
+            F.lit("testdb").alias("db"),
+            F.lit("orders").alias("table"),
+            F.lit(None).cast("array<string>").alias("rows_before"),
+            F.col("rows_after"),
+            F.lit(None).cast("string").alias("sql"),
+        )
+    )
+    env = normalize_raw_events(raw, {"orders": ["o_orderkey"]})
+    return env.select(
+        "db",
+        "table",
+        "op",
+        F.get_json_object("after", "$.o_orderkey").cast("long").alias("o_orderkey"),
+        F.get_json_object("key", "$.o_orderkey").cast("long").alias("key_orderkey"),
+    ).orderBy("o_orderkey")
+
+
+CDC_MULTIROW_SQL = """
+SELECT 'testdb' AS db, 'orders' AS "table", 'I' AS op,
+       o_orderkey, o_orderkey AS key_orderkey
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- R5: last-write-wins collapse ------------------------------------------
+def cdc_lww_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = orders_changefeed(spark, sf_dir)
+    return last_write_wins(cf, ["o_orderkey"], ["pos_offset"]).select(
+        "o_orderkey", "op", "pos_offset", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+CDC_LWW_SQL = f"""{_CF}
+SELECT o_orderkey, op, pos_offset, o_orderstatus, o_totalprice
+FROM cf
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+ORDER BY o_orderkey
+"""
+
+
+# --- O16/O19: apply (upsert-merge) -------------------------------------------
+def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the changefeed onto the snapshot — final converged state.
+
+    Idempotency is part of the contract: the feed contains duplicate
+    deliveries, and apply_changes collapses them (effectively-once).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cf = orders_changefeed(spark, sf_dir)
+    state = apply_changes(orders, cf, ["o_orderkey"], ["pos_offset"])
+    return state.orderBy("o_orderkey")
+
+
+CDC_APPLY_SQL = f"""{_CF},
+latest AS (
+  SELECT * FROM cf
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cf)
+ORDER BY o_orderkey
+"""
+
+
+# --- R5: transport dedup ------------------------------------------------------
+def cdc_dedup_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = orders_changefeed(spark, sf_dir)
+    deduped = dedup_transport(cf, ["o_orderkey", "pos_offset"])
+    return deduped.groupBy("op").agg(F.count(F.lit(1)).alias("n_events")).orderBy("op")
+
+
+CDC_DEDUP_SQL = f"""{_CF}
+SELECT op, COUNT(*) AS n_events
+FROM (SELECT DISTINCT o_orderkey, pos_offset, op FROM cf)
+GROUP BY op ORDER BY op
+"""
+
+
+# --- R1/R2: hash routing (portable md5 router) ---------------------------------
+def cdc_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition balance of the key router over 16 shards.
+
+    Production routing uses Spark's native hash shuffle
+    (operators/routing.py); this portable md5-based variant proves the
+    same-key→same-partition property against the oracle.
+    """
+    cf = orders_changefeed(spark, sf_dir)
+    pid = (
+        F.expr(
+            "locate(substring(md5(concat_ws(':', 'testdb', 'orders', cast(o_orderkey as string))), 1, 1),"
+            " '0123456789abcdef') - 1"
+        )
+    ).alias("partition_id")
+    return (
+        cf.select(pid, "o_orderkey")
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("o_orderkey").alias("n_keys"))
+        .orderBy("partition_id")
+    )
+
+
+CDC_ROUTE_SQL = f"""{_CF}
+SELECT strpos('0123456789abcdef', substr(md5('testdb' || ':' || 'orders' || ':' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS partition_id,
+       COUNT(*) AS n_events, COUNT(DISTINCT o_orderkey) AS n_keys
+FROM cf GROUP BY 1 ORDER BY partition_id
+"""
+
+
+# --- S6: PK-range chunk planning -------------------------------------------------
+def cdc_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width PK chunking (reference SnapshotWorker.scala:223-297) —
+    the plan Spark's partitioned JDBC read executes."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), (F.max("o_orderkey") + 1).alias("hi")
+    )
+    n = 8
+    chunked = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "chunk_id",
+        F.floor((F.col("o_orderkey") - F.col("lo")) * n / (F.col("hi") - F.col("lo"))),
+    )
+    return (
+        chunked.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+CDC_CHUNKS_SQL = """
+WITH bounds AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) + 1 AS hi FROM orders)
+SELECT CAST(FLOOR((o_orderkey - lo) * 8 / (hi - lo)) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders CROSS JOIN bounds
+GROUP BY 1 ORDER BY chunk_id
+"""
+
+
+# --- C22: offset min-barrier -------------------------------------------------------
+def cdc_offset_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committable position = min over partitions of max applied position
+    (reference DefaultOffsetCoordinator.scala:81-115). In production the
+    streaming checkpoint subsumes this; the operator remains for the
+    JDBC offset-mirror parity path."""
+    cf = orders_changefeed(spark, sf_dir)
+    per_part = (
+        cf.withColumn("partition_id", F.col("o_orderkey") % 8)
+        .groupBy("partition_id")
+        .agg(F.max("pos_offset").alias("max_applied"))
+    )
+    w = Window.partitionBy()
+    return per_part.withColumn("committable", F.min("max_applied").over(w)).orderBy("partition_id")
+
+
+CDC_BARRIER_SQL = f"""{_CF}
+SELECT partition_id, max_applied, MIN(max_applied) OVER () AS committable
+FROM (
+  SELECT o_orderkey % 8 AS partition_id, MAX(pos_offset) AS max_applied
+  FROM cf GROUP BY 1
+) ORDER BY partition_id
+"""
+
+
+# --- T5: table filtering ---------------------------------------------------------
+_FILTER_TABLES = [
+    "orders",
+    "orders_2024",
+    "orders_backup",
+    "lineitem",
+    "lineitem_old",
+    "temp_orders",
+    "customer",
+    "users",
+]
+
+
+def cdc_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = TableFilter(
+        include_tables=["orders*", "lineitem", "users"],
+        exclude_tables=["*_backup", "temp_*"],
+    )
+    df = spark.createDataFrame([(t,) for t in _FILTER_TABLES], "table string").withColumn(
+        "db", F.lit("testdb")
+    )
+    return df.withColumn("included", tf.predicate()).select("table", "included").orderBy("table")
+
+
+CDC_FILTER_SQL = """
+WITH t(tbl) AS (VALUES ('orders'), ('orders_2024'), ('orders_backup'), ('lineitem'),
+                       ('lineitem_old'), ('temp_orders'), ('customer'), ('users'))
+SELECT tbl AS "table",
+       (NOT regexp_matches(tbl, '^.*_backup$')) AND (NOT regexp_matches(tbl, '^temp_.*$'))
+       AND (regexp_matches(tbl, '^orders.*$') OR tbl = 'lineitem' OR tbl = 'users') AS included
+FROM t ORDER BY tbl
+"""
+
+
+# --- T6/C31: DDL classification -----------------------------------------------------
+_DDL_STATEMENTS = [
+    "CREATE TABLE testdb.orders (id INT)",
+    "CREATE TABLE IF NOT EXISTS `users` (id INT)",
+    "ALTER TABLE orders ADD COLUMN x INT",
+    "ALTER TABLE `testdb`.`lineitem` DROP COLUMN y",
+    "DROP TABLE IF EXISTS temp_orders",
+    "TRUNCATE TABLE audit_log",
+    "TRUNCATE sessions",
+    "RENAME TABLE old_orders TO new_orders",
+    "CREATE INDEX idx_c ON customer (c_name)",
+    "CREATE UNIQUE INDEX idx_u ON users (email)",
+    "DROP INDEX idx_c ON customer",
+    "INSERT INTO orders VALUES (1)",
+    "BEGIN",
+    "UPDATE orders SET x = 1",
+]
+
+
+def cdc_ddl_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(s,) for s in _DDL_STATEMENTS], "sql string")
+    out = classify_ddl_df(df)
+    return out.select("sql", "ddl_type", "ddl_table", "severity").orderBy("sql")
+
+
+CDC_DDL_SQL = r"""
+WITH s(sql) AS (VALUES
+  ('CREATE TABLE testdb.orders (id INT)'),
+  ('CREATE TABLE IF NOT EXISTS `users` (id INT)'),
+  ('ALTER TABLE orders ADD COLUMN x INT'),
+  ('ALTER TABLE `testdb`.`lineitem` DROP COLUMN y'),
+  ('DROP TABLE IF EXISTS temp_orders'),
+  ('TRUNCATE TABLE audit_log'),
+  ('TRUNCATE sessions'),
+  ('RENAME TABLE old_orders TO new_orders'),
+  ('CREATE INDEX idx_c ON customer (c_name)'),
+  ('CREATE UNIQUE INDEX idx_u ON users (email)'),
+  ('DROP INDEX idx_c ON customer'),
+  ('INSERT INTO orders VALUES (1)'),
+  ('BEGIN'),
+  ('UPDATE orders SET x = 1')
+),
+classified AS (
+  SELECT sql,
+    CASE
+      WHEN regexp_matches(sql, '(?i)^\s*CREATE\s+(TEMPORARY\s+)?TABLE') THEN 'CREATE_TABLE'
+      WHEN regexp_matches(sql, '(?i)^\s*ALTER\s+TABLE') THEN 'ALTER_TABLE'
+      WHEN regexp_matches(sql, '(?i)^\s*DROP\s+(TEMPORARY\s+)?TABLE') THEN 'DROP_TABLE'
+      WHEN regexp_matches(sql, '(?i)^\s*TRUNCATE') THEN 'TRUNCATE_TABLE'
+      WHEN regexp_matches(sql, '(?i)^\s*RENAME\s+TABLE') THEN 'RENAME_TABLE'
+      WHEN regexp_matches(sql, '(?i)^\s*CREATE\s+(UNIQUE\s+)?INDEX') THEN 'CREATE_INDEX'
+      WHEN regexp_matches(sql, '(?i)^\s*DROP\s+INDEX') THEN 'DROP_INDEX'
+      ELSE NULL
+    END AS ddl_type,
+    CASE
+      WHEN regexp_matches(sql, '(?i)^\s*CREATE\s+(TEMPORARY\s+)?TABLE')
+        THEN regexp_extract(sql, '(?i)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*ALTER\s+TABLE')
+        THEN regexp_extract(sql, '(?i)^\s*ALTER\s+TABLE\s+([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*DROP\s+(TEMPORARY\s+)?TABLE')
+        THEN regexp_extract(sql, '(?i)^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*TRUNCATE')
+        THEN regexp_extract(sql, '(?i)^\s*TRUNCATE\s+(?:TABLE\s+)?([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*RENAME\s+TABLE')
+        THEN regexp_extract(sql, '(?i)^\s*RENAME\s+TABLE\s+([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*CREATE\s+(UNIQUE\s+)?INDEX')
+        THEN regexp_extract(sql, '(?i)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+[`"\w]+\s+ON\s+([`"\w.]+)', 1)
+      WHEN regexp_matches(sql, '(?i)^\s*DROP\s+INDEX')
+        THEN regexp_extract(sql, '(?i)^\s*DROP\s+INDEX\s+[`"\w]+\s+ON\s+([`"\w.]+)', 1)
+      ELSE NULL
+    END AS raw_name
+  FROM s
+  WHERE regexp_matches(sql, '(?i)^\s*(CREATE|ALTER|DROP|TRUNCATE|RENAME)')
+)
+SELECT sql, ddl_type,
+       CASE WHEN raw_name IS NULL THEN NULL
+            ELSE CASE WHEN strpos(replace(replace(raw_name, '`', ''), '"', ''), '.') > 0
+                      THEN split_part(replace(replace(raw_name, '`', ''), '"', ''), '.', 2)
+                      ELSE replace(replace(raw_name, '`', ''), '"', '') END
+       END AS ddl_table,
+       CASE WHEN ddl_type IN ('DROP_TABLE', 'TRUNCATE_TABLE') THEN 'CRITICAL' ELSE 'INFO' END AS severity
+FROM classified ORDER BY sql
+"""
+
+
+QUERIES = {
+    "cdc_changefeed_events": cdc_changefeed_events,
+    "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+    "cdc_multirow_explode": cdc_multirow_explode,
+    "cdc_lww_collapse": cdc_lww_collapse,
+    "cdc_apply_upsert": cdc_apply_upsert,
+    "cdc_dedup_transport": cdc_dedup_transport,
+    "cdc_route_stats": cdc_route_stats,
+    "cdc_snapshot_chunks": cdc_snapshot_chunks,
+    "cdc_offset_barrier": cdc_offset_barrier,
+    "cdc_table_filter": cdc_table_filter,
+    "cdc_ddl_classify": cdc_ddl_classify,
+}
+
+ORACLE = {
+    "cdc_changefeed_events": CDC_CHANGEFEED_SQL,
+    "cdc_envelope_roundtrip": CDC_ROUNDTRIP_SQL,
+    "cdc_multirow_explode": CDC_MULTIROW_SQL,
+    "cdc_lww_collapse": CDC_LWW_SQL,
+    "cdc_apply_upsert": CDC_APPLY_SQL,
+    "cdc_dedup_transport": CDC_DEDUP_SQL,
+    "cdc_route_stats": CDC_ROUTE_SQL,
+    "cdc_snapshot_chunks": CDC_CHUNKS_SQL,
+    "cdc_offset_barrier": CDC_BARRIER_SQL,
+    "cdc_table_filter": CDC_FILTER_SQL,
+    "cdc_ddl_classify": CDC_DDL_SQL,
+}
