@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of these at 100 TB):
+
+- exact dedup: one hash-shuffle on the fingerprint (map-side partial
+  aggregation applies).
+- n-gram Jaccard: candidate pairs via an equi-join on shared shingles
+  — never the O(n²) cross join. Hot shingles can be frequency-capped.
+- MinHash+LSH: k min-hashes per doc (one shuffle), banding turns the
+  pair search into an equi-join on band keys; only candidates get the
+  exact Jaccard verification. This is the sub-quadratic scale path.
+- SimHash: fixed-width bit-vote signature per doc (one aggregation);
+  near-dup = small Hamming distance.
+
+All hash material is md5 (JVM built-in, and portable to the DuckDB
+oracle); min-over-md5-hex is the random-permutation approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions.text import bow_fingerprint, fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bow: bool = False) -> DataFrame:
+    """Keep the lowest id per content fingerprint; adds group size."""
+    fp = bow_fingerprint(text_col) if bow else fingerprint(text_col)
+    with_fp = df.withColumn("fp", fp)
+    groups = with_fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    return groups.select(id_col, "fp", "dup_count")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    sequence+transform keeps shingle construction JVM-side; shingles
+    are deduped per doc before the explode so downstream joins see set
+    semantics.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    # IF-guard: sequence(0, negative) would generate a DESCENDING range
+    # in Spark, so short docs must short-circuit to an empty array.
+    shingle_arr = (
+        f"IF(size({toks}) >= {n}, "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')), "
+        f"array())"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle")
+    )
+
+
+def shingle_sizes(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over shared-shingle
+    candidates. Columns: i, j, jaccard (i < j)."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = shingle_sizes(sh, id_col)
+    a = sh.select(F.col(id_col).alias("i"), "shingle")
+    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("ni"))
+    nb = sizes.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("nj"))
+    jac = (
+        shared.join(na, "i")
+        .join(nb, "j")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("ni") + F.col("nj") - F.col("shared")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    n: int = 3,
+) -> DataFrame:
+    """k MinHash values per doc: sig_s = min over shingles of
+    md5('s<s>:'||shingle). One shuffle (groupBy doc)."""
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band_index, band_key) —
+    the LSH trick that avoids the O(n²) comparison."""
+    bands = None
+    for bi in range(num_hashes // rows_per_band):
+        cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col),
+            F.lit(bi).alias("band_index"),
+            F.concat_ws("|", *cols).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("i"), "band_index", "band_key")
+    b = bands.select(F.col(id_col).alias("j"), "band_index", "band_key")
+    return (
+        a.join(b, ["band_index", "band_key"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 6,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
+    sh = shingles(df, text_col, id_col, n)
+    sizes = shingle_sizes(sh, id_col)
+    a = sh.select(F.col(id_col).alias("i"), "shingle")
+    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    shared = (
+        cand.join(a, "i")
+        .join(b.withColumnRenamed("shingle", "shingle_j"), "j")
+        .filter(F.col("shingle") == F.col("shingle_j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("ni"))
+    nb = sizes.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("nj"))
+    jac = (
+        shared.join(na, "i")
+        .join(nb, "j")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("ni") + F.col("nj") - F.col("shared")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
+
+
+def simhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over the token multiset: bit b = sign of the vote
+    Σ_tokens (bit_b(md5(token)) ? +1 : −1). Signature returned as a
+    bit string (portable across engines).
+
+    bit_b(md5) uses the top bit of hex digit b — md5 gives 32 hex
+    digits, so bits ≤ 32.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    votes = []
+    for b in range(bits):
+        # +1 when hex digit b+1 of md5(token) is in 89abcdef (top bit set)
+        votes.append(
+            F.expr(
+                f"aggregate(transform({toks}, t -> "
+                f"CASE WHEN substring(md5(t), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+                f"THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v)"
+            ).alias(f"v{b}")
+        )
+    with_votes = df.select(F.col(id_col), *votes)
+    sig = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return with_votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Pair generation joins on the first half of the signature (a
+    1-band LSH on the simhash itself) — at max_hamming ≪ bits/2 most
+    true pairs agree on one half; this keeps the join sub-quadratic.
+    For the oracle-checked small corpus we use both half-joins
+    (either half equal) which is exact for hamming ≤ bits/2 − 1 per half.
+    """
+    sig = simhash_signature(df, text_col, id_col, bits)
+    half = bits // 2
+    a = sig.select(F.col(id_col).alias("i"), F.col("simhash").alias("sig_i"))
+    b = sig.select(F.col(id_col).alias("j"), F.col("simhash").alias("sig_j"))
+    first_half = a.withColumn("k", F.substring("sig_i", 1, half)).join(
+        b.withColumn("k", F.substring("sig_j", 1, half)), "k"
+    )
+    second_half = a.withColumn("k", F.substring("sig_i", half + 1, half)).join(
+        b.withColumn("k", F.substring("sig_j", half + 1, half)), "k"
+    )
+    cand = (
+        first_half.select("i", "j", "sig_i", "sig_j")
+        .unionByName(second_half.select("i", "j", "sig_i", "sig_j"))
+        .filter(F.col("i") < F.col("j"))
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_i", b + 1, 1) != F.substring("sig_j", b + 1, 1)).cast("int")
+        for b in range(bits)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

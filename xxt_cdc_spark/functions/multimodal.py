@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested: schema, batch iteration
+(mapInPandas over Arrow batches), partitioning, metadata extraction.
+The codec step itself is stubbed — the container has no image/audio
+libraries — behind clearly-marked deterministic fakes, so swapping in
+PIL/torchaudio later changes one function body, not the pipeline.
+
+At scale: binary payloads ride their own parquet column (column
+pruning keeps them off queries that don't touch them), decode happens
+in mapInPandas with small ``maxRecordsPerBatch`` so a batch of decoded
+frames fits executor memory, and derived features land in slim typed
+columns for downstream use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta_width", T.IntegerType(), True),
+        T.StructField("meta_height", T.IntegerType(), True),
+        T.StructField("meta_duration_ms", T.IntegerType(), True),
+    ]
+)
+
+_MAGIC = {
+    b"\xff\xd8\xff": "image/jpeg",
+    b"\x89PNG": "image/png",
+    b"RIFF": "audio/wav",
+    b"\x00\x00\x00": "video/mp4",  # ftyp boxes start with size prefix
+}
+
+
+def binary_meta(content_col: str = "content") -> list[Column]:
+    """JVM-side binary metadata: byte length + magic-byte sniff.
+
+    No decode — this is the cheap path that runs on every row.
+    """
+    c = F.col(content_col)
+    sniff = F.lit("application/octet-stream")
+    for magic, mime in _MAGIC.items():
+        hexpat = magic.hex()
+        sniff = F.when(
+            F.hex(F.expr(f"substring({content_col}, 1, {len(magic)})")) == F.lit(hexpat.upper()),
+            F.lit(mime),
+        ).otherwise(sniff)
+    return [F.octet_length(c).alias("n_bytes"), sniff.alias("sniffed_mime")]
+
+
+def decode_image(content: bytes) -> dict:
+    """STUB — image decode requires a codec library not present in this
+    container. Deterministic fake: derives pseudo-dimensions from the
+    payload so the pipeline around it is testable end-to-end.
+
+    Replace the body with PIL.Image.open(...) in production.
+    """
+    if content is None:
+        return {"width": None, "height": None, "ok": False}
+    w = 16 + (len(content) % 64)
+    h = 16 + (content[0] % 64 if content else 0)
+    return {"width": int(w), "height": int(h), "ok": True}
+
+
+def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, executor-side.
+
+    Output schema is slim (no re-emission of the binary payload) so
+    the expensive column is pruned after this stage.
+    """
+    out_schema = "media_id long, width int, height int, decode_ok boolean"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "decode_ok": [f["ok"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB frame sampler: emits (media_id, frame_ts_ms) rows at the
+    requested cadence from meta_duration_ms — the explode/partition
+    shape of a real ffmpeg-backed sampler without the codec.
+    """
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("meta_duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents corpus
+    (text → utf-8 bytes as the opaque payload) so the multimodal
+    plumbing has real data to run on in tests."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 10).cast("int").alias("meta_duration_ms"),
+    )

@@ -1,4 +1,204 @@
-"""Placeholder — filled in later this round."""
+"""Event-stream analytics queries (batch-checkable forms).
 
-QUERIES = {}
-ORACLE = {}
+These are the batch twins of the engine's Structured Streaming
+operators (streaming/pipeline.py): tumbling-window aggregation,
+sessionization, JSON payload extraction, hot-key detection. The
+streaming execution itself (watermarks, checkpoints, foreachBatch) is
+exercised in tests/test_streaming.py; registering the batch forms here
+gives the semantics an oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.queries._util import dsum, sql_dsum
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, tolerating parquet TIMESTAMP(NANOS).
+
+    Spark has no nanosecond timestamp: the nanosAsLong legacy conf
+    (runtime-settable) reads the column as raw nanos, and integer
+    division converts to microseconds — same truncation DuckDB's
+    epoch_us applies, so both engines see identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return df
+
+
+# --- tumbling window aggregation (M32-style TPS per window) -----------------
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+WINDOW_AGG_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+# --- sessionization (gap-based) ------------------------------------------------
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_session = (gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000)).cast("int")
+    sessioned = ev.withColumn("session_id", F.sum(new_session).over(w))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(F.min("ts").cast("timestamp")))
+                / F.lit(1_000_000.0)
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+FROM sessioned GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+# --- JSON payload extraction ------------------------------------------------------
+def stream_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- hot keys (M33/M34 "hot set" gauges) ---------------------------------------------
+def stream_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+HOT_USERS_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+# --- as-of join: each event matched to the user's latest prior order -----------------
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.7): implemented
+    as the union-tag + running last_value trick, which scales as one
+    shuffle+sort instead of a per-row subquery."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        (F.col("o_custkey") % 100).alias("uid"),  # map custkey into user space
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    unioned = left.unionByName(right)
+    # deterministic order: orders sort before events at the same instant;
+    # ties among orders broken by o_orderkey (latest wins → desc nulls last)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t"), F.col("is_event"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("last_order", F.last("o_orderkey", ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("is_event") == 1)
+        .select("event_id", F.col("uid").alias("user_id"), "last_order")
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH unioned AS (
+  SELECT user_id AS uid, ts AS t, 1 AS is_event, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+  FROM events WHERE event_id % 50 = 0
+  UNION ALL
+  SELECT o_custkey % 100 AS uid, o_orderdate AS t, 0 AS is_event, CAST(NULL AS BIGINT), o_orderkey
+  FROM orders
+),
+matched AS (
+  SELECT uid, t, is_event, event_id,
+         LAST_VALUE(o_orderkey IGNORE NULLS) OVER (
+           PARTITION BY uid ORDER BY t, is_event, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+  FROM unioned
+)
+SELECT event_id, uid AS user_id, last_order
+FROM matched WHERE is_event = 1 ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "stream_window_agg": stream_window_agg,
+    "stream_sessionize": stream_sessionize,
+    "stream_json_props": stream_json_props,
+    "stream_hot_users": stream_hot_users,
+    "asof_join_events_orders": asof_join_events_orders,
+}
+
+ORACLE = {
+    "stream_window_agg": WINDOW_AGG_SQL,
+    "stream_sessionize": SESSIONIZE_SQL,
+    "stream_json_props": JSON_PROPS_SQL,
+    "stream_hot_users": HOT_USERS_SQL,
+    "asof_join_events_orders": ASOF_SQL,
+}

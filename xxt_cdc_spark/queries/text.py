@@ -1,4 +1,265 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis + deduplication queries over the documents corpus.
 
-QUERIES = {}
-ORACLE = {}
+Covers the north-star operators: token counting, quality scoring,
+language-ID, fingerprinting, exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash. All Spark expressions are JVM built-ins; each
+has an exact ANSI-SQL mirror (md5-based hashing is portable, double
+arithmetic is order-fixed) so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions import dedup as D
+from xxt_cdc_spark.functions import text as TX
+
+SHINGLE_N = 3
+NUM_HASHES = 6
+ROWS_PER_BAND = 2
+JACCARD_T = 0.5
+SIMHASH_BITS = 32
+MAX_HAMMING = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- token stats ----------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct"),
+        F.length("text").alias("len_chars"),
+        TX.stopword_count("text").alias("n_stop"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+       length(text) AS len_chars,
+       len([t for t in string_split_regex(trim(text), '\\s+') if t IN ('the','a','of','and','to','in')]) AS n_stop
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- quality score ----------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", TX.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+SELECT doc_id, lang,
+  0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+  + 0.2 * (1.0 - CAST(len([t for t in string_split_regex(trim(text), '\\s+')
+                           if t IN ('the','a','of','and','to','in')]) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- language ID -------------------------------------------------------------
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.predict_lang("text").alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    if not words:
+        return "0"
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len([t for t in w if t IN ({arr})])"
+
+
+_c = {lang: _marker_count_sql(words) for lang, words in TX.LANG_MARKERS.items()}
+LANGID_SQL = f"""
+SELECT doc_id, labeled_lang,
+  CASE
+    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+    WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+    WHEN c_fr > 0 THEN 'fr'
+    ELSE 'unknown'
+  END AS predicted_lang
+FROM (
+  SELECT doc_id, lang AS labeled_lang,
+         {_c['en']} AS c_en, {_c['de']} AS c_de, {_c['es']} AS c_es, {_c['fr']} AS c_fr
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+) ORDER BY doc_id
+"""
+
+
+# --- fingerprints ---------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        TX.bow_fingerprint("text").alias("bow_fp"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+       md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')) AS bow_fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- exact dedup ------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.exact_dedup(d, "text", "doc_id", bow=True).orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id,
+       md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')) AS fp,
+       count(*) AS dup_count
+FROM documents GROUP BY 2 ORDER BY doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup ---------------------------------------------------------
+_SHINGLES_SQL = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= {SHINGLE_N}
+         THEN [array_to_string(w[i:i+{SHINGLE_N - 1}], ' ') for i in range(1, len(w) - {SHINGLE_N - 2})]
+         ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.jaccard_pairs(d, "text", "doc_id", SHINGLE_N, JACCARD_T).orderBy("i", "j")
+
+
+JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i, j, CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+FROM pairs JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_T}
+ORDER BY i, j
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.minhash_dedup_pairs(
+        d, "text", "doc_id", NUM_HASHES, ROWS_PER_BAND, SHINGLE_N, JACCARD_T
+    ).orderBy("i", "j")
+
+
+_sig_cols = ", ".join(
+    f"min(md5('s{s}:' || shingle)) AS h{s}" for s in range(NUM_HASHES)
+)
+_band_selects = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {bi} AS band_index, h{bi * ROWS_PER_BAND} || '|' || h{bi * ROWS_PER_BAND + 1} AS band_key FROM sig"
+    for bi in range(NUM_HASHES // ROWS_PER_BAND)
+)
+MINHASH_SQL = f"""
+WITH {_SHINGLES_SQL},
+sig AS (SELECT doc_id, {_sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b ON a.band_index = b.band_index AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.i, c.j, count(*) AS shared
+  FROM cand c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i, j, CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+FROM shared JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_T}
+ORDER BY i, j
+"""
+
+
+# --- SimHash ------------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.simhash_pairs(d, "text", "doc_id", SIMHASH_BITS, MAX_HAMMING).orderBy("i", "j")
+
+
+_votes_sql = ", ".join(
+    f"list_sum([CASE WHEN substr(md5(t), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    f"THEN 1 ELSE -1 END for t in w]) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_sig_sql = " || ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS)
+)
+_half = SIMHASH_BITS // 2
+_hamming_sql = " + ".join(
+    f"CASE WHEN substr(sig_i, {b + 1}, 1) <> substr(sig_j, {b + 1}, 1) THEN 1 ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+SIMHASH_SQL = f"""
+WITH votes AS (
+  SELECT doc_id, {_votes_sql}
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+sig AS (SELECT doc_id, {_sig_sql} AS simhash FROM votes),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.simhash AS sig_i, b.simhash AS sig_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE substr(a.simhash, 1, {_half}) = substr(b.simhash, 1, {_half})
+     OR substr(a.simhash, {_half + 1}, {_half}) = substr(b.simhash, {_half + 1}, {_half})
+)
+SELECT i, j, {_hamming_sql} AS hamming
+FROM cand
+WHERE {_hamming_sql} <= {MAX_HAMMING}
+ORDER BY i, j
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_langid": LANGID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": JACCARD_SQL,
+    "dedup_minhash_lsh": MINHASH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+}

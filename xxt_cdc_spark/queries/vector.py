@@ -1,4 +1,162 @@
-"""Placeholder — filled in later this round."""
+"""Similarity-search + multimodal queries over the embeddings corpus.
 
-QUERIES = {}
-ORACLE = {}
+Cosine arithmetic is an ordered JVM-side fold (functions/similarity.py)
+which is bit-identical to DuckDB's in-order list fold — verified, so
+no rounding slop is needed anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions import multimodal as MM
+from xxt_cdc_spark.functions import similarity as S
+
+TOP_K = 10
+NEARDUP_T = 0.45
+LSH_DIMS = (1, 9, 17, 25, 33, 41)
+N_QUERIES = 5
+
+_DOT = (
+    "list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "for i in range(1, len({a}) + 1)])"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"({dot}) / ({na} * {nb})"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- brute-force cosine top-k (exact ANN baseline) -----------------------
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return S.brute_force_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K
+    ).orderBy("query_id", "rank")
+
+
+ANN_TOPK_SQL = f"""
+SELECT query_id, rank, item_id, cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return S.lsh_bucketed_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K, dims=LSH_DIMS
+    ).orderBy("query_id", "rank")
+
+
+_bucket = " || ".join(
+    f"CASE WHEN {{t}}.embedding[{d}] >= 0 THEN '1' ELSE '0' END" for d in LSH_DIMS
+)
+ANN_LSH_SQL = f"""
+SELECT query_id, rank, item_id, cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON c.vec_id <> q.vec_id
+   AND ({_bucket.format(t='q')}) = ({_bucket.format(t='c')})
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- embedding near-dup pairs --------------------------------------------------
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_neardup_pairs(_emb(spark, sf_dir), NEARDUP_T).orderBy("i", "j")
+
+
+EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS i, b.vec_id AS j,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+ORDER BY i, j
+"""
+
+
+# --- per-label norm stats ----------------------------------------------------------
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    norm = S.norm("embedding")
+    return (
+        e.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("nrm").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM = f"sqrt({_DOT.format(a='embedding', b='embedding')})"
+NORM_STATS_SQL = f"""
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST({_NORM} AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --- multimodal binary plumbing ------------------------------------------------------
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media_from_documents(docs)
+    return media.select(
+        "media_id",
+        "media_type",
+        *MM.binary_meta("content"),
+        F.when(
+            F.col("media_type") == "video",
+            F.floor(F.col("meta_duration_ms") / 1000) + 1,
+        ).cast("long").alias("n_sample_frames"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       'application/octet-stream' AS sniffed_mime,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(floor(n_chars * 10 / 1000) + 1 AS BIGINT) END AS n_sample_frames
+FROM documents ORDER BY media_id
+"""
+
+
+QUERIES = {
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_topk": ann_lsh_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "vector_norm_stats": vector_norm_stats,
+    "multimodal_binary_meta": multimodal_binary_meta,
+}
+
+ORACLE = {
+    "ann_topk_cosine": ANN_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "vector_norm_stats": NORM_STATS_SQL,
+    "multimodal_binary_meta": MULTIMODAL_SQL,
+}

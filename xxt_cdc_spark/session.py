@@ -48,6 +48,9 @@ def get_spark(
         # sources): pin UTC.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # corpus events.parquet carries TIMESTAMP(NANOS); read as long
+        # and convert (Spark has no nanos timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if master:
