@@ -1,0 +1,237 @@
+"""Sink tests: idempotent upsert into a real DB (sqlite), retry/backoff,
+circuit breaker, error taxonomy, dead-lettering."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed
+from xxt_cdc_spark.sinks.upsert import (
+    CircuitBreaker,
+    CircuitOpen,
+    ErrorClass,
+    JdbcUpsertWriter,
+    RetryPolicy,
+    apply_batch,
+    classify_error,
+)
+
+COLUMNS = ["op", "pos_offset"] + ORDERS_PAYLOAD  # writer consumes op + payload
+
+
+def _make_target(path: str) -> None:
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+        " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+    )
+    con.commit()
+    con.close()
+
+
+def _writer_factory(path: str):
+    def factory() -> JdbcUpsertWriter:
+        return JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(path, timeout=30),
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+        )
+
+    return factory
+
+
+def _final_state(path: str) -> dict[int, tuple]:
+    con = sqlite3.connect(path)
+    rows = con.execute("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders").fetchall()
+    con.close()
+    return {r[0]: r for r in rows}
+
+
+@pytest.fixture()
+def target_db(tmp_path):
+    path = str(tmp_path / "target.db")
+    _make_target(path)
+    return path
+
+
+class TestUpsertEndToEnd:
+    def test_apply_changefeed_converges(self, spark, sf_dir, target_db):
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], num_partitions=4)
+
+        state = _final_state(target_db)
+        # deleted keys (o_orderkey % 7 == 0) must be gone
+        assert all(k % 7 != 0 for k in state)
+        # updated keys (%3, not deleted) carry status 'U'
+        updated = [k for k in state if k % 3 == 0]
+        assert updated and all(state[k][1] == "U" for k in updated)
+        # untouched keys keep an original status
+        untouched = [k for k in state if k % 3 != 0]
+        assert untouched and all(state[k][1] in ("O", "F", "P") for k in untouched)
+
+    def test_replay_is_idempotent(self, spark, sf_dir, target_db):
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        first = _final_state(target_db)
+        # full replay (duplicate delivery of the whole feed)
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        assert _final_state(target_db) == first
+
+
+class _FlakyConn:
+    """DB-API connection failing the first N executemany calls."""
+
+    def __init__(self, real: sqlite3.Connection, fail_times: list[int]):
+        self.real = real
+        self.fail_times = fail_times
+
+    def cursor(self):
+        return _FlakyCursor(self.real.cursor(), self.fail_times)
+
+    def commit(self):
+        self.real.commit()
+
+    def rollback(self):
+        self.real.rollback()
+
+    def close(self):
+        self.real.close()
+
+
+class _FlakyCursor:
+    def __init__(self, real, fail_times: list[int]):
+        self.real = real
+        self.fail_times = fail_times
+
+    def executemany(self, sql, params):
+        if self.fail_times and self.fail_times[0] > 0:
+            self.fail_times[0] -= 1
+            raise sqlite3.OperationalError("database is locked")
+        return self.real.executemany(sql, params)
+
+
+class TestRetryAndBreaker:
+    def test_retry_then_succeed(self, target_db):
+        fails = [2]
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: _FlakyConn(sqlite3.connect(target_db), fails),
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=5, base_delay_s=0.001),
+        )
+        rows = [
+            {"op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+             "o_totalprice": 1.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1"}
+        ]
+        w.apply_rows(iter(rows))
+        assert w.stats["retries"] == 2
+        assert w.stats["upserts"] == 1
+        assert _final_state(target_db) == {1: (1, "O", 1.0)}
+
+    def test_non_retryable_goes_to_dead_letter(self, target_db):
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(target_db),
+            table="missing_table",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=1, base_delay_s=0.001),
+        )
+        rows = [
+            {"op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+             "o_totalprice": 1.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1"}
+        ]
+        w.apply_rows(iter(rows))
+        assert w.stats["failures"] == 1
+        assert len(w.dead_letters) == 1
+
+    def test_breaker_opens_and_recovers(self):
+        b = CircuitBreaker(failure_threshold=3, cooldown_s=0.05)
+        assert b.allow()
+        for _ in range(3):
+            b.record_failure()
+        assert b.state == "OPEN" and not b.allow()
+        import time
+
+        time.sleep(0.06)
+        assert b.state == "HALF_OPEN" and b.allow()
+        b.record_success()
+        assert b.state == "CLOSED"
+
+    def test_breaker_raises_circuit_open(self, target_db):
+        always_fail = [10**9]
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: _FlakyConn(sqlite3.connect(target_db), always_fail),
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=10, base_delay_s=0.001),
+            breaker=CircuitBreaker(failure_threshold=2, cooldown_s=60),
+        )
+        rows = [
+            {"op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+             "o_totalprice": 1.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1"}
+        ]
+        with pytest.raises(CircuitOpen):
+            w.apply_rows(iter(rows))
+
+
+class TestErrorTaxonomy:
+    @pytest.mark.parametrize(
+        "exc,expected",
+        [
+            (Exception(1040, "too many connections"), ErrorClass.RETRYABLE),
+            (Exception(2006, "server gone away"), ErrorClass.RETRYABLE),
+            (Exception(1213, "deadlock"), ErrorClass.RETRYABLE),
+            (Exception(1045, "access denied"), ErrorClass.FATAL),
+            (Exception(1049, "unknown db"), ErrorClass.FATAL),
+            (Exception(1146, "no such table"), ErrorClass.NON_RETRYABLE),
+            (sqlite3.OperationalError("database is locked"), ErrorClass.RETRYABLE),
+            (ValueError("weird"), ErrorClass.NON_RETRYABLE),
+        ],
+    )
+    def test_classification(self, exc, expected):
+        assert classify_error(exc) == expected
+
+
+class TestSqlDialects:
+    def _writer(self, dialect):
+        return JdbcUpsertWriter(
+            connect_fn=lambda: None,
+            table="t",
+            columns=["k", "v"],
+            key_cols=["k"],
+            dialect=dialect,
+        )
+
+    def test_mysql_upsert_sql(self):
+        sql = self._writer("mysql")._upsert_sql()
+        assert "ON DUPLICATE KEY UPDATE v=VALUES(v)" in sql and "%s" in sql
+
+    def test_sqlite_upsert_sql(self):
+        sql = self._writer("sqlite")._upsert_sql()
+        assert "ON CONFLICT(k) DO UPDATE SET v=excluded.v" in sql
+
+    def test_starrocks_plain_insert(self):
+        sql = self._writer("starrocks")._upsert_sql()
+        assert sql.startswith("INSERT INTO t") and "ON " not in sql
+
+    def test_delete_sql(self):
+        assert self._writer("mysql")._delete_sql() == "DELETE FROM t WHERE k = %s"
+
+    def test_bad_dialect(self):
+        with pytest.raises(ValueError):
+            self._writer("oracle")

@@ -1,0 +1,148 @@
+"""Structured Streaming pipeline tests: file-source envelope stream →
+filter → foreachBatch apply, with checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.changefeed import orders_changefeed, to_envelope
+from xxt_cdc_spark.operators.apply import apply_changes
+from xxt_cdc_spark.operators.table_filter import TableFilter
+from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline, read_envelope_stream
+
+
+def _write_envelope_chunks(spark, sf_dir, out_dir: str, n_chunks: int = 3) -> int:
+    """Materialize the derived changefeed as JSON-lines files (the
+    streaming source), split into position ranges to mimic arrival."""
+    env = to_envelope(orders_changefeed(spark, sf_dir)).orderBy("pos_offset")
+    rows = [r.asDict() for r in env.collect()]
+    for r in rows:
+        r["ts"] = r["ts"].isoformat() if r["ts"] else None
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        with open(os.path.join(out_dir, f"chunk_{i}.json"), "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    return len(rows)
+
+
+class TestStreamingPipeline:
+    def test_stream_applies_and_converges(self, spark, sf_dir, tmp_path):
+        src_dir = str(tmp_path / "envelopes")
+        total = _write_envelope_chunks(spark, sf_dir, src_dir)
+
+        applied_batches: list[int] = []
+        state_holder = {"state": spark.read.parquet(f"{sf_dir}/orders.parquet")}
+        orders_schema = state_holder["state"].schema
+
+        def apply_fn(batch_df, batch_id):
+            from xxt_cdc_spark.operators.normalize import envelope_to_typed
+
+            typed_iu = envelope_to_typed(batch_df.filter(F.col("op") != "D"), "orders", orders_schema, "after")
+            typed_d = envelope_to_typed(batch_df.filter(F.col("op") == "D"), "orders", orders_schema, "before")
+            changes = typed_iu.unionByName(typed_d)
+            applied_batches.append(changes.count())
+            state_holder["state"] = apply_changes(
+                state_holder["state"].localCheckpoint(),
+                changes,
+                ["o_orderkey"],
+                ["pos_file", "pos_offset"],
+            ).localCheckpoint()
+
+        pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_envelope_stream(spark, src_dir, max_files_per_trigger=1),
+            apply_fn=apply_fn,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table_filter=TableFilter(include_tables=["orders"]),
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+
+        assert sum(applied_batches) == total
+        # converged state == batch oracle (apply whole feed at once)
+        expected = apply_changes(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            orders_changefeed(spark, sf_dir),
+            ["o_orderkey"],
+            ["pos_offset"],
+        )
+        got = state_holder["state"]
+        assert got.count() == expected.count()
+        diff = got.select("o_orderkey", "o_orderstatus", "o_totalprice").exceptAll(
+            expected.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        assert diff.count() == 0
+
+    def test_checkpoint_resume_skips_processed_files(self, spark, sf_dir, tmp_path):
+        src_dir = str(tmp_path / "envelopes")
+        ckpt = str(tmp_path / "ckpt")
+        _write_envelope_chunks(spark, sf_dir, src_dir, n_chunks=2)
+
+        counts: list[int] = []
+
+        def apply_fn(batch_df, batch_id):
+            counts.append(batch_df.count())
+
+        def run():
+            pipe = CDCStreamPipeline(
+                spark=spark,
+                source=read_envelope_stream(spark, src_dir),
+                apply_fn=apply_fn,
+                checkpoint_dir=ckpt,
+            )
+            q = pipe.start(available_now=True)
+            q.awaitTermination(120)
+
+        run()
+        first_total = sum(counts)
+        assert first_total > 0
+
+        # restart with no new files: the checkpoint must suppress replay
+        counts.clear()
+        run()
+        assert sum(counts) == 0
+
+        # new file arrives → only it is processed (offset WAL parity, C22/C23)
+        extra = os.path.join(src_dir, "chunk_late.json")
+        with open(extra, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "db": "testdb",
+                        "table": "orders",
+                        "op": "I",
+                        "ts": None,
+                        "pos_file": "binlog.000002",
+                        "pos_offset": 1,
+                        "gtid": None,
+                        "key": '{"o_orderkey":999999}',
+                        "before": None,
+                        "after": '{"o_orderkey":999999}',
+                    }
+                )
+                + "\n"
+            )
+        counts.clear()
+        run()
+        assert sum(counts) == 1
+
+    def test_table_filter_drops_excluded(self, spark, sf_dir, tmp_path):
+        src_dir = str(tmp_path / "envelopes")
+        _write_envelope_chunks(spark, sf_dir, src_dir, n_chunks=1)
+        seen: list[int] = []
+
+        pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_envelope_stream(spark, src_dir),
+            apply_fn=lambda df, _id: seen.append(df.count()),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            table_filter=TableFilter(exclude_tables=["orders"]),
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+        assert sum(seen) == 0

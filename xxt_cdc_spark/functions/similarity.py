@@ -114,6 +114,63 @@ def lsh_bucketed_topk(
     )
 
 
+def normalized(vec_col: str) -> Column:
+    """Unit-normalize once per vector — O(N·d) instead of O(N²·d) when
+    done before a pairwise join. The array fold is interpreted (no
+    codegen for higher-order functions), so hoisting it out of the join
+    is the single biggest win on pairwise similarity plans."""
+    return F.expr(
+        f"transform({vec_col}, x -> cast(x as double) / "
+        f"sqrt(aggregate(transform({vec_col}, y -> cast(y as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)))"
+    )
+
+
+def cosine_neardup_pairs_fast(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized near-dup pairs: per-partition numpy matmul against a
+    broadcast normalized matrix.
+
+    This is the designed Pandas-UDF slow path (Arrow batches + BLAS):
+    ~50-100× the interpreted-fold plan. Summation order inside BLAS
+    differs from a sequential fold, so results can differ from the
+    exact variant by ~1 ulp — hence registered as a rows-only check,
+    with the exact variant (cosine_neardup_pairs) as the oracle
+    baseline. At 100 TB the broadcast side becomes an LSH/IVF bucket
+    instead of the full matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()  # query-side matrix (small, broadcast)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(it):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in it:
+            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            bm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ all_mat.T  # (block, N)
+            bi, aj = np.nonzero(sims >= threshold)
+            i_ids, j_ids = block_ids[bi], all_ids[aj]
+            keep = i_ids < j_ids
+            yield pd.DataFrame(
+                {"i": i_ids[keep], "j": j_ids[keep], "cosine": sims[bi, aj][keep]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(block, "i long, j long, cosine double")
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -122,17 +179,17 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, i < j.
 
-    Small/medium corpora: blocked self-join. At 100 TB this composes
-    with sign_lsh_bucket as a pre-join blocker (same pattern as
-    lsh_bucketed_topk) — kept separate so the exact variant stays the
-    oracle baseline.
+    Vectors are unit-normalized BEFORE the self-join (norms computed N
+    times, not N²), so each pair costs one dot product. At 100 TB this
+    composes with sign_lsh_bucket as a pre-join blocker (same pattern
+    as lsh_bucketed_topk) — kept exact here as the oracle baseline.
     """
-    a = corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    a = corpus.select(F.col(id_col).alias("i"), normalized(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("j"), normalized(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cosine", cosine("va", "vb"))
+        .withColumn("cosine", dot("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("i", "j", "cosine")
     )

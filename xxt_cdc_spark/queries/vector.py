@@ -87,11 +87,18 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(_emb(spark, sf_dir), NEARDUP_T).orderBy("i", "j")
 
 
+# mirror of functions/similarity.normalized(): unit-normalize per vector
+# first, then a plain dot per pair — arithmetic order matches Spark exactly
+_NORMED = (
+    "[CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in embedding])) "
+    "for x in embedding]"
+)
 EMB_NEARDUP_SQL = f"""
+WITH nv AS (SELECT vec_id, {_NORMED} AS v FROM embeddings)
 SELECT a.vec_id AS i, b.vec_id AS j,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+       list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) AS cosine
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) >= {NEARDUP_T}
 ORDER BY i, j
 """
 
@@ -145,10 +152,18 @@ FROM documents ORDER BY media_id
 """
 
 
+def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy/BLAS variant of emb_neardup_pairs (registered rows-only —
+    no oracle SQL — because BLAS summation order differs by ~1 ulp from
+    any sequential-fold SQL mirror)."""
+    return S.cosine_neardup_pairs_fast(_emb(spark, sf_dir), NEARDUP_T).orderBy("i", "j")
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_neardup_fast": emb_neardup_fast,
     "vector_norm_stats": vector_norm_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
 }

@@ -1,0 +1,119 @@
+"""The streaming replication pipeline.
+
+Parity target: the reference's Pekko RunnableGraph
+(pipeline/CDCStreamPipeline.scala:58-131):
+
+    binlogSource ~> normalizer ~> Partition(64)
+      ~> [groupedWithin(100, 1s) → mapAsync(1) apply] ×64
+      ~> Merge ~> conflate.throttle(commit).commitOffset
+
+Spark mapping (SURVEY.md §3.1): every stage is subsumed by Structured
+Streaming —
+
+- source          → readStream (file source of envelope JSON for tests,
+                    Kafka/Debezium adapter for production)
+- micro-batcher   → trigger(processingTime=…) (R3)
+- Partition/merge → repartition inside foreachBatch (R2/R6)
+- mapAsync(1)     → per-partition serial writer (R4)
+- offset commit   → checkpointLocation WAL+commit log (C22/C23, R7)
+- supervision     → dead-letter in the writer + query restart loop (C24)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from xxt_cdc_spark.model.envelope import CHANGE_EVENT_SCHEMA
+from xxt_cdc_spark.operators.table_filter import TableFilter
+
+
+def read_envelope_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-based envelope source: a directory of JSON-lines change
+    events (CHANGE_EVENT_SCHEMA). This is the test/replay source; a
+    Kafka+Debezium source plugs in behind the same schema (S1).
+
+    maxFilesPerTrigger is the backpressure knob (reference's bounded
+    queue, reader/MySQLBinlogReader.scala:69).
+    """
+    return (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def read_kafka_envelope_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka transport for the same envelope (production source).
+
+    Requires the spark-sql-kafka package on the classpath — not in the
+    test image, so this is exercised only when the jar is present.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+@dataclass
+class CDCStreamPipeline:
+    """Assembles source → filter → dedup → foreachBatch(apply).
+
+    ``apply_fn(batch_df, batch_id)`` is the sink body (e.g.
+    sinks.apply_batch with a writer factory, or a parquet-state merge).
+    """
+
+    spark: SparkSession
+    source: DataFrame
+    apply_fn: Callable[[DataFrame, int], None]
+    checkpoint_dir: str
+    table_filter: TableFilter | None = None
+    trigger_interval: str = "1 second"
+    dedup_watermark: tuple[str, str] | None = None  # e.g. ("ts", "10 minutes")
+    query_name: str = "xxt-cdc-stream"
+
+    def build(self) -> DataFrame:
+        df = self.source
+        if self.table_filter is not None:
+            df = df.filter(self.table_filter.predicate())  # T4/T5, JVM-side
+        if self.dedup_watermark is not None:
+            col, delay = self.dedup_watermark
+            df = df.withWatermark(col, delay).dropDuplicatesWithinWatermark(
+                ["db", "table", "key", "pos_file", "pos_offset"]
+            )
+        return df
+
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        writer = (
+            self.build()
+            .writeStream.foreachBatch(self.apply_fn)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(self.query_name)
+        )
+        if available_now:
+            # bounded run: drain everything currently available, then stop
+            # — this is the catchup execution mode (C28/T8).
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.trigger_interval)
+        return writer.start()
