@@ -19,11 +19,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xxt_cdc_spark.queries import cdc, relational, streaming, text, vector
+from xxt_cdc_spark.queries import cdc, relational, relational2, streaming, text, vector
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, cdc, text, vector, streaming):
+for mod in (relational, relational2, cdc, text, vector, streaming):
     QUERIES.update(mod.QUERIES)
     ORACLE.update(mod.ORACLE)

@@ -1,0 +1,221 @@
+"""Relational coverage, part 2 — the spark.sql surface.
+
+These run through ``spark.sql`` over registered temp views (same
+Catalyst plans as the DataFrame API) and cover: outer joins,
+correlated scalar subqueries, IN/EXISTS subqueries, CUBE grouping
+sets, string/date scalar function families, distinct aggregation, and
+an exact rank-based median (interpolating percentiles differ subtly
+across engines; the rank construction is bit-identical by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xxt_cdc_spark.queries._util import sql_dsum
+from xxt_cdc_spark.session import load_tables
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# --- outer joins -----------------------------------------------------------
+OUTER_JOIN_SPARK = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE({dsum}, CAST(0.0 AS DOUBLE)) AS total_spend
+FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+""".format(dsum=sql_dsum("o.o_totalprice"))
+
+
+def outer_join_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, OUTER_JOIN_SPARK)
+
+
+# identical SQL runs on DuckDB (ANSI subset)
+OUTER_JOIN_ORACLE = OUTER_JOIN_SPARK
+
+
+# --- correlated scalar subquery ---------------------------------------------
+CORR_SUBQ = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.5 * (
+  SELECT {avg} FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+""".format(avg="CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)")
+
+
+def correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, CORR_SUBQ)
+
+
+# --- IN / NOT EXISTS subqueries ----------------------------------------------
+SUBQ_MIX = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+def urgent_but_never_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, SUBQ_MIX)
+
+
+# --- CUBE grouping sets --------------------------------------------------------
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, {qty} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""".format(qty=sql_dsum("l_quantity"))
+
+
+def cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, CUBE_SQL)
+
+
+# --- string function family ------------------------------------------------------
+STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_type) AS type_l,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       concat(p_brand, '#', CAST(p_size AS STRING)) AS brand_size,
+       trim(p_name) AS name_trim,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+       split_part(p_type, ' ', 1) AS type_head,
+       reverse(p_brand) AS brand_rev,
+       md5(p_name) AS name_md5
+FROM part ORDER BY p_partkey
+"""
+
+
+def string_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, STRING_FUNCS)
+
+
+# DuckDB: CAST(x AS STRING) → VARCHAR spelling, concat identical
+STRING_FUNCS_ORACLE = STRING_FUNCS.replace("AS STRING", "AS VARCHAR")
+
+
+# --- date/time function family ------------------------------------------------------
+# date outputs go through an explicit yyyy-MM-dd string format: DATE-
+# typed columns canonicalize differently across engine→pandas paths
+DATE_FUNCS = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, quarter(o_orderdate) AS q,
+       COUNT(*) AS n_orders,
+       MIN(date_format(date_trunc('MONTH', o_orderdate), 'yyyy-MM-dd')) AS month_start,
+       MAX(day(o_orderdate)) AS max_dom,
+       MAX(date_format(o_orderdate, 'yyyy-MM-dd')) AS latest
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY y, m
+"""
+
+DATE_FUNCS_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       COUNT(*) AS n_orders,
+       MIN(strftime(date_trunc('MONTH', o_orderdate), '%Y-%m-%d')) AS month_start,
+       CAST(MAX(day(o_orderdate)) AS INT) AS max_dom,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS latest
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY y, m
+"""
+
+
+def date_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, DATE_FUNCS)
+
+
+# --- exact rank-based median ----------------------------------------------------------
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, o_totalprice AS median_price
+FROM ranked WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+ORDER BY o_orderstatus
+"""
+
+
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, MEDIAN_SQL)
+
+
+# --- distinct aggregation ----------------------------------------------------------------
+DISTINCT_AGG = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def distinct_agg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, DISTINCT_AGG)
+
+
+# --- conditional expressions --------------------------------------------------------------
+COND_EXPR = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent,
+       GREATEST(o_totalprice, 100000.0) AS floored,
+       LEAST(o_totalprice, 400000.0) AS capped
+FROM orders
+WHERE o_orderkey % 10 = 0
+ORDER BY o_orderkey
+"""
+
+COND_EXPR_ORACLE = COND_EXPR.replace(
+    "IF(o_orderpriority = '1-URGENT', 1, 0)",
+    "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END",
+)
+
+
+def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, COND_EXPR)
+
+
+QUERIES = {
+    "outer_join_spend": outer_join_spend,
+    "correlated_above_brand_avg": correlated_above_brand_avg,
+    "urgent_but_never_failed": urgent_but_never_failed,
+    "cube_returns": cube_returns,
+    "string_function_family": string_function_family,
+    "date_function_family": date_function_family,
+    "median_price_by_status": median_price_by_status,
+    "distinct_agg_by_priority": distinct_agg_by_priority,
+    "conditional_exprs": conditional_exprs,
+}
+
+ORACLE = {
+    "outer_join_spend": OUTER_JOIN_ORACLE,
+    "correlated_above_brand_avg": CORR_SUBQ,
+    "urgent_but_never_failed": SUBQ_MIX,
+    "cube_returns": CUBE_SQL,
+    "string_function_family": STRING_FUNCS_ORACLE,
+    "date_function_family": DATE_FUNCS_ORACLE,
+    "median_price_by_status": MEDIAN_SQL,
+    "distinct_agg_by_priority": DISTINCT_AGG,
+    "conditional_exprs": COND_EXPR_ORACLE,
+}
