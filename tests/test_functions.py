@@ -80,3 +80,10 @@ class TestDedupRecall:
     def test_short_doc_shingles_empty(self, spark):
         df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
         assert D.shingles(df, n=3).count() == 0
+
+    def test_df_capped_jaccard_keeps_recall(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+        capped = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5, df_cap=20).collect()}
+        # stop-shingle cut prunes candidates, never verified pairs
+        assert capped == exact

@@ -1,0 +1,79 @@
+"""Management/introspection surface (M37 parity).
+
+The reference exposes /api/v1/{health,status,metrics,components}
+(api/CDCManagementAPI.scala:53-270). Here each endpoint is a plain
+function returning a JSON-able dict — an HTTP layer (Flask/FastAPI,
+not in this image) can mount them 1:1; `serve()` offers a stdlib
+http.server for ops parity without dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from xxt_cdc_spark.model.states import CDCState
+from xxt_cdc_spark.obs.metrics import HealthCheck, MetricsSnapshot
+
+
+@dataclass
+class ManagementAPI:
+    metrics: MetricsSnapshot = field(default_factory=MetricsSnapshot)
+    health_check: HealthCheck = field(default_factory=HealthCheck)
+    state: CDCState = CDCState.INIT
+    components: dict[str, str] = field(default_factory=dict)
+
+    # GET /api/v1/health
+    def health(self) -> dict:
+        return self.health_check.check(self.metrics)
+
+    # GET /api/v1/status
+    def status(self) -> dict:
+        return {"state": self.state.value, "uptime_s": self.metrics.uptime_s}
+
+    # GET /api/v1/metrics
+    def metrics_endpoint(self) -> dict:
+        return self.metrics.as_dict()
+
+    # GET /api/v1/components
+    def components_endpoint(self) -> dict:
+        return {"components": dict(self.components)}
+
+    # GET /api/v1/hotset
+    def hotset(self, top_n: int = 10) -> dict:
+        ranked = sorted(self.metrics.per_table.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {"hot_tables": [{"table": t, "events": n} for t, n in ranked[:top_n]]}
+
+    def routes(self) -> dict:
+        return {
+            "/api/v1/health": self.health,
+            "/api/v1/status": self.status,
+            "/api/v1/metrics": self.metrics_endpoint,
+            "/api/v1/components": self.components_endpoint,
+            "/api/v1/hotset": self.hotset,
+        }
+
+    def serve(self, port: int = 8080):  # pragma: no cover - ops helper
+        """Blocking stdlib HTTP server exposing the routes (ops parity)."""
+        import http.server
+
+        api = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                fn = api.routes().get(self.path)
+                if fn is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = json.dumps(fn()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = http.server.HTTPServer(("0.0.0.0", port), Handler)
+        server.serve_forever()

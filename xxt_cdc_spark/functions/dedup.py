@@ -65,19 +65,53 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard over shared-shingle
-    candidates. Columns: i, j, jaccard (i < j)."""
+    """Near-dup pairs by exact n-gram Jaccard. Columns: i, j, jaccard (i < j).
+
+    ``df_cap``: optional document-frequency cut for candidate
+    generation — shingles appearing in more than ``df_cap`` docs are
+    too common to discriminate and only inflate the candidate join
+    (the classic stop-shingle problem; on a skewed corpus the hot
+    shingle IS the shuffle skew). Candidates then come from *rare*
+    shared shingles only, while the Jaccard itself is still computed
+    over the full shingle sets, exactly. A qualifying pair is missed
+    only if it shares no rare shingle at all — at threshold ≥ 0.5 the
+    pair shares half its shingles, so this is vanishingly unlikely.
+    """
     sh = shingles(df, text_col, id_col, n)
     sizes = shingle_sizes(sh, id_col)
-    a = sh.select(F.col(id_col).alias("i"), "shingle")
-    b = sh.select(F.col(id_col).alias("j"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if df_cap is None:
+        # single-pass: shared counts straight off the shingle self-join
+        a = sh.select(F.col(id_col).alias("i"), "shingle")
+        b = sh.select(F.col(id_col).alias("j"), "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        # two-phase: rare-shingle candidates, then exact verification
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+        a = joinable.select(F.col(id_col).alias("i"), "shingle")
+        b = joinable.select(F.col(id_col).alias("j"), "shingle")
+        cand = a.join(b, "shingle").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+        fa = sh.select(F.col(id_col).alias("i"), "shingle")
+        fb = sh.select(F.col(id_col).alias("j"), F.col("shingle").alias("shingle_j"))
+        shared = (
+            cand.join(fa, "i")
+            .join(fb, "j")
+            .filter(F.col("shingle") == F.col("shingle_j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     na = sizes.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("ni"))
     nb = sizes.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("nj"))
     jac = (
