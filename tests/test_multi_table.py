@@ -1,0 +1,100 @@
+"""Multi-table envelope pipeline: one stream carrying two tables
+(composite-PK lineitem + orders) fanned out to per-table sinks."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from xxt_cdc_spark.changefeed import (
+    LINEITEM_PAYLOAD,
+    ORDERS_PAYLOAD,
+    lineitem_changefeed,
+    orders_changefeed,
+    to_envelope,
+)
+from xxt_cdc_spark.operators.apply import apply_changes
+from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, TableSink, apply_batch_multi
+
+
+@pytest.fixture()
+def target_db(tmp_path):
+    path = str(tmp_path / "multi.db")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+        " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey INTEGER, l_linenumber INTEGER, l_partkey INTEGER,"
+        " l_suppkey INTEGER, l_quantity REAL, l_extendedprice REAL,"
+        " PRIMARY KEY (l_orderkey, l_linenumber))"
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def _sink(path, table, columns, keys):
+    return TableSink(
+        writer_factory=lambda: JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(path, timeout=30),
+            table=table,
+            columns=columns,
+            key_cols=keys,
+            dialect="sqlite",
+        ),
+        key_cols=keys,
+        schema=None,  # filled in test
+    )
+
+
+class TestMultiTableApply:
+    def test_two_tables_converge(self, spark, sf_dir, target_db):
+        orders_cast = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LINEITEM_PAYLOAD)
+
+        env = to_envelope(orders_changefeed(spark, sf_dir)).unionByName(
+            to_envelope(
+                lineitem_changefeed(spark, sf_dir),
+                table="lineitem",
+                key_cols=["l_orderkey", "l_linenumber"],
+                payload_cols=LINEITEM_PAYLOAD,
+                ts_col=None,
+            )
+        )
+
+        orders_sink = _sink(target_db, "orders", ORDERS_PAYLOAD, ["o_orderkey"])
+        orders_sink.schema = orders_cast.schema
+        li_sink = _sink(target_db, "lineitem", LINEITEM_PAYLOAD, ["l_orderkey", "l_linenumber"])
+        li_sink.schema = li.schema
+
+        applied = apply_batch_multi(env, {"orders": orders_sink, "lineitem": li_sink}, 4)
+        assert set(applied) == {"orders", "lineitem"}
+
+        con = sqlite3.connect(target_db)
+        # orders converge to the single-table oracle
+        got_orders = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+        exp_orders = apply_changes(
+            orders_cast, orders_changefeed(spark, sf_dir), ["o_orderkey"], ["pos_offset"]
+        ).count()
+        assert got_orders == exp_orders
+        # lineitem (composite PK) converges too
+        got_li = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+        exp_li = apply_changes(
+            li, lineitem_changefeed(spark, sf_dir), ["l_orderkey", "l_linenumber"], ["pos_offset"]
+        ).count()
+        assert got_li == exp_li
+        # spot-check an updated composite-key row
+        row = con.execute(
+            "SELECT l_quantity FROM lineitem WHERE (l_orderkey + l_linenumber) % 5 = 0"
+            " AND (l_orderkey + l_linenumber) % 9 <> 0 LIMIT 1"
+        ).fetchone()
+        assert row is not None
+        con.close()
+
+    def test_unregistered_table_skipped(self, spark, sf_dir, target_db):
+        env = to_envelope(orders_changefeed(spark, sf_dir), table="unknown_table")
+        applied = apply_batch_multi(env, {}, 4)
+        assert applied == {}

@@ -374,6 +374,69 @@ FROM classified ORDER BY sql
 """
 
 
+# --- composite-PK apply (lineitem) -------------------------------------------
+def cdc_composite_key_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column key routing/collapse/apply — the composite-PK case
+    the reference routes via the full PK map (EventRouter.scala:28-31)."""
+    from xxt_cdc_spark.changefeed import lineitem_base, lineitem_changefeed
+
+    # corpus lineitem has duplicate (orderkey, linenumber) pairs — the
+    # keyed snapshot is the deterministic per-key representative
+    li = lineitem_base(spark, sf_dir)
+    cf = lineitem_changefeed(spark, sf_dir)
+    state = apply_changes(li, cf, ["l_orderkey", "l_linenumber"], ["pos_offset"])
+    return state.orderBy("l_orderkey", "l_linenumber")
+
+
+from xxt_cdc_spark.changefeed import LINEITEM_CHANGEFEED_SQL  # noqa: E402
+
+CDC_COMPOSITE_SQL = f"""
+WITH cf AS ({LINEITEM_CHANGEFEED_SQL}),
+latest AS (
+  SELECT * FROM cf
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY pos_offset DESC) = 1
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+FROM latest WHERE op <> 'D'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- bounded catchup replay (T8/C28) --------------------------------------------
+CATCHUP_LOW, CATCHUP_HIGH = 50000, 100000
+
+
+def cdc_catchup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage state build: snapshot at `low`, then bounded replay of
+    (low, high] — the watermark-protocol execution path. The oracle
+    computes the state at `high` directly, so a hash-match proves the
+    snapshot+catchup composition equals single-shot replay."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cf = orders_changefeed(spark, sf_dir)
+    state_low = apply_changes(
+        orders, cf.filter(F.col("pos_offset") <= CATCHUP_LOW), ["o_orderkey"], ["pos_offset"]
+    )
+    delta = cf.filter(
+        (F.col("pos_offset") > CATCHUP_LOW) & (F.col("pos_offset") <= CATCHUP_HIGH)
+    )
+    state_high = apply_changes(state_low, delta, ["o_orderkey"], ["pos_offset"])
+    return state_high.orderBy("o_orderkey")
+
+
+CDC_CATCHUP_SQL = f"""{_CF},
+bounded AS (SELECT * FROM cf WHERE pos_offset <= {CATCHUP_HIGH}),
+latest AS (
+  SELECT * FROM bounded
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bounded)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "cdc_changefeed_events": cdc_changefeed_events,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -386,6 +449,8 @@ QUERIES = {
     "cdc_offset_barrier": cdc_offset_barrier,
     "cdc_table_filter": cdc_table_filter,
     "cdc_ddl_classify": cdc_ddl_classify,
+    "cdc_composite_key_apply": cdc_composite_key_apply,
+    "cdc_catchup_range": cdc_catchup_range,
 }
 
 ORACLE = {
@@ -400,4 +465,6 @@ ORACLE = {
     "cdc_offset_barrier": CDC_BARRIER_SQL,
     "cdc_table_filter": CDC_FILTER_SQL,
     "cdc_ddl_classify": CDC_DDL_SQL,
+    "cdc_composite_key_apply": CDC_COMPOSITE_SQL,
+    "cdc_catchup_range": CDC_CATCHUP_SQL,
 }

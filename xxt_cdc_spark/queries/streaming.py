@@ -187,7 +187,38 @@ FROM matched WHERE is_event = 1 ORDER BY event_id
 """
 
 
+# --- skew-salted aggregation (scale-path twin of a hot-key agg) ---------------
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): identical
+    results to the direct groupBy — the oracle match proves it — with a
+    uniform first shuffle even under a hot event_type."""
+    from xxt_cdc_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [
+            (F.count(F.lit(1)), F.sum("partial_0"), "n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")),
+                F.sum("partial_1").cast("double"),
+                "sum_value",
+            ),
+        ],
+        salt_buckets=16,
+        salt_source="event_id",
+    ).orderBy("event_type")
+
+
+SALTED_AGG_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
     "stream_sessionize": stream_sessionize,
     "stream_json_props": stream_json_props,
@@ -196,6 +227,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
     "stream_sessionize": SESSIONIZE_SQL,
     "stream_json_props": JSON_PROPS_SQL,

@@ -35,6 +35,7 @@ from enum import Enum
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from xxt_cdc_spark.model.envelope import OP_DELETE
 from xxt_cdc_spark.operators.collapse import last_write_wins
@@ -248,6 +249,55 @@ class JdbcUpsertWriter:
                 self.stats["failures"] += len(params)
                 self.dead_letters.extend((kind, p, repr(exc)) for p in params)
                 return
+
+
+@dataclass
+class TableSink:
+    """Per-table sink registration for the multi-table pipeline."""
+
+    writer_factory: Callable[[], "JdbcUpsertWriter"]
+    key_cols: list[str]
+    schema: object  # pyspark StructType of the table's row image
+
+
+def apply_batch_multi(
+    env_df: DataFrame,
+    sinks: dict[str, TableSink],
+    num_partitions: int = 8,
+) -> dict[str, int]:
+    """foreachBatch body for a MULTI-TABLE envelope stream (the
+    reference replicates up to 100k tables through one pipeline).
+
+    The batch is split by table (cheap: distinct over a micro-batch),
+    each slice is parsed against its table's discovered schema and
+    applied through its own writer. Tables absent from ``sinks`` are
+    skipped (same posture as the T5 filter — unknown tables shouldn't
+    reach the sink anyway). Returns rows-applied per table.
+    """
+    from xxt_cdc_spark.operators.normalize import envelope_to_typed
+
+    present = [r["table"] for r in env_df.select("table").distinct().collect()]
+    applied: dict[str, int] = {}
+    for table in present:
+        sink = sinks.get(table)
+        if sink is None:
+            continue
+        typed_iu = envelope_to_typed(
+            env_df.filter(F.col("op") != OP_DELETE), table, sink.schema, "after"
+        )
+        typed_d = envelope_to_typed(
+            env_df.filter(F.col("op") == OP_DELETE), table, sink.schema, "before"
+        )
+        changes = typed_iu.filter(F.col("op") != OP_DELETE).unionByName(typed_d)
+        applied[table] = changes.count()
+        apply_batch(
+            changes,
+            sink.writer_factory,
+            sink.key_cols,
+            ["pos_file", "pos_offset"],
+            num_partitions,
+        )
+    return applied
 
 
 def apply_batch(
