@@ -306,6 +306,7 @@ def apply_batch(
     key_cols: list[str],
     order_cols: list[str] | None = None,
     num_partitions: int = 8,
+    dead_letter_dir: str | None = None,
 ) -> None:
     """foreachBatch body (O19 apply-worker parity):
 
@@ -315,12 +316,27 @@ def apply_batch(
 
     Replays after failure are safe: the sink is a PK-upsert (same
     effectively-once argument as the reference, README.md:526-548).
+    With ``dead_letter_dir``, rows the writer could not apply are
+    persisted as JSON-lines per partition for replay/inspection —
+    improving on the reference, whose failed events could be silently
+    skipped (its README.md:731).
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
     collapsed = last_write_wins(batch_df, key_cols, order_cols)
     routed = route(collapsed, num_partitions, key_cols, order_cols)
 
     def _run(rows) -> None:
-        writer_factory().apply_rows(rows)
+        writer = writer_factory()
+        writer.apply_rows(rows)
+        if dead_letter_dir and writer.dead_letters:
+            import json
+            import os
+            import uuid
+
+            os.makedirs(dead_letter_dir, exist_ok=True)
+            path = os.path.join(dead_letter_dir, f"dead-{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                for kind, params, err in writer.dead_letters:
+                    f.write(json.dumps({"kind": kind, "params": list(params), "error": err}, default=str) + "\n")
 
     routed.foreachPartition(_run)
