@@ -105,7 +105,8 @@ def main() -> None:
     from xxt_cdc_spark.queries import QUERIES
     from xxt_cdc_spark.session import get_spark
 
-    spark = get_spark("xxt-cdc-bench")
+    # keep stdout clean: the one JSON line must be parseable
+    spark = get_spark("xxt-cdc-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     # warm up the JVM/codegen so per-query numbers measure the plan, not startup
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 

@@ -179,10 +179,20 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact-Jaccard verification of candidates only."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    exact-Jaccard verification of candidates only.
+
+    The shingle frame feeds four subtrees (signatures, both sides of
+    the verification join, sizes); localCheckpoint materializes it once
+    instead of recomputing the split/transform/explode per subtree.
+    """
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
-    sh = shingles(df, text_col, id_col, n)
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("i"), "shingle")
     b = sh.select(F.col(id_col).alias("j"), "shingle")

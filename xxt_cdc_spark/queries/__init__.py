@@ -21,9 +21,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from xxt_cdc_spark.queries import cdc, relational, relational2, streaming, text, vector
 
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin session confs the oracle comparison depends on.
+
+    The driver runs queries in ITS OWN session: a non-UTC timezone
+    would shift window/timestamp results relative to DuckDB's naive
+    timestamps, and the nanos-timestamp events table needs the legacy
+    read conf. Both are runtime-settable, so every query self-pins.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 for mod in (relational, relational2, cdc, text, vector, streaming):
-    QUERIES.update(mod.QUERIES)
+    QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)
