@@ -205,10 +205,12 @@ def to_envelope(
     images are omitted (row-image=minimal parity is acceptable because
     apply is PK-upsert-based, like the reference sink O16).
     """
+    from xxt_cdc_spark.model.envelope import JSON_OPTS
+
     key_cols = key_cols or ["o_orderkey"]
     payload_cols = payload_cols or ORDERS_PAYLOAD
-    payload = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    key = F.to_json(F.struct(*[F.col(c) for c in key_cols]))
+    payload = F.to_json(F.struct(*[F.col(c) for c in payload_cols]), JSON_OPTS)
+    key = F.to_json(F.struct(*[F.col(c) for c in key_cols]), JSON_OPTS)
     ts = F.col(ts_col).cast("timestamp") if ts_col else F.lit(None).cast("timestamp")
     return cf.select(
         F.lit(db).alias("db"),

@@ -12,6 +12,7 @@ are kept here with the same names so reference configs translate 1:1.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 
@@ -101,3 +102,42 @@ class CDCConfig:
             ).validate()
         )
         return problems
+
+
+def load_config(path: str) -> CDCConfig:
+    """Load CDCConfig from a TOML or JSON file (ConfigLoader parity,
+    reference config/ConfigLoader.scala:24-73). Unknown keys are
+    rejected — misspelled config should fail loudly, not silently
+    default (the validator posture of ConfigLoader.scala:148-331).
+    """
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+    else:
+        with open(path) as f:
+            raw = json.load(f)
+
+    def build(cls, data: dict):
+        known = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+        unknown = set(data) - known
+        if unknown:
+            raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+        return cls(**data)
+
+    sections = {
+        "source": SourceConfig,
+        "sink": SinkConfig,
+        "parallelism": ParallelismConfig,
+        "snapshot": SnapshotConfig,
+    }
+    kwargs = {}
+    for name, cls in sections.items():
+        if name in raw:
+            kwargs[name] = build(cls, raw.pop(name))
+    cfg = build(CDCConfig, {**raw, **kwargs})
+    problems = cfg.validate()
+    if problems:
+        raise ValueError("invalid config: " + "; ".join(problems))
+    return cfg

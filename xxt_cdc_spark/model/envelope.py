@@ -22,6 +22,13 @@ OP_INSERT = "I"
 OP_UPDATE = "U"
 OP_DELETE = "D"
 
+# JSON row-image timestamp format. Spark's default to_json truncates
+# timestamps to MILLIseconds; binlog row images carry microseconds, so
+# the envelope pins a micro-precision format for both encode and
+# decode (pass as options to to_json/from_json).
+TS_JSON_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+JSON_OPTS = {"timestampFormat": TS_JSON_FORMAT, "timestampNTZFormat": TS_JSON_FORMAT}
+
 
 class Operation(str, Enum):
     """Sealed op ADT (reference model/ChangeEvent.scala:40-43)."""

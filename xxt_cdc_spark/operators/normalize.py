@@ -114,8 +114,10 @@ def envelope_to_typed(
     schema (type casts per SURVEY.md §1.3 happen inside from_json) and
     keeps the envelope metadata columns for ordering/collapse.
     """
+    from xxt_cdc_spark.model.envelope import JSON_OPTS
+
     df = env.filter(F.col("table") == table)
-    parsed = F.from_json(F.col(image), schema)
+    parsed = F.from_json(F.col(image), schema, JSON_OPTS)
     return df.select(
         "db",
         "table",
