@@ -91,6 +91,116 @@ def bench_sink_apply(spark) -> dict:
     return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_streaming(spark) -> dict:
+    """End-to-end streaming replication: envelope JSON files → filter →
+    foreachBatch (LWW+route+sqlite upsert), many micro-batches.
+
+    Reports events/s and P50/P95/P99 micro-batch apply latency —
+    directly comparable to BASELINE.md's TPS and latency rows.
+    """
+    import json as _json
+
+    from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed, to_envelope
+    from xxt_cdc_spark.obs.metrics import CDCMetricsListener
+    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+    from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline, read_envelope_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        env = to_envelope(orders_changefeed(spark, SF_DIR)).orderBy("pos_offset")
+        rows = [r.asDict() for r in env.collect()]
+        for r in rows:
+            r["ts"] = r["ts"].isoformat() if r["ts"] else None
+        n_files = 32  # 32 micro-batches (1 file per trigger)
+        chunk = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(os.path.join(src, f"c{i:03d}.json"), "w") as f:
+                for r in rows[i * chunk : (i + 1) * chunk]:
+                    f.write(_json.dumps(r) + "\n")
+
+        db = os.path.join(tmp, "t.db")
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+            " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+        )
+        con.commit()
+        con.close()
+
+        def apply_fn(batch_df, _id):
+            typed = batch_df.selectExpr(
+                "op", "pos_file", "pos_offset",
+                "cast(get_json_object(coalesce(after, before), '$.o_orderkey') as long) AS o_orderkey",
+                "cast(get_json_object(after, '$.o_custkey') as long) AS o_custkey",
+                "get_json_object(after, '$.o_orderstatus') AS o_orderstatus",
+                "cast(get_json_object(after, '$.o_totalprice') as double) AS o_totalprice",
+                "get_json_object(after, '$.o_orderdate') AS o_orderdate",
+                "get_json_object(after, '$.o_orderpriority') AS o_orderpriority",
+            )
+            apply_batch(
+                typed,
+                lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    table="orders",
+                    columns=ORDERS_PAYLOAD,
+                    key_cols=["o_orderkey"],
+                    dialect="sqlite",
+                    batch_size=5000,
+                    connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+                ),
+                ["o_orderkey"],
+                ["pos_offset"],
+                num_partitions=2,
+            )
+
+        # warm the streaming/codegen/Python-worker paths so percentiles
+        # measure steady state, not JIT cold start
+        warm_src = os.path.join(tmp, "warm")
+        os.makedirs(warm_src)
+        for i in range(3):
+            with open(os.path.join(warm_src, f"w{i}.json"), "w") as f:
+                for r in rows[:200]:
+                    f.write(_json.dumps(r) + "\n")
+        warm_pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_envelope_stream(spark, warm_src, max_files_per_trigger=1),
+            apply_fn=apply_fn,
+            checkpoint_dir=os.path.join(tmp, "warm_ck"),
+        )
+        wq = warm_pipe.start(available_now=True)
+        wq.awaitTermination(120)
+
+        listener = CDCMetricsListener()
+        spark.streams.addListener(listener)
+        # micro-batches are ~7k rows: a wide shuffle is pure overhead
+        # (AQE coalesces, but fewer partitions up front is cheaper still)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            t0 = time.monotonic()
+            pipe = CDCStreamPipeline(
+                spark=spark,
+                source=read_envelope_stream(spark, src, max_files_per_trigger=1),
+                apply_fn=apply_fn,
+                checkpoint_dir=os.path.join(tmp, "ck"),
+            )
+            q = pipe.start(available_now=True)
+            q.awaitTermination(600)
+            dt = time.monotonic() - t0
+        finally:
+            spark.streams.removeListener(listener)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pct = listener.snapshot.latency_percentiles()
+        return {
+            "events": len(rows),
+            "sec": dt,
+            "events_per_sec": len(rows) / dt,
+            "batches": listener.snapshot.batches,
+            **pct,
+        }
+
+
 def bench_snapshot(spark) -> dict:
     """Snapshot path: full partitioned read → noop write (isolates scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -121,6 +231,7 @@ def main() -> None:
 
     sink = bench_sink_apply(spark)
     snap = bench_snapshot(spark)
+    stream = bench_streaming(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -135,6 +246,11 @@ def main() -> None:
                 "cdc_apply_events": sink["events"],
                 "cdc_apply_sec": round(sink["sec"], 3),
                 "snapshot_rows_per_sec": round(snap["rows_per_sec"]),
+                "stream_events_per_sec": round(stream["events_per_sec"]),
+                "stream_batches": stream["batches"],
+                "stream_latency_p50_ms": stream["p50_ms"],
+                "stream_latency_p95_ms": stream["p95_ms"],
+                "stream_latency_p99_ms": stream["p99_ms"],
                 "cpus": int(CPUS),
             }
         )

@@ -76,6 +76,21 @@ class TestUpsertEndToEnd:
         untouched = [k for k in state if k % 3 != 0]
         assert untouched and all(state[k][1] in ("O", "F", "P") for k in untouched)
 
+    def test_no_collapse_path_converges_identically(self, spark, sf_dir, target_db, tmp_path):
+        """collapse=False applies every event in position order; the
+        converged state must equal the collapsed path's."""
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        collapsed_state = _final_state(target_db)
+
+        other = str(tmp_path / "nc.db")
+        _make_target(other)
+        apply_batch(cf, _writer_factory(other), ["o_orderkey"], ["pos_offset"], 4, collapse=False)
+        assert _final_state(other) == collapsed_state
+
     def test_replay_is_idempotent(self, spark, sf_dir, target_db):
         cf = orders_changefeed(spark, sf_dir).selectExpr(
             "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",

@@ -32,6 +32,21 @@ class MetricsSnapshot:
     lag_ms: float | None = None
     started_at: float = field(default_factory=time.time)
     per_table: dict[str, int] = field(default_factory=dict)
+    batch_durations_ms: list[float] = field(default_factory=list)
+
+    def latency_percentiles(self) -> dict[str, float | None]:
+        """P50/P95/P99 of micro-batch apply duration — the engine's
+        apply-latency figure comparable to BASELINE.md (events enter at
+        batch start, are committed at batch end)."""
+        if not self.batch_durations_ms:
+            return {"p50_ms": None, "p95_ms": None, "p99_ms": None}
+        xs = sorted(self.batch_durations_ms)
+
+        def pct(p: float) -> float:
+            i = min(len(xs) - 1, int(round(p * (len(xs) - 1))))
+            return xs[i]
+
+        return {"p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99)}
 
     @property
     def uptime_s(self) -> float:
@@ -82,6 +97,8 @@ class CDCMetricsListener(StreamingQueryListener):
         self.snapshot.processed_rows_per_second = float(p.processedRowsPerSecond or 0.0)
         durations = p.durationMs or {}
         self.snapshot.last_batch_duration_ms = float(durations.get("triggerExecution", 0.0))
+        if p.numInputRows:
+            self.snapshot.batch_durations_ms.append(self.snapshot.last_batch_duration_ms)
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

@@ -307,6 +307,7 @@ def apply_batch(
     order_cols: list[str] | None = None,
     num_partitions: int = 8,
     dead_letter_dir: str | None = None,
+    collapse: bool = True,
 ) -> None:
     """foreachBatch body (O19 apply-worker parity):
 
@@ -320,9 +321,16 @@ def apply_batch(
     persisted as JSON-lines per partition for replay/inspection —
     improving on the reference, whose failed events could be silently
     skipped (its README.md:731).
+
+    ``collapse=False`` skips the LWW window (one shuffle fewer): the
+    sorted per-partition writer still applies every key's events in
+    position order, so the converged state is identical — it just
+    executes more statements. The right trade for latency-sensitive
+    small batches with few per-key repeats (the reference applies
+    every event too); keep collapsing for update-heavy replays.
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
-    collapsed = last_write_wins(batch_df, key_cols, order_cols)
+    collapsed = last_write_wins(batch_df, key_cols, order_cols) if collapse else batch_df
     routed = route(collapsed, num_partitions, key_cols, order_cols)
 
     def _run(rows) -> None:
