@@ -81,6 +81,13 @@ class TestDedupRecall:
         df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
         assert D.shingles(df, n=3).count() == 0
 
+    def test_connected_components_transitive_chain(self, spark):
+        verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+        # chain 1-2-3, pair 5-6, singletons 0/4/7
+        edges = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "i long, j long")
+        comp = {r.id: r.component for r in D.connected_components(verts, edges).collect()}
+        assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
     def test_df_capped_jaccard_keeps_recall(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         exact = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}

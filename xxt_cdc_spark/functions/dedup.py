@@ -216,6 +216,76 @@ def minhash_dedup_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Small-diameter connected components by min-label propagation.
+
+    ``vertices``: one column ``id``; ``edges``: columns ``i``, ``j``.
+    Returns (id, component) where component = min id reachable. Each
+    iteration is one join+groupBy; near-dup clusters have tiny diameter
+    so convergence takes O(log d) rounds — checked by a fixpoint count,
+    not hope. Deterministic (min-label), so oracle-comparable against a
+    recursive-CTE transitive closure.
+    """
+    sym = (
+        edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "a", "left")
+            .select(
+                "a",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()  # fixpoint loop: cut the growing lineage
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "a")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(id_col), "component")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Transitive near-dup closure: group documents whose Jaccard
+    near-dup pairs connect them (directly or through intermediates) and
+    elect min-id representatives — the standard 'keep one per duplicate
+    cluster' selection of a training-data pipeline."""
+    pairs = jaccard_pairs(df, text_col, id_col, n, threshold)
+    comp = connected_components(df.select(F.col(id_col).alias("id")), pairs)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
 def simhash_signature(
     df: DataFrame,
     text_col: str = "text",

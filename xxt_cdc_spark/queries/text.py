@@ -242,7 +242,36 @@ ORDER BY i, j
 """
 
 
+# --- transitive dedup closure (connected components) ------------------------
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return D.dedup_clusters(d, "text", "doc_id", SHINGLE_N, JACCARD_T).orderBy("doc_id")
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i, j FROM pairs JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_T}
+),
+sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster, (id = MIN(r)) AS is_representative
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_clusters": dedup_clusters_q,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -254,6 +283,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality": QUALITY_SQL,
     "text_langid": LANGID_SQL,
