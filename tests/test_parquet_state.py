@@ -69,6 +69,39 @@ class TestParquetState:
         changed = [d for d in after if after[d] != before.get(d)]
         assert changed == [f"bucket={stats['touched_buckets'][0]}"]
 
+    def test_additive_rollup_matches_batch_agg(self, spark, sf_dir, tmp_path):
+        """Continuous aggregate: hourly event counts maintained
+        incrementally across chunked deliveries == one-shot batch agg."""
+        from xxt_cdc_spark.queries.streaming import _events
+
+        ev = _events(spark, sf_dir).withColumn(
+            "hour", F.date_trunc("hour", F.col("ts"))
+        )
+        table = ParquetStateTable(spark, str(tmp_path / "rollup"), ["hour", "event_type"], 8)
+        empty = (
+            ev.groupBy("hour", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.lit(False))
+        )
+        table.init(empty)
+
+        # deliver in 3 chunks (micro-batches)
+        for i in range(3):
+            chunk = ev.filter(F.col("event_id") % 3 == i)
+            delta = chunk.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+            stats = table.apply_additive(delta, ["n"])
+            assert stats["merged_keys"] > 0
+
+        got = {
+            (r.hour, r.event_type): r.n
+            for r in table.read().collect()
+        }
+        expected = {
+            (r.hour, r.event_type): r.n
+            for r in ev.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == expected
+
     def test_apply_before_init_raises(self, spark, sf_dir, tmp_path):
         import pytest
 

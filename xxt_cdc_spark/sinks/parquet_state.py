@@ -20,10 +20,12 @@ effectively-once contract.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xxt_cdc_spark.model.envelope import OP_DELETE
 from xxt_cdc_spark.operators.collapse import last_write_wins
@@ -48,23 +50,57 @@ class ParquetStateTable:
         return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
 
     def exists(self) -> bool:
+        # an initialized-but-empty table has a _SUCCESS marker and no
+        # bucket directories yet
+        return os.path.isdir(self.root) and any(
+            name.startswith(f"{_BUCKET}=") or name == "_SUCCESS"
+            for name in os.listdir(self.root)
+        )
+
+    def init(self, snapshot: DataFrame) -> None:
+        """Bulk-load the initial state (snapshot phase, O18). A schema
+        sidecar makes an initialized-but-empty table readable."""
+        # init must fully replace the table — static overwrite (a
+        # session left in dynamic mode would turn an empty init into a
+        # silent no-op)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            (
+                snapshot.withColumn(_BUCKET, self._bucket_col())
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(self.root)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, "_xxt_schema.json"), "w") as f:
+            json.dump(snapshot.schema.jsonValue(), f)
+
+    def _payload_schema(self) -> T.StructType | None:
+        try:
+            with open(os.path.join(self.root, "_xxt_schema.json")) as f:
+                return T.StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _has_data(self) -> bool:
         return os.path.isdir(self.root) and any(
             name.startswith(f"{_BUCKET}=") for name in os.listdir(self.root)
         )
 
-    def init(self, snapshot: DataFrame) -> None:
-        """Bulk-load the initial state (snapshot phase, O18)."""
-        (
-            snapshot.withColumn(_BUCKET, self._bucket_col())
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET)
-            .parquet(self.root)
-        )
-
     def read(self) -> DataFrame:
+        if not self._has_data():
+            schema = self._payload_schema()
+            if schema is None:
+                raise RuntimeError(f"state table at {self.root} not initialized")
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.root).drop(_BUCKET)
 
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        if not self._has_data():
+            return self.read()
         # partition pruning: the filter on the partition column prunes
         # directories at planning time — untouched buckets are not read
         return (
@@ -112,3 +148,50 @@ class ParquetStateTable:
             "upserts": n_up,
             "deletes": latest.count() - n_up,
         }
+
+    def apply_additive(self, delta: DataFrame, value_cols: list[str]) -> dict:
+        """Continuous-aggregate maintenance (hypertable-style rollup):
+        per-key numeric accumulators are ADDED into the state instead of
+        replaced. ``delta`` carries key_cols + value_cols (typically the
+        partial aggregate of one micro-batch — e.g. counts/sums per
+        time bucket); keys absent from the state are inserted.
+
+        Same bucket-pruned economics as apply(): only buckets whose
+        keys appear in the delta are read or rewritten. NOT idempotent
+        under replay (addition double-counts) — pair with the streaming
+        checkpoint, which guarantees each micro-batch's delta is
+        produced once.
+        """
+        if not self.exists():
+            raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
+        delta = delta.groupBy(*self.key_cols).agg(
+            *[F.sum(c).alias(c) for c in value_cols]
+        )
+        with_bucket = delta.withColumn(_BUCKET, self._bucket_col()).localCheckpoint()
+        touched = sorted(r[_BUCKET] for r in with_bucket.select(_BUCKET).distinct().collect())
+        if not touched:
+            return {"touched_buckets": [], "merged_keys": 0}
+
+        state = self._read_buckets(touched)
+        payload_cols = state.columns
+        s = state.alias("s")
+        d = with_bucket.drop(_BUCKET).alias("d")
+        joined = s.join(d, on=self.key_cols, how="full_outer")
+        merged_cols = []
+        for c in payload_cols:
+            if c in self.key_cols:
+                continue
+            if c in value_cols:
+                merged_cols.append(
+                    (F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
+                )
+            else:
+                # non-accumulator payload exists only on the state side;
+                # null for freshly-inserted keys
+                merged_cols.append(F.col(f"s.{c}").alias(c))
+        merged = joined.select(*self.key_cols, *merged_cols).withColumn(
+            _BUCKET, self._bucket_col()
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.root)
+        return {"touched_buckets": touched, "merged_keys": with_bucket.count()}
