@@ -57,6 +57,23 @@ class TestSimilarityFastPath:
         # on this corpus the pair sets must be identical
         assert exact == fast
 
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        bf = S.brute_force_topk(emb, queries, k=10)
+        ivf = S.ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=3)
+        bf_set = {(r.query_id, r.item_id) for r in bf.collect()}
+        ivf_set = {(r.query_id, r.item_id) for r in ivf.collect()}
+        recall = len(bf_set & ivf_set) / len(bf_set)
+        # IVF with 3/8 probes on near-isotropic synthetic data: expect
+        # usable but partial recall; the bound guards against breakage
+        assert recall >= 0.4, f"recall {recall:.2f}"
+        # scores of returned items must match brute force exactly
+        bf_scores = {(r.query_id, r.item_id): r.cosine for r in bf.collect()}
+        for r in ivf.collect():
+            if (r.query_id, r.item_id) in bf_scores:
+                assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-12
+
     def test_lsh_topk_is_subset_of_brute_force_bucketmates(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 3)

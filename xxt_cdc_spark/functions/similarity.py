@@ -126,6 +126,72 @@ def normalized(vec_col: str) -> Column:
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, search
+    only the ``n_probe`` centroids nearest each query.
+
+    The higher-recall alternative to sign-LSH bucketing: centroids
+    adapt to the data distribution instead of fixed hyperplanes. At
+    100 TB the corpus is written partitioned by centroid id so a query
+    reads ``n_probe`` partitions; here the centroid assignment is
+    computed inline. KMeans is seeded → deterministic within Spark,
+    but not expressible in SQL, so the registered query is a
+    rows-only check (recall is tested against brute force instead).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    fl = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fl)
+    assigned = model.transform(fl).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("prediction").alias("centroid"),
+    )
+
+    # rank centroids per query by cosine, take n_probe (broadcastable:
+    # centroid count is tiny)
+    centroids = model.clusterCenters()
+    cen_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        f"centroid int, cvec array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_cen = (
+        q.crossJoin(F.broadcast(cen_df))
+        .withColumn("csim", dot("qv", "cvec") / (norm("qv") * norm("cvec")))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid"))
+    probes = (
+        q_cen.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "centroid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("cosine", cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )
+
+
 def cosine_neardup_pairs_fast(
     corpus: DataFrame,
     threshold: float = 0.45,

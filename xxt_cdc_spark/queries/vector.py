@@ -152,6 +152,13 @@ FROM documents ORDER BY media_id
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted file, rows-only check — KMeans is not
+    SQL-expressible; recall vs brute force is tested in pytest)."""
+    e = _emb(spark, sf_dir)
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K).orderBy("query_id", "rank")
+
+
 def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy/BLAS variant of emb_neardup_pairs (registered rows-only —
     no oracle SQL — because BLAS summation order differs by ~1 ulp from
@@ -162,6 +169,7 @@ def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_fast": emb_neardup_fast,
     "vector_norm_stats": vector_norm_stats,
