@@ -28,7 +28,6 @@ from xxt_cdc_spark.changefeed import (
     orders_changefeed,
     to_envelope,
 )
-from xxt_cdc_spark.model.envelope import CHANGE_EVENT_SCHEMA
 from xxt_cdc_spark.operators.apply import apply_changes
 from xxt_cdc_spark.operators.collapse import dedup_transport, last_write_wins
 from xxt_cdc_spark.operators.ddl import classify_ddl_df
