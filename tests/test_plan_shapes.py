@@ -1,0 +1,42 @@
+"""Physical-plan regression guards: the properties SCALING.md claims
+must stay visible in the plans (pushdown, pruning, broadcast, partial
+aggregation). Plan text is version-sensitive, so assertions target
+stable markers only."""
+
+from __future__ import annotations
+
+from xxt_cdc_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+class TestPlanShapes:
+    def test_q1_filter_pushdown_and_pruning(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q1_pricing_summary")
+        assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+        # column pruning: payload columns only, never the full table
+        read_schema = plan.split("ReadSchema", 1)[1][:400]
+        assert "l_orderkey" not in read_schema  # not needed by q1
+        assert "partial_sum" in plan  # map-side combine
+
+    def test_q3_dimensions_broadcast(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q3_top_orders")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_q5_no_fact_side_shuffle_before_agg(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q5_region_revenue")
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_lww_uses_window_group_limit(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "cdc_lww_collapse")
+        # rank<=1 must be pushed into WindowGroupLimit (truncated sort)
+        assert "WindowGroupLimit" in plan
+
+    def test_changefeed_filter_pushdown(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "cdc_catchup_range")
+        # the pos bound must prune at the scan level of the derived feed
+        assert "PushedFilters" in plan

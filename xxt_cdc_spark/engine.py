@@ -126,6 +126,40 @@ class CDCEngine:
             stats["phases"].append({"phase": "STREAMING"})
         return stats
 
+    def start_streaming_query(
+        self,
+        source,
+        apply_fn,
+        table_filter=None,
+        trigger_interval: str = "1 second",
+        available_now: bool = False,
+    ):
+        """Attach the unbounded streaming tail after snapshot/catchup
+        (C30's STREAMING phase as a real checkpointed query).
+
+        ``source`` is an envelope readStream DataFrame (file or Kafka);
+        the stale-position gate drops anything at or below the resume
+        position across restarts, so overlap between catchup and the
+        stream start is absorbed even for non-idempotent sinks.
+        """
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+        if self.state is not CDCState.STREAMING:
+            self._to(CDCState.STREAMING)
+        start_pos = self.resume_position()
+        bounded = source.filter(F.col("pos_offset") > F.lit(start_pos))
+        pipe = CDCStreamPipeline(
+            spark=self.spark,
+            source=bounded,
+            apply_fn=apply_fn,
+            checkpoint_dir=os.path.join(self.checkpoint_dir, "stream"),
+            table_filter=table_filter,
+            trigger_interval=trigger_interval,
+        )
+        return pipe.start(available_now=available_now)
+
     def resume_position(self) -> int:
         """Start-position precedence (reference CDCEngine.scala:629-641):
         snapshot high watermark > last committed (checkpoint) > latest."""
