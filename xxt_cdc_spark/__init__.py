@@ -18,3 +18,25 @@ the semantics.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps bare `import xxt_cdc_spark` free of the
+    # pyspark import cost until something is actually used)
+    api = {
+        "CDCEngine": ("xxt_cdc_spark.engine", "CDCEngine"),
+        "CDCStreamPipeline": ("xxt_cdc_spark.streaming.pipeline", "CDCStreamPipeline"),
+        "JdbcUpsertWriter": ("xxt_cdc_spark.sinks.upsert", "JdbcUpsertWriter"),
+        "apply_batch": ("xxt_cdc_spark.sinks.upsert", "apply_batch"),
+        "ParquetStateTable": ("xxt_cdc_spark.sinks.parquet_state", "ParquetStateTable"),
+        "TableFilter": ("xxt_cdc_spark.operators.table_filter", "TableFilter"),
+        "CDCConfig": ("xxt_cdc_spark.config", "CDCConfig"),
+        "load_config": ("xxt_cdc_spark.config", "load_config"),
+        "get_spark": ("xxt_cdc_spark.session", "get_spark"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'xxt_cdc_spark' has no attribute {name!r}")
