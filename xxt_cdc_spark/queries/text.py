@@ -270,7 +270,63 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+# --- end-to-end training-data curation -----------------------------------
+def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in one plan: near-dup cluster
+    representatives ∩ quality gate ∩ language allowlist — what a 100 TB
+    pretraining-data job runs per shard. Composes dedup_clusters,
+    quality_score and the labeled language column."""
+    d = _docs(spark, sf_dir)
+    reps = D.dedup_clusters(d, "text", "doc_id", SHINGLE_N, JACCARD_T).filter(
+        F.col("is_representative")
+    )
+    scored = d.select(
+        "doc_id", "lang", TX.quality_score("text").alias("quality"), F.length("text").alias("len_chars")
+    )
+    return (
+        scored.join(reps.select("doc_id"), "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .filter(F.col("lang").isin("en", "de", "es"))
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_EXPR = """
+  0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+  + 0.2 * (1.0 - CAST(len([t for t in string_split_regex(trim(text), '\\s+')
+                           if t IN ('the','a','of','and','to','in')]) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+"""
+
+TRAINING_SELECTION_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i, j FROM pairs JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_T}
+),
+sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+),
+reps AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(r))
+SELECT d.doc_id, d.lang, {_QUALITY_EXPR} AS quality, length(text) AS len_chars
+FROM documents d JOIN reps USING (doc_id)
+WHERE {_QUALITY_EXPR} >= 0.5 AND d.lang IN ('en', 'de', 'es')
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "training_data_selection": training_data_selection,
     "dedup_clusters": dedup_clusters_q,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -283,6 +339,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "training_data_selection": TRAINING_SELECTION_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality": QUALITY_SQL,
