@@ -49,6 +49,20 @@ class TestMultimodal:
 
 
 class TestSimilarityFastPath:
+    def test_vectorized_bit_identical_to_fold(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fold = sorted(
+            (r.i, r.j, r.cosine)
+            for r in S.cosine_neardup_pairs(emb, 0.45, strategy="fold").collect()
+        )
+        vec = sorted(
+            (r.i, r.j, r.cosine)
+            for r in S.cosine_neardup_pairs(emb, 0.45, strategy="vectorized").collect()
+        )
+        # not approx: the vectorized kernel replays the fold's exact
+        # IEEE op sequence, so every cosine must be bit-equal
+        assert fold == vec
+
     def test_fast_matches_exact_pairs(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         exact = {(r.i, r.j) for r in S.cosine_neardup_pairs(emb, 0.45).collect()}
