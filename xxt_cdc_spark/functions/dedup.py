@@ -50,7 +50,11 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         f"i -> array_join(slice({toks}, i + 1, {n}), ' ')), "
         f"array())"
     )
-    return df.select(
+    # a small corpus often arrives as one parquet file → one partition,
+    # which would serialize the interpreted shingle construction; spread
+    # docs across cores first (cheap: pre-explode row count)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return df.repartition(n_parts).select(
         F.col(id_col), F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle")
     )
 
@@ -79,7 +83,12 @@ def jaccard_pairs(
     only if it shares no rare shingle at all — at threshold ≥ 0.5 the
     pair shares half its shingles, so this is vanishingly unlikely.
     """
-    sh = shingles(df, text_col, id_col, n)
+    # the shingle frame feeds 3-5 subtrees (both join sides, sizes,
+    # candidate generation); cache it instead of re-running the
+    # split/transform/explode per subtree (persist, not localCheckpoint:
+    # lineage truncation makes the DAGScheduler log spurious
+    # lost-accumulator errors on reuse)
+    sh = shingles(df, text_col, id_col, n).persist()
     sizes = shingle_sizes(sh, id_col)
     if df_cap is None:
         # single-pass: shared counts straight off the shingle self-join
@@ -182,10 +191,10 @@ def minhash_dedup_pairs(
     exact-Jaccard verification of candidates only.
 
     The shingle frame feeds four subtrees (signatures, both sides of
-    the verification join, sizes); localCheckpoint materializes it once
-    instead of recomputing the split/transform/explode per subtree.
+    the verification join, sizes); caching it computes the
+    split/transform/explode once instead of once per subtree.
     """
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = shingles(df, text_col, id_col, n).persist()
     sig = sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"h{s}")
@@ -235,7 +244,7 @@ def connected_components(
         edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()  # re-joined every fixpoint iteration
     )
     labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
     for _ in range(max_iterations):
@@ -310,7 +319,8 @@ def simhash_signature(
                 f"THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v)"
             ).alias(f"v{b}")
         )
-    with_votes = df.select(F.col(id_col), *votes)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    with_votes = df.repartition(n_parts).select(F.col(id_col), *votes)
     sig = F.concat(
         *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
