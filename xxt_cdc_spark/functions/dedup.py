@@ -41,21 +41,26 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     are deduped per doc before the explode so downstream joins see set
     semantics.
     """
-    toks = f"split(trim({text_col}), '\\\\s+')"
+    # tokenize ONCE into a column — inlining the split into the
+    # transform lambda would re-split the text for every shingle index
+    # (higher-order functions are interpreted, no common-subexpression
+    # elimination across the lambda boundary)
     # IF-guard: sequence(0, negative) would generate a DESCENDING range
     # in Spark, so short docs must short-circuit to an empty array.
     shingle_arr = (
-        f"IF(size({toks}) >= {n}, "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')), "
+        f"IF(size(__toks) >= {n}, "
+        f"transform(sequence(0, size(__toks) - {n}), "
+        f"i -> array_join(slice(__toks, i + 1, {n}), ' ')), "
         f"array())"
     )
     # a small corpus often arrives as one parquet file → one partition,
     # which would serialize the interpreted shingle construction; spread
     # docs across cores first (cheap: pre-explode row count)
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    return df.repartition(n_parts).select(
-        F.col(id_col), F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle")
+    return (
+        df.repartition(n_parts)
+        .select(F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle"))
     )
 
 
@@ -158,16 +163,21 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band_index, band_key) —
-    the LSH trick that avoids the O(n²) comparison."""
-    bands = None
-    for bi in range(num_hashes // rows_per_band):
-        cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col),
-            F.lit(bi).alias("band_index"),
-            F.concat_ws("|", *cols).alias("band_key"),
+    the LSH trick that avoids the O(n²) comparison.
+
+    Bands come from ONE posexplode pass, not a per-band union — a union
+    of b projections would re-run the whole signature computation b
+    times (and the self-join would double that again).
+    """
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for bi in range(num_hashes // rows_per_band)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band_index", "band_key")
+    )
     a = bands.select(F.col(id_col).alias("i"), "band_index", "band_key")
     b = bands.select(F.col(id_col).alias("j"), "band_index", "band_key")
     return (
@@ -195,12 +205,14 @@ def minhash_dedup_pairs(
     split/transform/explode once instead of once per subtree.
     """
     sh = shingles(df, text_col, id_col, n).persist()
+    # sig is tiny (one row per doc) but feeds both sides of the band
+    # self-join — cache it so the shingle agg shuffle runs once
     sig = sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"h{s}")
             for s in range(num_hashes)
         ]
-    )
+    ).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("i"), "shingle")
@@ -308,19 +320,28 @@ def simhash_signature(
     bit_b(md5) uses the top bit of hex digit b — md5 gives 32 hex
     digits, so bits ≤ 32.
     """
-    toks = f"split(trim({text_col}), '\\\\s+')"
+    # hash each token ONCE — a per-bit inline md5 would recompute the
+    # digest bits× per token (md5 dominates; the per-bit substring vote
+    # over the precomputed digest array is cheap)
     votes = []
     for b in range(bits):
         # +1 when hex digit b+1 of md5(token) is in 89abcdef (top bit set)
         votes.append(
             F.expr(
-                f"aggregate(transform({toks}, t -> "
-                f"CASE WHEN substring(md5(t), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+                f"aggregate(transform(__md5s, h -> "
+                f"CASE WHEN substring(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
                 f"THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v)"
             ).alias(f"v{b}")
         )
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    with_votes = df.repartition(n_parts).select(F.col(id_col), *votes)
+    with_votes = (
+        df.repartition(n_parts)
+        .select(
+            F.col(id_col),
+            F.expr(f"transform(split(trim({text_col}), '\\\\s+'), t -> md5(t))").alias("__md5s"),
+        )
+        .select(F.col(id_col), *votes)
+    )
     sig = F.concat(
         *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
@@ -342,7 +363,9 @@ def simhash_pairs(
     For the oracle-checked small corpus we use both half-joins
     (either half equal) which is exact for hamming ≤ bits/2 − 1 per half.
     """
-    sig = simhash_signature(df, text_col, id_col, bits)
+    # the signature feeds four join branches (a/b sides × two halves);
+    # cache the per-doc frame so the token-hash votes run once
+    sig = simhash_signature(df, text_col, id_col, bits).persist()
     half = bits // 2
     a = sig.select(F.col(id_col).alias("i"), F.col("simhash").alias("sig_i"))
     b = sig.select(F.col(id_col).alias("j"), F.col("simhash").alias("sig_j"))
