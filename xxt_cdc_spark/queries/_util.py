@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(25,6)"
+# 18,6: the narrowest decimal whose SUM buffer (p+10 = 28 digits)
+# still holds a 100-TB-scale total; narrower input decimals aggregate
+# measurably faster than (25,6) and the corpus doubles never exceed
+# the 12 integer digits
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str) -> Column:
@@ -32,8 +36,8 @@ def davg(col: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
