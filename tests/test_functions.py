@@ -38,6 +38,19 @@ class TestMultimodal:
         assert len(rows) == 50
         assert all(r.decode_ok and r.width >= 16 and r.height >= 16 for r in rows)
 
+    def test_resize_binary_roundtrip(self, spark, sf_dir):
+        # binary must survive Arrow in BOTH directions: payload in,
+        # (smaller) thumbnail out, dims clamped to max_dim
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        media = MM.synth_media_from_documents(docs)
+        sizes = {r.media_id: r.n for r in media.select("media_id", F.octet_length("content").alias("n")).collect()}
+        thumbs = MM.resize_images(media, max_dim=32).collect()
+        assert len(thumbs) == 50
+        for r in thumbs:
+            assert 0 < r.thumb_width <= 32 and 0 < r.thumb_height <= 32
+            assert isinstance(r.thumb, (bytes, bytearray)) and len(r.thumb) >= 1
+            assert len(r.thumb) <= sizes[r.media_id]
+
     def test_video_frame_sampling(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
         media = MM.synth_media_from_documents(docs)

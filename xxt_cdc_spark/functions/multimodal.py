@@ -94,6 +94,44 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
     return df.mapInPandas(batches, out_schema)
 
 
+def resize_image(content: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    """STUB resize — a real implementation is PIL ``Image.thumbnail``.
+    Deterministic fake: clamps the pseudo-dimensions from
+    ``decode_image`` to ``max_dim`` and emits a truncated payload as
+    the 'thumbnail' so output size shrinks like a real resize would.
+    """
+    d = decode_image(content)
+    if not d["ok"]:
+        return (b"", 0, 0)
+    w = min(d["width"], max_dim)
+    h = min(d["height"], max_dim)
+    return (content[: max(w * h // 4, 1)], w, h)
+
+
+def resize_images(df: DataFrame, max_dim: int = 32, content_col: str = "content") -> DataFrame:
+    """mapInPandas resize stage: binary in → smaller binary + dims out.
+
+    The output keeps a (smaller) binary column on purpose — resize is a
+    mid-pipeline stage whose thumbnails feed further decode steps, so
+    the plumbing must prove Arrow handles binary in BOTH directions.
+    """
+    out_schema = "media_id long, thumb binary, thumb_width int, thumb_height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize_image(c, max_dim) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "thumb": [t[0] for t in out],
+                    "thumb_width": [t[1] for t in out],
+                    "thumb_height": [t[2] for t in out],
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """STUB frame sampler: emits (media_id, frame_ts_ms) rows at the
     requested cadence from meta_duration_ms — the explode/partition

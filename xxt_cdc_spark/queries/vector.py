@@ -152,6 +152,66 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- multimodal decode / resize / frame-sample plumbing ----------------------
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage over the image slice of the media table.
+
+    The decode itself is the documented deterministic stub (no codec
+    libs in the container), which makes the WHOLE Arrow round-trip
+    oracle-checkable: width/height derive from byte length and first
+    byte, both SQL-expressible.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "image")
+    return MM.extract_image_features(media).orderBy("media_id")
+
+
+# fake decode mirror: width = 16 + n_bytes % 64, height = 16 + first_byte % 64
+IMAGE_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       16 + octet_length(encode(text)) % 64 AS width,
+       16 + ascii(substring(text, 1, 1)) % 64 AS height,
+       TRUE AS decode_ok
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary in → thumbnail binary out through Arrow,
+    dims clamped to max_dim; thumbnail size checked via octet_length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "image")
+    thumbs = MM.resize_images(media, max_dim=32)
+    return thumbs.select(
+        "media_id", "thumb_width", "thumb_height", F.octet_length("thumb").alias("thumb_bytes")
+    ).orderBy("media_id")
+
+
+RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       least(16 + octet_length(encode(text)) % 64, 32) AS thumb_width,
+       least(16 + ascii(substring(text, 1, 1)) % 64, 32) AS thumb_height,
+       least(octet_length(encode(text)),
+             greatest(least(16 + octet_length(encode(text)) % 64, 32)
+                      * least(16 + ascii(substring(text, 1, 1)) % 64, 32) // 4, 1)) AS thumb_bytes
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode shape: one row per sampled timestamp of
+    every video, at a 1 s cadence."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "video")
+    return MM.sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means inverted file, rows-only check — KMeans is not
     SQL-expressible; recall vs brute force is tested in pytest)."""
@@ -174,9 +234,15 @@ QUERIES = {
     "emb_neardup_fast": emb_neardup_fast,
     "vector_norm_stats": vector_norm_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_image_features": multimodal_image_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
+    "multimodal_image_features": IMAGE_FEATURES_SQL,
+    "multimodal_resize": RESIZE_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
