@@ -40,6 +40,10 @@ HEADLINE = [
     "stream_window_agg",
     "stream_sessionize",
     "asof_join_events_orders",
+    "dedup_simhash",
+    "dedup_clusters",
+    "training_data_selection",
+    "multimodal_image_features",
 ]
 
 
@@ -88,6 +92,67 @@ def bench_sink_apply(spark) -> dict:
             num_partitions=2,  # sqlite serializes writers; more partitions just contend
         )
         dt = time.monotonic() - t0
+    return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt}
+
+
+def bench_sink_apply_skewed(spark) -> dict:
+    """Hot-key stress: half the feed hammers ONE key. The LWW collapse
+    absorbs the hot key to a single upsert before the sink sees it, so
+    throughput should hold (the reference's hash router would send the
+    whole burst to one serial partition)."""
+    from pyspark.sql import functions as F
+
+    from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed
+    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+
+    cf = orders_changefeed(spark, SF_DIR).selectExpr(
+        "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+    )
+    n_base = cf.count()
+    hot = spark.range(n_base).select(
+        F.lit("U").alias("op"),
+        (F.lit(10_000_000_000) + F.col("id")).alias("pos_offset"),
+        F.lit(1).cast("long").alias("o_orderkey"),
+        F.lit(7).cast("long").alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 1.0).alias("o_totalprice"),
+        F.lit("1995-01-01").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    feed = cf.unionByName(hot)
+    n_events = n_base * 2
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "target.db")
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+            " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+        )
+        con.commit()
+        con.close()
+        t0 = time.monotonic()
+        apply_batch(
+            feed,
+            lambda: JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                table="orders",
+                columns=ORDERS_PAYLOAD,
+                key_cols=["o_orderkey"],
+                dialect="sqlite",
+                batch_size=5000,
+                connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+            ),
+            ["o_orderkey"],
+            ["pos_offset"],
+            num_partitions=2,
+        )
+        dt = time.monotonic() - t0
+        con = sqlite3.connect(db)
+        hot_price = con.execute("SELECT o_totalprice FROM orders WHERE o_orderkey = 1").fetchone()
+        con.close()
+    # last write must win on the hot key (highest pos_offset = id n_base-1)
+    assert hot_price and abs(hot_price[0] - (n_base - 1)) < 1e-6, hot_price
     return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt}
 
 
@@ -236,6 +301,7 @@ def main() -> None:
         total += per_query[name]
 
     sink = bench_sink_apply(spark)
+    skew = bench_sink_apply_skewed(spark)
     snap = bench_snapshot(spark)
     stream = bench_streaming(spark)
 
@@ -251,6 +317,7 @@ def main() -> None:
                 "cdc_events_per_sec": round(sink["events_per_sec"]),
                 "cdc_apply_events": sink["events"],
                 "cdc_apply_sec": round(sink["sec"], 3),
+                "cdc_skew_events_per_sec": round(skew["events_per_sec"]),
                 "snapshot_rows_per_sec": round(snap["rows_per_sec"]),
                 "stream_events_per_sec": round(stream["events_per_sec"]),
                 "stream_batches": stream["batches"],
