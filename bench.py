@@ -194,15 +194,13 @@ def bench_streaming(spark) -> dict:
         con.close()
 
         def apply_fn(batch_df, _id):
+            # one from_json per row (not 6 get_json_object re-parses)
             typed = batch_df.selectExpr(
                 "op", "pos_file", "pos_offset",
-                "cast(get_json_object(coalesce(after, before), '$.o_orderkey') as long) AS o_orderkey",
-                "cast(get_json_object(after, '$.o_custkey') as long) AS o_custkey",
-                "get_json_object(after, '$.o_orderstatus') AS o_orderstatus",
-                "cast(get_json_object(after, '$.o_totalprice') as double) AS o_totalprice",
-                "get_json_object(after, '$.o_orderdate') AS o_orderdate",
-                "get_json_object(after, '$.o_orderpriority') AS o_orderpriority",
-            )
+                "from_json(coalesce(after, before), 'o_orderkey long, o_custkey long,"
+                " o_orderstatus string, o_totalprice double, o_orderdate string,"
+                " o_orderpriority string') AS p",
+            ).selectExpr("op", "pos_file", "pos_offset", "p.*")
             apply_batch(
                 typed,
                 lambda: JdbcUpsertWriter(
@@ -217,6 +215,12 @@ def bench_streaming(spark) -> dict:
                 ["o_orderkey"],
                 ["pos_offset"],
                 num_partitions=2,
+                # latency path: skip the LWW window (one shuffle fewer per
+                # micro-batch) — the sorted per-partition writer still applies
+                # every key's events in position order, so converged state is
+                # identical (see apply_batch docstring); the reference applies
+                # every event too.
+                collapse=False,
             )
 
         # warm the streaming/codegen/Python-worker paths so percentiles
