@@ -132,6 +132,20 @@ class TestDedupRecall:
         comp = {r.id: r.component for r in D.connected_components(verts, edges).collect()}
         assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
+    def test_connected_components_driver_and_distributed_agree(self, spark):
+        verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+        # two chains that merge through a shared middle + a far pair
+        edges = spark.createDataFrame(
+            [(0, 3), (3, 6), (6, 9), (1, 4), (4, 6), (10, 11)], "i long, j long"
+        )
+        fast = {r.id: r.component for r in D.connected_components(verts, edges).collect()}
+        loop = {
+            r.id: r.component
+            for r in D.connected_components(verts, edges, driver_threshold=0).collect()
+        }
+        assert fast == loop
+        assert fast[9] == 0 and fast[1] == 0 and fast[11] == 10
+
     def test_df_capped_jaccard_keeps_recall(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         exact = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}

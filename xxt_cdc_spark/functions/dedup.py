@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xxt_cdc_spark.functions.text import bow_fingerprint, fingerprint
 
@@ -93,14 +94,23 @@ def jaccard_pairs(
     # split/transform/explode per subtree (persist, not localCheckpoint:
     # lineage truncation makes the DAGScheduler log spurious
     # lost-accumulator errors on reuse)
-    sh = shingles(df, text_col, id_col, n).persist()
+    # self-join on the 8-byte xxhash64 of the shingle, not the string:
+    # the join shuffles each shingle row twice and a word n-gram is
+    # ~20-40 bytes, so hashing cuts shuffle volume ~3× (a phantom
+    # shared-count needs two distinct shingles of the SAME doc pair to
+    # collide in 64 bits — ~1e-9 across the whole corpus)
+    sh = (
+        shingles(df, text_col, id_col, n)
+        .select(id_col, "shingle", F.xxhash64("shingle").alias("sh64"))
+        .persist()
+    )
     sizes = shingle_sizes(sh, id_col)
     if df_cap is None:
         # single-pass: shared counts straight off the shingle self-join
-        a = sh.select(F.col(id_col).alias("i"), "shingle")
-        b = sh.select(F.col(id_col).alias("j"), "shingle")
+        a = sh.select(F.col(id_col).alias("i"), "sh64")
+        b = sh.select(F.col(id_col).alias("j"), "sh64")
         shared = (
-            a.join(b, "shingle")
+            a.join(b, "sh64")
             .filter(F.col("i") < F.col("j"))
             .groupBy("i", "j")
             .agg(F.count(F.lit(1)).alias("shared"))
@@ -108,21 +118,21 @@ def jaccard_pairs(
     else:
         # two-phase: rare-shingle candidates, then exact verification
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("sh64")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap)
-            .select("shingle")
+            .select("sh64")
         )
-        joinable = sh.join(rare, "shingle")
-        a = joinable.select(F.col(id_col).alias("i"), "shingle")
-        b = joinable.select(F.col(id_col).alias("j"), "shingle")
-        cand = a.join(b, "shingle").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
-        fa = sh.select(F.col(id_col).alias("i"), "shingle")
-        fb = sh.select(F.col(id_col).alias("j"), F.col("shingle").alias("shingle_j"))
+        joinable = sh.join(rare, "sh64")
+        a = joinable.select(F.col(id_col).alias("i"), "sh64")
+        b = joinable.select(F.col(id_col).alias("j"), "sh64")
+        cand = a.join(b, "sh64").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+        fa = sh.select(F.col(id_col).alias("i"), "sh64")
+        fb = sh.select(F.col(id_col).alias("j"), F.col("sh64").alias("sh64_j"))
         shared = (
             cand.join(fa, "i")
             .join(fb, "j")
-            .filter(F.col("shingle") == F.col("shingle_j"))
+            .filter(F.col("sh64") == F.col("sh64_j"))
             .groupBy("i", "j")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
@@ -242,6 +252,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Small-diameter connected components by min-label propagation.
 
@@ -251,7 +262,52 @@ def connected_components(
     so convergence takes O(log d) rounds — checked by a fixpoint count,
     not hope. Deterministic (min-label), so oracle-comparable against a
     recursive-CTE transitive closure.
+
+    Near-dup edge sets are sparse relative to the corpus (a 100 TB shard
+    with 1% dup rate has ~1e6 edges per 1e8 docs): when the edge set
+    fits on the driver (``driver_threshold``), skip the iterative
+    join loop entirely — one union-find pass over the collected edges,
+    broadcast the (edge-touched ids only) label map back, and coalesce
+    untouched vertices to themselves. Identical output, zero fixpoint
+    shuffles. The distributed loop remains the path for dense graphs.
     """
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.select("i", "j").toLocalIterator():
+            ri, rj = find(row[0]), find(row[1])
+            if ri != rj:
+                # min id becomes the root so the label IS min(reachable)
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        spark = vertices.sparkSession
+        if mapping:
+            id_field = vertices.schema[id_col].dataType
+            mdf = spark.createDataFrame(
+                mapping, T.StructType([
+                    T.StructField("a", id_field), T.StructField("__comp", id_field),
+                ])
+            )
+            return (
+                vertices.select(F.col(id_col).alias("a"))
+                .join(F.broadcast(mdf), "a", "left")
+                .select(
+                    F.col("a").alias(id_col),
+                    F.coalesce(F.col("__comp"), F.col("a")).alias("component"),
+                )
+            )
+        return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
     sym = (
         edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
@@ -362,31 +418,42 @@ def simhash_pairs(
     true pairs agree on one half; this keeps the join sub-quadratic.
     For the oracle-checked small corpus we use both half-joins
     (either half equal) which is exact for hamming ≤ bits/2 − 1 per half.
+
+    Internally the bit-string signature is collapsed to ONE long per
+    doc: half-keys become shift/mask (not substring), candidate rows
+    shuffle 8-byte ints (not 16-char strings), and hamming is a single
+    ``bit_count(xor)`` instead of ``bits`` substring comparisons per
+    candidate pair — same values, far less work on the (large)
+    candidate side.
     """
     # the signature feeds four join branches (a/b sides × two halves);
     # cache the per-doc frame so the token-hash votes run once
-    sig = simhash_signature(df, text_col, id_col, bits).persist()
-    half = bits // 2
-    a = sig.select(F.col(id_col).alias("i"), F.col("simhash").alias("sig_i"))
-    b = sig.select(F.col(id_col).alias("j"), F.col("simhash").alias("sig_j"))
-    first_half = a.withColumn("k", F.substring("sig_i", 1, half)).join(
-        b.withColumn("k", F.substring("sig_j", 1, half)), "k"
+    sig = (
+        simhash_signature(df, text_col, id_col, bits)
+        .select(
+            F.col(id_col),
+            F.expr("cast(conv(simhash, 2, 10) as bigint)").alias("s"),
+        )
+        .persist()
     )
-    second_half = a.withColumn("k", F.substring("sig_i", half + 1, half)).join(
-        b.withColumn("k", F.substring("sig_j", half + 1, half)), "k"
+    half = bits // 2
+    mask = (1 << half) - 1
+    a = sig.select(F.col(id_col).alias("i"), F.col("s").alias("si"))
+    b = sig.select(F.col(id_col).alias("j"), F.col("s").alias("sj"))
+    first_half = a.withColumn("k", F.shiftright("si", half)).join(
+        b.withColumn("k", F.shiftright("sj", half)), "k"
+    )
+    second_half = a.withColumn("k", F.col("si").bitwiseAND(F.lit(mask))).join(
+        b.withColumn("k", F.col("sj").bitwiseAND(F.lit(mask))), "k"
     )
     cand = (
-        first_half.select("i", "j", "sig_i", "sig_j")
-        .unionByName(second_half.select("i", "j", "sig_i", "sig_j"))
+        first_half.select("i", "j", "si", "sj")
+        .unionByName(second_half.select("i", "j", "si", "sj"))
         .filter(F.col("i") < F.col("j"))
         .distinct()
     )
-    hamming = sum(
-        (F.substring("sig_i", b + 1, 1) != F.substring("sig_j", b + 1, 1)).cast("int")
-        for b in range(bits)
-    )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
