@@ -284,7 +284,9 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.select("i", "j").toLocalIterator():
+        # collect, not toLocalIterator: the latter fetches partitions
+        # sequentially (one job each); the edge list is driver-bounded
+        for row in edges.select("i", "j").collect():
             ri, rj = find(row[0]), find(row[1])
             if ri != rj:
                 # min id becomes the root so the label IS min(reachable)
