@@ -214,7 +214,11 @@ def minhash_dedup_pairs(
     the verification join, sizes); caching it computes the
     split/transform/explode once instead of once per subtree.
     """
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = (
+        shingles(df, text_col, id_col, n)
+        .select(id_col, "shingle", F.xxhash64("shingle").alias("sh64"))
+        .persist()
+    )
     # sig is tiny (one row per doc) but feeds both sides of the band
     # self-join — cache it so the shingle agg shuffle runs once
     sig = sh.groupBy(id_col).agg(
@@ -225,12 +229,14 @@ def minhash_dedup_pairs(
     ).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
     sizes = shingle_sizes(sh, id_col)
-    a = sh.select(F.col(id_col).alias("i"), "shingle")
-    b = sh.select(F.col(id_col).alias("j"), "shingle")
+    a = sh.select(F.col(id_col).alias("i"), "sh64")
+    b = sh.select(F.col(id_col).alias("j"), "sh64")
+    # the second join keys on (j, sh64) — joining on j alone and
+    # post-filtering shingle equality would expand every candidate
+    # pair to |shingles_i| × |shingles_j| rows before filtering
     shared = (
         cand.join(a, "i")
-        .join(b.withColumnRenamed("shingle", "shingle_j"), "j")
-        .filter(F.col("shingle") == F.col("shingle_j"))
+        .join(b, ["j", "sh64"])
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
