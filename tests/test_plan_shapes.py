@@ -40,3 +40,21 @@ class TestPlanShapes:
         plan = _plan(spark, sf_dir, "cdc_catchup_range")
         # the pos bound must prune at the scan level of the derived feed
         assert "PushedFilters" in plan
+
+    def test_simhash_joins_on_integers_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dedup_simhash")
+        assert "CartesianProduct" not in plan
+        # hamming must be one bit_count(xor), not per-bit substring compares
+        assert "bit_count" in plan and "substring(sig_i" not in plan
+
+    def test_jaccard_self_join_keys_on_shingle_hash(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+        assert "xxhash64" in plan  # 8-byte join key, not the shingle string
+        assert "CartesianProduct" not in plan
+
+    def test_minhash_verification_has_no_pair_fanout(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+        assert "CartesianProduct" not in plan
+        # shared-shingle counting joins on (doc, shingle-hash) — the
+        # hash key must reach the join, not a post-join filter
+        assert "xxhash64" in plan
