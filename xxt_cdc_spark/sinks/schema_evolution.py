@@ -91,3 +91,125 @@ def evolve_table(
         return added
     finally:
         conn.close()
+
+
+class EvolvingTableSink:
+    """Streaming additive schema evolution: a ``foreachBatch`` body that
+    widens the sink when the source's row image grows columns mid-stream.
+
+    The reference only detects DDL (C31, alert-only). Here the safe
+    subset is automated end-to-end: per micro-batch,
+
+    1. collect the set of JSON keys present in the batch's row images —
+       one JVM-side ``json_object_keys`` + explode + distinct over the
+       micro-batch (no Python per row, no full parse);
+    2. for keys the sink doesn't know yet, infer each new column's type
+       from one sample payload (``schema_of_json`` on the driver, only
+       on the rare batch that actually carries a new key; unparseable →
+       string);
+    3. ``ALTER TABLE … ADD COLUMN`` the sink additively (existing rows
+       read NULL, exactly MySQL's ADD COLUMN semantics), widen the
+       cached parse schema, and apply the batch through the normal
+       upsert path.
+
+    Driver-side state (the cached StructType) is safe: foreachBatch
+    bodies run on the driver, one at a time per query.
+    """
+
+    def __init__(
+        self,
+        connect_fn: Callable[[], object],
+        table: str,
+        initial_schema: "T.StructType",
+        key_cols: list[str],
+        dialect: str = "sqlite",
+        num_partitions: int = 4,
+        batch_size: int = 500,
+        connection_init: list[str] | None = None,
+    ) -> None:
+        self.connect_fn = connect_fn
+        self.table = table
+        self.schema = T.StructType(list(initial_schema.fields))
+        self.key_cols = key_cols
+        self.dialect = dialect
+        self.num_partitions = num_partitions
+        self.batch_size = batch_size
+        self.connection_init = connection_init or []
+        self.evolved: list[NewColumn] = []  # audit trail across batches
+
+    # -- step 1: cheap key discovery -------------------------------------
+    def _present_keys(self, batch_df) -> set[str]:
+        from pyspark.sql import functions as F
+
+        rows = (
+            batch_df.select(
+                F.explode(
+                    F.json_object_keys(F.coalesce(F.col("after"), F.col("before")))
+                ).alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    # -- step 2: type inference for genuinely new keys -------------------
+    def _infer_types(self, batch_df, new_keys: set[str]) -> list["T.StructField"]:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        fields: list[T.StructField] = []
+        for key in sorted(new_keys):
+            sample = (
+                batch_df.select(F.coalesce(F.col("after"), F.col("before")).alias("p"))
+                .filter(F.get_json_object(F.col("p"), f"$.{key}").isNotNull())
+                .select(F.get_json_object(F.col("p"), f"$.{key}").alias("v"))
+                .first()
+            )
+            dtype: T.DataType = T.StringType()
+            if sample is not None and sample[0] is not None:
+                v = sample[0]
+                try:
+                    inferred = spark.range(1).select(
+                        F.schema_of_json(F.lit(f'{{"x": {v}}}'))
+                    ).first()[0]
+                    if "BIGINT" in inferred.upper():
+                        dtype = T.LongType()
+                    elif "DOUBLE" in inferred.upper() or "DECIMAL" in inferred.upper():
+                        dtype = T.DoubleType()
+                except Exception:
+                    dtype = T.StringType()
+            fields.append(T.StructField(key, dtype, nullable=True))
+        return fields
+
+    # -- the foreachBatch body -------------------------------------------
+    def __call__(self, batch_df, batch_id: int) -> None:
+        from xxt_cdc_spark.operators.normalize import envelope_to_typed
+        from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+
+        if batch_df.isEmpty():
+            return
+        known = {f.name.lower() for f in self.schema.fields}
+        new_keys = {k for k in self._present_keys(batch_df) if k.lower() not in known}
+        if new_keys:
+            for f in self._infer_types(batch_df, new_keys):
+                self.schema = self.schema.add(f)
+            self.evolved.extend(
+                evolve_table(self.connect_fn, self.table, self.schema, self.dialect)
+            )
+        typed = envelope_to_typed(batch_df, self.table, self.schema, image="auto")
+        columns = [f.name for f in self.schema.fields]
+        apply_batch(
+            typed,
+            lambda: JdbcUpsertWriter(
+                connect_fn=self.connect_fn,
+                table=self.table,
+                columns=columns,
+                key_cols=self.key_cols,
+                dialect=self.dialect,
+                batch_size=self.batch_size,
+                connection_init=self.connection_init,
+            ),
+            self.key_cols,
+            ["pos_file", "pos_offset"],
+            self.num_partitions,
+        )
