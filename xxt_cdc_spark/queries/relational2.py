@@ -196,7 +196,100 @@ def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, COND_EXPR)
 
 
+# --- lead/lag: inter-event gaps per user ------------------------------------
+LEAD_LAG = """
+WITH gaps AS (
+  SELECT user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(prev_ts) AS n_gaps,
+       CAST(SUM(unix_micros(ts) - unix_micros(prev_ts)) AS BIGINT) AS total_gap_us,
+       MAX(unix_micros(ts) - unix_micros(prev_ts)) AS max_gap_us
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# microsecond-exact integers on both engines (second-granularity
+# epoch() is a truncating double in DuckDB — not comparable)
+LEAD_LAG_ORACLE = LEAD_LAG.replace("unix_micros(", "epoch_us(")
+
+
+def lead_lag_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, LEAD_LAG)
+
+
+# --- interval-range join: events within 3 days of the user's order ----------
+# equi-key (user = custkey) + range predicate — Catalyst plans a hash
+# join with the range as a post-join filter; the pure-range variant
+# (no equi key) is the asof_join query's territory
+RANGE_JOIN = """
+SELECT o.o_orderkey,
+       COUNT(e.event_id) AS n_events,
+       {val} AS total_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""".format(val=sql_dsum("e.value"))
+
+RANGE_JOIN_ORACLE = RANGE_JOIN.replace("INTERVAL 3 DAY", "INTERVAL 3 DAYS")
+
+
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, RANGE_JOIN)
+
+
+# --- explicit GROUPING SETS with grouping markers ---------------------------
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_rows, {qty} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""".format(qty=sql_dsum("l_quantity"))
+
+# DuckDB returns BIGINT for GROUPING(); Spark returns INT/ BIGINT per version —
+# cast both sides to INT for a stable compare
+GROUPING_SETS_SPARK = GROUPING_SETS_SQL.replace(
+    "GROUPING(l_returnflag) AS", "CAST(GROUPING(l_returnflag) AS INT) AS"
+).replace("GROUPING(l_linestatus) AS", "CAST(GROUPING(l_linestatus) AS INT) AS")
+GROUPING_SETS_ORACLE = GROUPING_SETS_SPARK
+
+
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, GROUPING_SETS_SPARK)
+
+
+# --- ntile quartiles over order value ---------------------------------------
+NTILE_SQL = """
+WITH tiled AS (
+  SELECT o_totalprice,
+         NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT quartile, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM tiled GROUP BY quartile ORDER BY quartile
+"""
+
+
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, NTILE_SQL)
+
+
 QUERIES = {
+    "lead_lag_user_gaps": lead_lag_user_gaps,
+    "range_join_order_events": range_join_order_events,
+    "grouping_sets_returns": grouping_sets_returns,
+    "ntile_order_quartiles": ntile_order_quartiles,
     "outer_join_spend": outer_join_spend,
     "correlated_above_brand_avg": correlated_above_brand_avg,
     "urgent_but_never_failed": urgent_but_never_failed,
@@ -209,6 +302,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lead_lag_user_gaps": LEAD_LAG_ORACLE,
+    "range_join_order_events": RANGE_JOIN_ORACLE,
+    "grouping_sets_returns": GROUPING_SETS_ORACLE,
+    "ntile_order_quartiles": NTILE_SQL,
     "outer_join_spend": OUTER_JOIN_ORACLE,
     "correlated_above_brand_avg": CORR_SUBQ,
     "urgent_but_never_failed": SUBQ_MIX,
