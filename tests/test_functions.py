@@ -38,6 +38,24 @@ class TestMultimodal:
         assert len(rows) == 50
         assert all(r.decode_ok and r.width >= 16 and r.height >= 16 for r in rows)
 
+    def test_extract_audio_features_batched(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+        media = MM.synth_media_from_documents(docs)
+        feats = {r.media_id: r for r in MM.extract_audio_features(media).collect()}
+        assert len(feats) == 60
+        for r in feats.values():
+            assert r.decode_ok and r.sample_rate in (8000, 12000, 16000)
+            assert r.duration_ms >= 0 and 0 <= r.peak <= 255
+        # stub arithmetic matches the documented fake exactly
+        one = media.limit(1).collect()[0]
+        from xxt_cdc_spark.functions.multimodal import decode_audio
+
+        d = decode_audio(bytes(one.content))
+        got = feats[one.media_id]
+        assert (got.sample_rate, got.duration_ms, got.peak) == (
+            d["sample_rate"], d["duration_ms"], d["peak"]
+        )
+
     def test_resize_binary_roundtrip(self, spark, sf_dir):
         # binary must survive Arrow in BOTH directions: payload in,
         # (smaller) thumbnail out, dims clamped to max_dim

@@ -94,6 +94,46 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
     return df.mapInPandas(batches, out_schema)
 
 
+def decode_audio(content: bytes) -> dict:
+    """STUB — audio decode requires a codec library not present in this
+    container. Deterministic fake derives waveform-ish stats from the
+    payload bytes (all SQL-expressible, so the Arrow round-trip is
+    oracle-checkable). Replace the body with soundfile/torchaudio in
+    production.
+    """
+    if not content:
+        return {"sample_rate": None, "duration_ms": None, "peak": None, "ok": False}
+    n = len(content)
+    rate = 8000 + (n % 3) * 4000  # 8/12/16 kHz buckets
+    return {
+        "sample_rate": rate,
+        "duration_ms": n * 1000 // rate,  # one byte ≈ one sample
+        "peak": max(content[0], content[-1]),
+        "ok": True,
+    }
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas audio-feature stage (same Arrow batch shape as the
+    image path): binary in → slim typed stats out, payload pruned."""
+    out_schema = "media_id long, sample_rate int, duration_ms bigint, peak int, decode_ok boolean"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_audio(c) for c in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                    "decode_ok": [f["ok"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def resize_image(content: bytes, max_dim: int) -> tuple[bytes, int, int]:
     """STUB resize — a real implementation is PIL ``Image.thumbnail``.
     Deterministic fake: clamps the pseudo-dimensions from

@@ -176,6 +176,29 @@ FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio stub-decode over the audio slice of the media
+    table — same deterministic-fake pattern as the image stage, so the
+    Arrow plumbing is oracle-checked end-to-end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "audio")
+    return MM.extract_audio_features(media).orderBy("media_id")
+
+
+# fake decode mirror: rate = 8000 + (n%3)*4000; duration = n*1000 // rate;
+# peak = max(first byte, last byte) — corpus is pure ASCII so byte == char
+AUDIO_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       8000 + (octet_length(encode(text)) % 3) * 4000 AS sample_rate,
+       CAST(octet_length(encode(text)) AS BIGINT) * 1000
+         // (8000 + (octet_length(encode(text)) % 3) * 4000) AS duration_ms,
+       greatest(ascii(substring(text, 1, 1)),
+                ascii(substring(text, length(text), 1))) AS peak,
+       TRUE AS decode_ok
+FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
+"""
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: binary in → thumbnail binary out through Arrow,
     dims clamped to max_dim; thumbnail size checked via octet_length."""
@@ -235,12 +258,14 @@ QUERIES = {
     "vector_norm_stats": vector_norm_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_image_features": IMAGE_FEATURES_SQL,
+    "multimodal_audio_features": AUDIO_FEATURES_SQL,
     "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
