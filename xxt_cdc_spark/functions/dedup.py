@@ -451,14 +451,19 @@ def simhash_pairs(
     first_half = a.withColumn("k", F.shiftright("si", half)).join(
         b.withColumn("k", F.shiftright("sj", half)), "k"
     )
-    second_half = a.withColumn("k", F.col("si").bitwiseAND(F.lit(mask))).join(
-        b.withColumn("k", F.col("sj").bitwiseAND(F.lit(mask))), "k"
+    # disjoint branches instead of union+distinct: a pair equal on BOTH
+    # halves would surface twice, so the second branch admits only pairs
+    # whose first halves differ — same candidate set, and the (large)
+    # candidate frame never pays a dedup shuffle
+    second_half = (
+        a.withColumn("k", F.col("si").bitwiseAND(F.lit(mask)))
+        .join(b.withColumn("k", F.col("sj").bitwiseAND(F.lit(mask))), "k")
+        .filter(F.shiftright("si", half) != F.shiftright("sj", half))
     )
     cand = (
         first_half.select("i", "j", "si", "sj")
         .unionByName(second_half.select("i", "j", "si", "sj"))
         .filter(F.col("i") < F.col("j"))
-        .distinct()
     )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))))
