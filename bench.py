@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_clusters",
     "training_data_selection",
     "multimodal_image_features",
+    "range_join_order_events",
+    "lead_lag_user_gaps",
 ]
 
 
