@@ -150,6 +150,34 @@ class TestDedupRecall:
         comp = {r.id: r.component for r in D.connected_components(verts, edges).collect()}
         assert comp == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
+    def test_simhash_disjoint_branches_match_or_definition(self, spark, sf_dir):
+        """The half-join branch construction must equal the defining
+        predicate (first halves equal OR second halves equal) exactly."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+        bits, half, max_h = 16, 8, 3
+        mask = (1 << half) - 1
+        new = D.simhash_pairs(docs, "text", "doc_id", bits, max_h)
+        sig = D.simhash_signature(docs, "text", "doc_id", bits).select(
+            "doc_id", F.expr("cast(conv(simhash, 2, 10) as bigint)").alias("s")
+        )
+        a = sig.select(F.col("doc_id").alias("i"), F.col("s").alias("si"))
+        b = sig.select(F.col("doc_id").alias("j"), F.col("s").alias("sj"))
+        ref = (
+            a.crossJoin(b)
+            .filter(F.col("i") < F.col("j"))
+            .filter(
+                (F.shiftright("si", half) == F.shiftright("sj", half))
+                | (F.col("si").bitwiseAND(F.lit(mask)) == F.col("sj").bitwiseAND(F.lit(mask)))
+            )
+            .withColumn("hamming", F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))))
+            .filter(F.col("hamming") <= max_h)
+            .select("i", "j", "hamming")
+        )
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
+
     def test_connected_components_driver_and_distributed_agree(self, spark):
         verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
         # two chains that merge through a shared middle + a far pair
