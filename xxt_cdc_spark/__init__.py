@@ -28,6 +28,8 @@ def __getattr__(name):
         "CDCStreamPipeline": ("xxt_cdc_spark.streaming.pipeline", "CDCStreamPipeline"),
         "JdbcUpsertWriter": ("xxt_cdc_spark.sinks.upsert", "JdbcUpsertWriter"),
         "apply_batch": ("xxt_cdc_spark.sinks.upsert", "apply_batch"),
+        "apply_batch_multi": ("xxt_cdc_spark.sinks.upsert", "apply_batch_multi"),
+        "EvolvingTableSink": ("xxt_cdc_spark.sinks.schema_evolution", "EvolvingTableSink"),
         "ParquetStateTable": ("xxt_cdc_spark.sinks.parquet_state", "ParquetStateTable"),
         "TableFilter": ("xxt_cdc_spark.operators.table_filter", "TableFilter"),
         "CDCConfig": ("xxt_cdc_spark.config", "CDCConfig"),
