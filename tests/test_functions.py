@@ -192,6 +192,30 @@ class TestDedupRecall:
         assert fast == loop
         assert fast[9] == 0 and fast[1] == 0 and fast[11] == 10
 
+    def test_incremental_dedup_across_batches(self, spark, tmp_path):
+        dd = D.IncrementalDeduper(spark, str(tmp_path / "state"))
+        b1 = spark.createDataFrame(
+            [(1, "the quick fox"), (2, "totally new text"), (3, "The Quick FOX!")],
+            "doc_id long, text string",
+        )
+        acc1 = {r.doc_id for r in dd.process(b1).collect()}
+        # normalization collapses 1 and 3; lowest id wins
+        assert acc1 == {1, 2}
+        b2 = spark.createDataFrame(
+            [(10, "the quick fox"), (11, "fresh content here"), (12, "totally  new—text")],
+            "doc_id long, text string",
+        )
+        acc2 = {r.doc_id for r in dd.process(b2).collect()}
+        # 10 and 12 duplicate batch-1 content (12 via punctuation/space
+        # normalization); only 11 survives
+        assert acc2 == {11}
+        # replay of batch 2 re-returns its accepted ids (lossless retry)
+        assert {r.doc_id for r in dd.process(b2).collect()} == {11}
+        # a fresh deduper over the same state sees the persisted set:
+        # batch-1 docs are still the canonical owners, doc 3 stays dup
+        dd2 = D.IncrementalDeduper(spark, str(tmp_path / "state"))
+        assert {r.doc_id for r in dd2.process(b1).collect()} == {1, 2}
+
     def test_df_capped_jaccard_keeps_recall(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         exact = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}

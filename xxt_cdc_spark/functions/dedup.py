@@ -470,3 +470,79 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+
+
+class IncrementalDeduper:
+    """Cross-batch exact dedup against a persistent fingerprint store —
+    the shape of a real ingest pipeline, where today's shard must dedup
+    against everything already accepted, not just against itself.
+
+    Per micro-batch (usable directly as a ``foreachBatch`` body, or
+    called from one):
+
+    1. fingerprint each doc (md5 of normalized text, same function as
+       ``exact_dedup``);
+    2. batch-internal collapse — lowest id per fingerprint wins;
+    3. anti-join the survivors against the bucket-partitioned state
+       table (only the buckets the batch's fingerprints hash into are
+       read — at 100 TB the state is big but each batch touches a
+       bounded slice);
+    4. merge accepted fingerprints back into the state (bucket-pruned
+       dynamic-partition overwrite, idempotent: re-running a batch
+       re-accepts the same ids).
+
+    Returns the accepted (doc id, fingerprint) frame; callers join it
+    back to the batch to forward surviving payloads.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> None:
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.state = ParquetStateTable(spark, state_root, key_cols=["fp"], n_buckets=n_buckets)
+        if not self.state.exists():
+            self.state.init(
+                spark.createDataFrame([], T.StructType([
+                    T.StructField("fp", T.StringType()),
+                    T.StructField(id_col, T.LongType()),
+                ]))
+            )
+
+    def process(self, batch_df: DataFrame) -> DataFrame:
+        """Dedup one batch; persist accepted fingerprints; return the
+        accepted (id, fp) rows."""
+        from xxt_cdc_spark.functions.text import fingerprint
+
+        with_fp = batch_df.select(
+            F.col(self.id_col), fingerprint(self.text_col).alias("fp")
+        )
+        # batch-internal: first (lowest-id) occurrence per fingerprint
+        local = with_fp.groupBy("fp").agg(F.min(self.id_col).alias(self.id_col))
+        # cross-batch: accept docs that are (or now become) the canonical
+        # owner of their fingerprint. A replayed batch re-returns its
+        # previously accepted ids (owner == candidate) instead of
+        # dropping them — foreachBatch retries stay lossless.
+        owners = self.state.read().select(
+            "fp", F.col(self.id_col).alias("__owner")
+        )
+        accepted = (
+            local.join(owners, "fp", "left")
+            .filter(F.col("__owner").isNull() | (F.col("__owner") == F.col(self.id_col)))
+            .select(self.id_col, "fp")
+            .localCheckpoint()
+        )
+        fresh = accepted.join(owners.select("fp"), "fp", "left_anti")
+        if not fresh.isEmpty():
+            self.state.apply(
+                fresh.withColumn("op", F.lit("I")),
+                order_cols=[self.id_col],
+            )
+        return accepted
