@@ -168,7 +168,7 @@ def bench_streaming(spark) -> dict:
     import json as _json
 
     from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed, to_envelope
-    from xxt_cdc_spark.obs.metrics import CDCMetricsListener
+    from xxt_cdc_spark.obs.metrics import snapshot_from_query
     from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
     from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline, read_envelope_stream
 
@@ -242,12 +242,13 @@ def bench_streaming(spark) -> dict:
         wq = warm_pipe.start(available_now=True)
         wq.awaitTermination(120)
 
-        listener = CDCMetricsListener()
-        spark.streams.addListener(listener)
+        # metrics via recentProgress polling, NOT a Python listener: a py4j
+        # callback server at interpreter teardown was round-1's bench crash
         # micro-batches are ~7k rows: a wide shuffle is pure overhead
         # (AQE coalesces, but fewer partitions up front is cheaper still)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
         try:
             t0 = time.monotonic()
             pipe = CDCStreamPipeline(
@@ -259,15 +260,15 @@ def bench_streaming(spark) -> dict:
             q = pipe.start(available_now=True)
             q.awaitTermination(600)
             dt = time.monotonic() - t0
+            snap = snapshot_from_query(q)
         finally:
-            spark.streams.removeListener(listener)
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        pct = listener.snapshot.latency_percentiles()
+        pct = snap.latency_percentiles()
         return {
             "events": len(rows),
             "sec": dt,
             "events_per_sec": len(rows) / dt,
-            "batches": listener.snapshot.batches,
+            "batches": snap.batches,
             **pct,
         }
 
@@ -318,28 +319,33 @@ def main() -> None:
     stream = bench_streaming(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf),
-                "cdc_events_per_sec": round(sink["events_per_sec"]),
-                "cdc_apply_events": sink["events"],
-                "cdc_apply_sec": round(sink["sec"], 3),
-                "cdc_skew_events_per_sec": round(skew["events_per_sec"]),
-                "snapshot_rows_per_sec": round(snap["rows_per_sec"]),
-                "stream_events_per_sec": round(stream["events_per_sec"]),
-                "stream_batches": stream["batches"],
-                "stream_latency_p50_ms": stream["p50_ms"],
-                "stream_latency_p95_ms": stream["p95_ms"],
-                "stream_latency_p99_ms": stream["p99_ms"],
-                "cpus": int(CPUS),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": per_query,
+            "sf": float(sf),
+            "cdc_events_per_sec": round(sink["events_per_sec"]),
+            "cdc_apply_events": sink["events"],
+            "cdc_apply_sec": round(sink["sec"], 3),
+            "cdc_skew_events_per_sec": round(skew["events_per_sec"]),
+            "snapshot_rows_per_sec": round(snap["rows_per_sec"]),
+            "stream_events_per_sec": round(stream["events_per_sec"]),
+            "stream_batches": stream["batches"],
+            "stream_latency_p50_ms": stream["p50_ms"],
+            "stream_latency_p95_ms": stream["p95_ms"],
+            "stream_latency_p99_ms": stream["p99_ms"],
+            "cpus": int(CPUS),
+        }
     )
+    # mirror to a file so the result survives even if stdout is poisoned
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        f.write(line + "\n")
+    # stop Spark BEFORE printing: teardown noise (executor shutdown, event
+    # bus drain) then cannot land after — or interleaved with — the JSON line
+    spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -98,3 +98,96 @@ class TestMultiTableApply:
         env = to_envelope(orders_changefeed(spark, sf_dir), table="unknown_table")
         applied = apply_batch_multi(env, {}, 4)
         assert applied == {}
+
+    def test_applied_counts_from_writer_stats(self, spark, sf_dir, target_db):
+        """applied[table] equals rows the writers actually executed
+        (collapsed count), with no per-table count() job."""
+        orders_cast = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        env = to_envelope(orders_changefeed(spark, sf_dir))
+        orders_sink = _sink(target_db, "orders", ORDERS_PAYLOAD, ["o_orderkey"])
+        orders_sink.schema = orders_cast.schema
+        applied = apply_batch_multi(env, {"orders": orders_sink}, 4)
+        from xxt_cdc_spark.operators.collapse import last_write_wins
+
+        expected = last_write_wins(env, ["key"], ["pos_offset"]).count()
+        assert applied["orders"] == expected
+
+
+class TestFanoutApply:
+    def test_fanout_converges_same_as_per_table(self, spark, sf_dir, tmp_path, target_db):
+        """The single-job fanout path produces the same converged sqlite
+        state as the per-table JVM-parsed path."""
+        from xxt_cdc_spark.sinks.upsert import apply_batch_fanout
+
+        orders_cast = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LINEITEM_PAYLOAD)
+        env = to_envelope(orders_changefeed(spark, sf_dir)).unionByName(
+            to_envelope(
+                lineitem_changefeed(spark, sf_dir),
+                table="lineitem",
+                key_cols=["l_orderkey", "l_linenumber"],
+                payload_cols=LINEITEM_PAYLOAD,
+                ts_col=None,
+            )
+        )
+        orders_sink = _sink(target_db, "orders", ORDERS_PAYLOAD, ["o_orderkey"])
+        orders_sink.schema = orders_cast.schema
+        li_sink = _sink(target_db, "lineitem", LINEITEM_PAYLOAD, ["l_orderkey", "l_linenumber"])
+        li_sink.schema = li.schema
+
+        applied = apply_batch_fanout(env, {"orders": orders_sink, "lineitem": li_sink}, 4)
+        assert set(applied) == {"orders", "lineitem"}
+
+        con = sqlite3.connect(target_db)
+        exp_orders = apply_changes(
+            orders_cast, orders_changefeed(spark, sf_dir), ["o_orderkey"], ["pos_offset"]
+        ).count()
+        assert con.execute("SELECT count(*) FROM orders").fetchone()[0] == exp_orders
+        exp_li = apply_changes(
+            li, lineitem_changefeed(spark, sf_dir), ["l_orderkey", "l_linenumber"], ["pos_offset"]
+        ).count()
+        assert con.execute("SELECT count(*) FROM lineitem").fetchone()[0] == exp_li
+        con.close()
+
+    def test_fanout_job_count_independent_of_table_count(self, spark, sf_dir, tmp_path):
+        """Widening 1 table → 12 tables must not widen the Spark job
+        count (the round-1 verdict's 100k-tables scale concern)."""
+        import sqlite3 as sq
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import apply_batch_fanout
+
+        def run_group(group, n_tables):
+            db = str(tmp_path / f"fan{n_tables}.db")
+            con = sq.connect(db)
+            sinks = {}
+            base = to_envelope(orders_changefeed(spark, sf_dir)).filter(
+                F.col("pos_offset") % 200 == 1
+            )
+            parts = []
+            for i in range(n_tables):
+                t = f"t{i}"
+                con.execute(
+                    f"CREATE TABLE {t} (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+                    " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+                )
+                sinks[t] = _sink(db, t, ORDERS_PAYLOAD, ["o_orderkey"])
+                parts.append(base.withColumn("table", F.lit(t)))
+            con.commit()
+            con.close()
+            env = parts[0]
+            for p in parts[1:]:
+                env = env.unionByName(p)
+            sc = spark.sparkContext
+            sc.setJobGroup(group, group)
+            try:
+                applied = apply_batch_fanout(env, sinks, 4)
+            finally:
+                sc.setJobGroup(None, None)
+            assert len(applied) == n_tables
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        jobs_1 = run_group("fanout-narrow", 1)
+        jobs_12 = run_group("fanout-wide", 12)
+        assert jobs_12 == jobs_1, (jobs_1, jobs_12)

@@ -29,6 +29,7 @@ def __getattr__(name):
         "JdbcUpsertWriter": ("xxt_cdc_spark.sinks.upsert", "JdbcUpsertWriter"),
         "apply_batch": ("xxt_cdc_spark.sinks.upsert", "apply_batch"),
         "apply_batch_multi": ("xxt_cdc_spark.sinks.upsert", "apply_batch_multi"),
+        "apply_batch_fanout": ("xxt_cdc_spark.sinks.upsert", "apply_batch_fanout"),
         "EvolvingTableSink": ("xxt_cdc_spark.sinks.schema_evolution", "EvolvingTableSink"),
         "ParquetStateTable": ("xxt_cdc_spark.sinks.parquet_state", "ParquetStateTable"),
         "TableFilter": ("xxt_cdc_spark.operators.table_filter", "TableFilter"),

@@ -46,7 +46,9 @@ class WatermarkStore:
     def _path(self, snapshot_id: str) -> str:
         return os.path.join(self.directory, f"watermark_{snapshot_id}.json")
 
-    def save(self, snapshot_id: str, low: int, high: int | None, status: str) -> None:
+    def save(self, snapshot_id: str, low, high, status: str) -> None:
+        """``low``/``high`` are scalar offsets or (file, offset) pairs;
+        JSON stores pairs as 2-lists (normalized back on load)."""
         os.makedirs(self.directory, exist_ok=True)
         tmp = self._path(snapshot_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -142,14 +144,15 @@ class CDCEngine:
         position across restarts, so overlap between catchup and the
         stream start is absorbed even for non-idempotent sinks.
         """
-        from pyspark.sql import functions as F
-
+        from xxt_cdc_spark.model.positions import position_after
         from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline
 
         if self.state is not CDCState.STREAMING:
             self._to(CDCState.STREAMING)
         start_pos = self.resume_position()
-        bounded = source.filter(F.col("pos_offset") > F.lit(start_pos))
+        # composite (pos_file, pos_offset) gate: offsets reset on binlog
+        # rotation, so a scalar offset compare would drop fresh events
+        bounded = source.filter(position_after(start_pos))
         pipe = CDCStreamPipeline(
             spark=self.spark,
             source=bounded,
@@ -160,22 +163,31 @@ class CDCEngine:
         )
         return pipe.start(available_now=available_now)
 
-    def resume_position(self) -> int:
+    def resume_position(self):
         """Start-position precedence (reference CDCEngine.scala:629-641):
-        snapshot high watermark > last committed (checkpoint) > latest."""
+        snapshot high watermark > last committed (checkpoint) > latest.
+
+        Positions may be scalar offsets (single-file / synthetic
+        sources) or composite (pos_file, pos_offset) pairs — JSON
+        round-trips the pair as a list, normalized back to a tuple here
+        so ``position_after`` applies the rotation-safe ordering."""
         wm = WatermarkStore(self.checkpoint_dir).load(self.snapshot_id)
         if wm and wm.get("high") is not None:
-            return wm["high"]
+            return self._norm_pos(wm["high"])
         commit = self._last_committed()
         if commit is not None:
             return commit
         return self.current_position()
 
-    def _last_committed(self) -> int | None:
+    @staticmethod
+    def _norm_pos(pos):
+        return tuple(pos) if isinstance(pos, list) else pos
+
+    def _last_committed(self):
         path = os.path.join(self.checkpoint_dir, "commits.json")
         try:
             with open(path) as f:
-                return json.load(f)["position"]
+                return self._norm_pos(json.load(f)["position"])
         except FileNotFoundError:
             return None
 

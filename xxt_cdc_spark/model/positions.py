@@ -50,6 +50,53 @@ class FilePosition(BinlogPosition):
         return (self.filename, self.offset) < (other.filename, other.offset)
 
 
+def position_after(
+    start_pos,
+    file_col: str = "pos_file",
+    offset_col: str = "pos_offset",
+):
+    """Column predicate: event position strictly AFTER ``start_pos``.
+
+    Real binlog offsets reset to ~4 when the server rotates to a new
+    file, so a scalar ``pos_offset > o`` gate (the naive form) drops
+    every fresh event written after a rotation. This orders on the
+    composite (file, offset) — matching ``FilePosition.__lt__`` and the
+    reference comparator (model/BinlogPosition.scala:24-31) — whenever
+    the start position carries a file: ``FilePosition``, ``(file,
+    offset)`` tuple/list, or the ``file:<name>:<off>`` string form.
+    A bare int keeps the scalar gate (single-file / synthetic sources).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(start_pos, str) and start_pos.startswith("file:"):
+        start_pos = BinlogPosition.parse(start_pos)
+    if isinstance(start_pos, FilePosition):
+        start_pos = (start_pos.filename, start_pos.offset)
+    if isinstance(start_pos, (tuple, list)):
+        fname, off = start_pos
+        return (F.col(file_col) > F.lit(fname)) | (
+            (F.col(file_col) == F.lit(fname)) & (F.col(offset_col) > F.lit(off))
+        )
+    return F.col(offset_col) > F.lit(start_pos)
+
+
+def position_in_range(
+    lo,
+    hi,
+    file_col: str = "pos_file",
+    offset_col: str = "pos_offset",
+):
+    """Column predicate for the half-open catchup range (lo, hi] on the
+    composite (file, offset) order — the bounded-replay cut (T8/C28)
+    that stays correct across binlog file rotations."""
+    from pyspark.sql import functions as F
+
+    cond = position_after(lo, file_col, offset_col)
+    if hi is None:
+        return cond
+    return cond & ~position_after(hi, file_col, offset_col)
+
+
 @functools.total_ordering
 @dataclass(frozen=True)
 class GTIDPosition(BinlogPosition):

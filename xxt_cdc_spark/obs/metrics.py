@@ -79,6 +79,41 @@ class MetricsSnapshot:
         }
 
 
+def snapshot_from_query(query) -> MetricsSnapshot:
+    """Build a MetricsSnapshot by polling ``query.recentProgress``.
+
+    The safe alternative to CDCMetricsListener for batch-style runs
+    (bench, tests): a Python StreamingQueryListener is a py4j *callback*
+    — the JVM posts onQueryProgress into a Python-side socket server,
+    and if the interpreter is tearing down (or busy) the post raises
+    ``py4j.Py4JNetworkException: Connection reset`` inside Spark's
+    ListenerBus, poisoning stdout (round-1 BENCH crash). Polling
+    recentProgress after ``awaitTermination`` reads the same per-batch
+    progress JSON with zero callback machinery.
+
+    Note ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    bounds how many batches are retained — raise it for longer runs.
+    """
+    import json as _json
+
+    snap = MetricsSnapshot()
+    for p in query.recentProgress:
+        if not isinstance(p, dict):
+            j = p.json() if callable(getattr(p, "json", None)) else p.json
+            p = _json.loads(j)
+        rows = int(p.get("numInputRows") or 0)
+        snap.batches += 1
+        snap.events_ingested += rows
+        snap.events_applied += rows
+        snap.input_rows_per_second = float(p.get("inputRowsPerSecond") or 0.0)
+        snap.processed_rows_per_second = float(p.get("processedRowsPerSecond") or 0.0)
+        dur = float((p.get("durationMs") or {}).get("triggerExecution", 0.0))
+        snap.last_batch_duration_ms = dur
+        if rows:
+            snap.batch_durations_ms.append(dur)
+    return snap
+
+
 class CDCMetricsListener(StreamingQueryListener):
     """Feeds MetricsSnapshot from micro-batch progress events."""
 

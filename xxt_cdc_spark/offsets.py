@@ -28,10 +28,13 @@ class JdbcOffsetStore:
         self.connect_fn = connect_fn
         self.dialect = dialect
 
+    # all statements go through cursors: Connection.execute is a
+    # sqlite3-only shortcut — portable DB-API code must not rely on it
+
     def ensure_table(self) -> None:
         conn = self.connect_fn()
         try:
-            conn.execute(DDL)
+            conn.cursor().execute(DDL)
             conn.commit()
         finally:
             conn.close()
@@ -41,13 +44,14 @@ class JdbcOffsetStore:
         value = position.as_string()
         conn = self.connect_fn()
         try:
+            cur = conn.cursor()
             if self.dialect == "mysql":
-                conn.cursor().execute(
+                cur.execute(
                     "REPLACE INTO cdc_offsets (task_name, position_type, position_value) VALUES (%s, %s, %s)",
                     (task_name, kind, value),
                 )
             else:
-                conn.execute(
+                cur.execute(
                     "INSERT INTO cdc_offsets (task_name, position_type, position_value) VALUES (?, ?, ?) "
                     "ON CONFLICT(task_name) DO UPDATE SET position_type=excluded.position_type, "
                     "position_value=excluded.position_value, updated_at=CURRENT_TIMESTAMP",
@@ -60,13 +64,9 @@ class JdbcOffsetStore:
     def load(self, task_name: str) -> BinlogPosition | None:
         conn = self.connect_fn()
         try:
-            cur = conn.execute(
-                "SELECT position_value FROM cdc_offsets WHERE task_name = ?", (task_name,)
-            ) if self.dialect != "mysql" else None
-            if cur is None:  # pragma: no cover - mysql path needs a server
-                c = conn.cursor()
-                c.execute("SELECT position_value FROM cdc_offsets WHERE task_name = %s", (task_name,))
-                cur = c
+            cur = conn.cursor()
+            ph = "%s" if self.dialect == "mysql" else "?"
+            cur.execute(f"SELECT position_value FROM cdc_offsets WHERE task_name = {ph}", (task_name,))
             row = cur.fetchone()
             return BinlogPosition.parse(row[0]) if row else None
         finally:

@@ -88,16 +88,30 @@ def _pk_json(image_json, pk_cols_by_table: dict[str, list[str]]):
 
     The per-table dispatch is a CASE over the (small) table set —
     broadcastable metadata, evaluated JVM-side.
+
+    Canonical form — byte-identical to ``to_json(struct(...))`` (the
+    ``to_envelope`` path), so streams mixing the two producers compute
+    equal keys for the same logical row: each value is re-emitted by
+    ``to_json(variant_get(parse_json(image), '$.pk'))``, which quotes
+    and escapes strings properly (``get_json_object`` returns string
+    scalars UNQUOTED — a string PK would yield invalid JSON like
+    ``{"id":abc}`` and break dedup/routing/LWW key equality), and null
+    or absent pk fields are dropped exactly as to_json drops null
+    struct fields (concat_ws skips SQL nulls).
     """
     expr = F.lit(None).cast("string")
+    parsed = F.parse_json(image_json)
     for table, pks in pk_cols_by_table.items():
         pairs = []
         for pk in pks:
-            pairs.append(F.lit(f'"{pk}":'))
-            pairs.append(F.coalesce(F.get_json_object(image_json, f"$.{pk}"), F.lit("null")))
-            pairs.append(F.lit(","))
-        inner = F.concat(*pairs[:-1]) if pairs else F.lit("")
-        obj = F.concat(F.lit("{"), inner, F.lit("}"))
+            val = F.to_json(F.try_variant_get(parsed, f"$.{pk}", "variant"))
+            pairs.append(
+                F.when(
+                    val.isNotNull() & (val != F.lit("null")),
+                    F.concat(F.lit(f'"{pk}":'), val),
+                )
+            )
+        obj = F.concat(F.lit("{"), F.concat_ws(",", *pairs), F.lit("}"))
         expr = F.when(F.col("table") == table, obj).otherwise(expr)
     return expr
 

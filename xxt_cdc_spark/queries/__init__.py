@@ -44,6 +44,11 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for mod in (relational, relational2, cdc, text, vector, streaming):
+# Sweep order matters: the driver evaluates queries in registry order and
+# round 1's sweep truncated mid-registry, leaving the tail unverified. Put
+# the families that were cut off (streaming analytics, norm stats,
+# multimodal) FIRST, and the heaviest oracle comparisons last, so a
+# repeat truncation costs the least evidence.
+for mod in (streaming, vector, relational, relational2, cdc, text):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)

@@ -41,10 +41,15 @@ OUTER_JOIN_ORACLE = OUTER_JOIN_SPARK
 
 
 # --- correlated scalar subquery ---------------------------------------------
+# strictly above the brand average, no multiplier: the synthetic price
+# spread is so tight (max price/brand-avg ratio ≈ 1.06 at sf0.01) that
+# any multiplier made BOTH engines return 0 rows — a 0=0 hash match
+# that verified nothing (round-1 verdict). ~half the parts qualify now,
+# so the oracle row actually checks the correlated-subquery plan.
 CORR_SUBQ = """
 SELECT p_partkey, p_brand, p_retailprice
 FROM part p
-WHERE p_retailprice > 1.5 * (
+WHERE p_retailprice > (
   SELECT {avg} FROM part p2 WHERE p2.p_brand = p.p_brand
 )
 ORDER BY p_partkey
@@ -225,16 +230,24 @@ def lead_lag_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- interval-range join: events within 3 days of the user's order ----------
 # equi-key (user = custkey) + range predicate — Catalyst plans a hash
 # join with the range as a post-join filter; the pure-range variant
-# (no equi key) is the asof_join query's territory
+# (no equi key) is the asof_join query's territory.
+# The order date is anchored into the events month (synthetic orders
+# live in 1995-2001, events in 2024-01): round 1's direct o_orderdate
+# range produced 0 rows on BOTH engines, a vacuous 0=0 oracle match.
 RANGE_JOIN = """
+WITH o2 AS (
+  SELECT o_orderkey, o_custkey,
+         make_timestamp(2024, 1, least(day(o_orderdate), 28), 0, 0, 0) AS anchor
+  FROM orders
+)
 SELECT o.o_orderkey,
        COUNT(e.event_id) AS n_events,
        {val} AS total_value
-FROM orders o
+FROM o2 o
 JOIN events e
   ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+ AND e.ts >= o.anchor
+ AND e.ts < o.anchor + INTERVAL 3 DAY
 GROUP BY o.o_orderkey
 ORDER BY o.o_orderkey
 """.format(val=sql_dsum("e.value"))

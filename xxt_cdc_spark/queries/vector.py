@@ -249,18 +249,20 @@ def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs_fast(_emb(spark, sf_dir), NEARDUP_T).orderBy("i", "j")
 
 
+# ordered so round-1's unverified entries (norm stats, multimodal) sweep
+# before the O(N²)-oracle ANN/near-dup family
 QUERIES = {
-    "ann_topk_cosine": ann_topk_cosine,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "emb_neardup_pairs": emb_neardup_pairs,
-    "emb_neardup_fast": emb_neardup_fast,
     "vector_norm_stats": vector_norm_stats,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_neardup_fast": emb_neardup_fast,
 }
 
 ORACLE = {

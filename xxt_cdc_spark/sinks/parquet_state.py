@@ -136,18 +136,48 @@ class ParquetStateTable:
         kept = state.withColumn(_BUCKET, self._bucket_col()).join(
             touched_keys, on=self.key_cols, how="left_anti"
         )
-        merged = kept.select(*payload_cols, _BUCKET).unionByName(upserts)
+        merged = kept.select(*payload_cols, _BUCKET).unionByName(upserts).persist()
+        try:
+            # dynamic overwrite only rewrites partitions PRESENT in `merged`:
+            # a touched bucket whose every row was deleted produces no output
+            # partition, so its old files would survive and the deleted rows
+            # would resurrect on the next read. Find those buckets up front
+            # (persist makes this one extra cheap job over the cached merge)
+            # and remove their directories after the write.
+            present = {r[0] for r in merged.select(_BUCKET).distinct().collect()}
+            emptied = [k for k in touched if k not in present]
+            self._overwrite_dynamic(merged)
+            for k in emptied:
+                self._delete_bucket_dir(k)
+            n_up = upserts.count()
+            return {
+                "touched_buckets": touched,
+                "emptied_buckets": emptied,
+                "upserts": n_up,
+                "deletes": latest.count() - n_up,
+            }
+        finally:
+            merged.unpersist()
 
-        # dynamic partition overwrite: only partitions present in
-        # `merged` (= the touched buckets) are replaced
+    def _overwrite_dynamic(self, merged: DataFrame) -> None:
+        """Dynamic partition overwrite with the session conf saved and
+        restored (a leaked dynamic mode would silently turn a later
+        user's full overwrite into a partial one)."""
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.root)
-        n_up = upserts.count()
-        return {
-            "touched_buckets": touched,
-            "upserts": n_up,
-            "deletes": latest.count() - n_up,
-        }
+        try:
+            merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.root)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _delete_bucket_dir(self, bucket: int) -> None:
+        """Remove one bucket partition directory through the Hadoop
+        FileSystem API — scheme-agnostic (local fs, HDFS, S3A), driver-
+        side, and bounded by n_buckets calls per batch."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{self.root}/{_BUCKET}={bucket}")
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
 
     def apply_additive(self, delta: DataFrame, value_cols: list[str]) -> dict:
         """Continuous-aggregate maintenance (hypertable-style rollup):
@@ -192,6 +222,7 @@ class ParquetStateTable:
         merged = joined.select(*self.key_cols, *merged_cols).withColumn(
             _BUCKET, self._bucket_col()
         )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.root)
+        # full-outer join keeps every delta key, so no touched bucket can
+        # come out empty here — only the save/restore wrapper is needed
+        self._overwrite_dynamic(merged)
         return {"touched_buckets": touched, "merged_keys": with_bucket.count()}
