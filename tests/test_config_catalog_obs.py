@@ -77,3 +77,82 @@ class TestObservability:
         d = MetricsSnapshot().as_dict()
         for key in ("events_applied", "tps_since_start", "error_rate", "lag_ms"):
             assert key in d
+
+
+class TestManagementHTTP:
+    """M37/M33 ops surface: live stdlib-HTTP sidecar (reference
+    api/CDCManagementAPI.scala:53-270, metrics/PrometheusMetrics.scala)."""
+
+    def _api(self):
+        from xxt_cdc_spark.api import ManagementAPI
+        from xxt_cdc_spark.model.states import CDCState
+
+        m = MetricsSnapshot(events_applied=1234, batches=7, per_table={"orders": 1000, "li": 234})
+        return ManagementAPI(metrics=m, state=CDCState.STREAMING, components={"engine": "RUNNING"})
+
+    def test_endpoints_over_http(self):
+        import json
+        import urllib.request
+
+        api = self._api()
+        server = api.start(port=0)
+        try:
+            _, port = server.server_address
+
+            def get(path):
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+                    return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+
+            st, _, body = get("/api/v1/health")
+            assert st == 200 and json.loads(body)["status"] == "HEALTHY"
+            st, _, body = get("/api/v1/status")
+            assert st == 200 and json.loads(body)["state"] == "STREAMING"
+            st, _, body = get("/api/v1/metrics")
+            assert st == 200 and json.loads(body)["events_applied"] == 1234
+            st, _, body = get("/api/v1/components")
+            assert json.loads(body)["components"] == {"engine": "RUNNING"}
+            st, _, body = get("/api/v1/hotset")
+            assert json.loads(body)["hot_tables"][0] == {"table": "orders", "events": 1000}
+            try:
+                get("/nope")
+                raise AssertionError("404 expected")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+
+    def test_prometheus_exposition_over_http(self):
+        import urllib.request
+
+        api = self._api()
+        server = api.start(port=0)
+        try:
+            _, port = server.server_address
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=5) as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"].startswith("text/plain")
+                text = r.read().decode()
+            # exposition format: HELP/TYPE pairs then samples
+            assert "# HELP xxt_cdc_events_applied_total Change events applied to the sink" in text
+            assert "# TYPE xxt_cdc_events_applied_total counter" in text
+            assert "xxt_cdc_events_applied_total 1234" in text
+            assert 'xxt_cdc_table_events_total{table="orders"} 1000' in text
+        finally:
+            server.shutdown()
+
+    def test_performance_logger_ticks(self):
+        import time as _time
+
+        from xxt_cdc_spark.obs.report import PerformanceLogger
+
+        m = MetricsSnapshot(events_applied=42)
+        seen = []
+        lg = PerformanceLogger(lambda: m, interval_s=0.05, emit=seen.append).start()
+        try:
+            deadline = _time.time() + 3
+            while not seen and _time.time() < deadline:
+                _time.sleep(0.02)
+        finally:
+            lg.stop()
+        assert seen and "CDC performance" in seen[0] and "42" in seen[0]
+        assert "42" in lg.tick()

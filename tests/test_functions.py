@@ -119,6 +119,40 @@ class TestSimilarityFastPath:
             if (r.query_id, r.item_id) in bf_scores:
                 assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-12
 
+    def test_large_corpus_avoids_driver_collect(self, spark, sf_dir):
+        """Above max_broadcast_rows the near-dup default must take the
+        distributed fold plan (no mapInPandas over a driver-collected
+        broadcast matrix) and still return the identical pair set."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        guarded = S.cosine_neardup_pairs(emb, 0.45, max_broadcast_rows=10)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        default = sorted((r.i, r.j, r.cosine) for r in S.cosine_neardup_pairs(emb, 0.45).collect())
+        assert sorted((r.i, r.j, r.cosine) for r in guarded.collect()) == default
+        # the fast variant guards the same way
+        fast_guarded = S.cosine_neardup_pairs_fast(emb, 0.45, max_broadcast_rows=10)
+        assert "MapInPandas" not in fast_guarded._jdf.queryExecution().executedPlan().toString()
+
+    def test_ivf_fixed_centroids_matches_kmeans_plumbing(self, spark, sf_dir):
+        """Fixed-seed IVF: deterministic, returns exactly k ranked rows
+        per query with scores identical to brute force for shared pairs."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+        ivf = S.ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=2, centroids="fixed")
+        rows = ivf.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        bf_scores = {
+            (r.query_id, r.item_id): r.cosine
+            for r in S.brute_force_topk(emb, queries, k=1000).collect()
+        }
+        for r in rows:
+            if (r.query_id, r.item_id) in bf_scores:
+                assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-12
+
     def test_lsh_topk_is_subset_of_brute_force_bucketmates(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 3)

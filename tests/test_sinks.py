@@ -91,6 +91,55 @@ class TestUpsertEndToEnd:
         apply_batch(cf, _writer_factory(other), ["o_orderkey"], ["pos_offset"], 4, collapse=False)
         assert _final_state(other) == collapsed_state
 
+    def test_arrow_path_converges_identically(self, spark, sf_dir, target_db, tmp_path):
+        """arrow=True (mapInPandas block transfer) must converge to the
+        same state AND report the same applied counts as the row path."""
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        row_stats = apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        row_state = _final_state(target_db)
+
+        other = str(tmp_path / "ar.db")
+        _make_target(other)
+        arrow_stats = apply_batch(
+            cf, _writer_factory(other), ["o_orderkey"], ["pos_offset"], 4, arrow=True
+        )
+        assert _final_state(other) == row_state
+        assert (arrow_stats["upserts"], arrow_stats["deletes"]) == (
+            row_stats["upserts"],
+            row_stats["deletes"],
+        )
+
+    def test_transport_aligned_no_shuffle_converges(self, spark, sf_dir, target_db, tmp_path):
+        """num_partitions=None applies on the source partitioning (zero
+        shuffles); with keys co-located (single partition here, Kafka
+        keyed-topic in production) it must converge identically."""
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        expected = _final_state(target_db)
+
+        other = str(tmp_path / "ta.db")
+        _make_target(other)
+        apply_batch(
+            cf.coalesce(1),
+            _writer_factory(other),
+            ["o_orderkey"],
+            ["pos_offset"],
+            num_partitions=None,
+            collapse=False,
+            arrow=True,
+        )
+        assert _final_state(other) == expected
+
+        with pytest.raises(ValueError, match="collapse=False"):
+            apply_batch(cf, _writer_factory(other), ["o_orderkey"], ["pos_offset"],
+                        num_partitions=None, collapse=True)
+
     def test_replay_is_idempotent(self, spark, sf_dir, target_db):
         cf = orders_changefeed(spark, sf_dir).selectExpr(
             "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",

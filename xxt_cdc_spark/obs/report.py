@@ -46,6 +46,51 @@ def prometheus_text(m: MetricsSnapshot, labels: dict[str, str] | None = None) ->
     return "\n".join(lines) + "\n"
 
 
+class PerformanceLogger:
+    """Periodic box-report emitter (M36 parity, reference
+    logging/PerformanceLogger.scala:19-132: a 60 s scheduled report).
+
+    A daemon-thread loop on the driver: every ``interval_s`` renders
+    ``performance_report(snapshot_fn())`` through ``emit`` (default:
+    stdlib logging at INFO). ``snapshot_fn`` re-reads state each tick,
+    so pair it with ``snapshot_from_query`` polling or a live
+    MetricsSnapshot.
+    """
+
+    def __init__(self, snapshot_fn, interval_s: float = 60.0, emit=None) -> None:
+        import logging
+        import threading
+
+        self._snapshot_fn = snapshot_fn
+        self._interval_s = interval_s
+        self._emit = emit or logging.getLogger("xxt_cdc_spark.perf").info
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "PerformanceLogger":
+        import threading
+
+        def loop() -> None:
+            while not self._stop.wait(self._interval_s):
+                try:
+                    self._emit("\n" + performance_report(self._snapshot_fn()))
+                except Exception:  # noqa: BLE001 — the report must never kill the pipeline
+                    pass
+
+        self._thread = threading.Thread(target=loop, name="cdc-perf-logger", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def tick(self) -> str:
+        """Render one report immediately (also what the loop emits)."""
+        return performance_report(self._snapshot_fn())
+
+
 def performance_report(m: MetricsSnapshot) -> str:
     """60s-style pretty box report (M36 parity)."""
     rows = [

@@ -19,7 +19,9 @@ SHINGLE_N = 3
 NUM_HASHES = 6
 ROWS_PER_BAND = 2
 JACCARD_T = 0.5
-SIMHASH_BITS = 32
+# 64-bit signatures (SCALING.md: 2^32 half-key buckets — the 32-bit
+# half-keys saturated at ~2^16 buckets, too few for a huge corpus)
+SIMHASH_BITS = 64
 MAX_HAMMING = 4
 
 
@@ -211,8 +213,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _votes_sql = ", ".join(
-    f"list_sum([CASE WHEN substr(md5(t), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
-    f"THEN 1 ELSE -1 END for t in w]) AS v{b}"
+    "list_sum([CASE WHEN substr(md5(t), {d}, 1) IN {s} "
+    "THEN 1 ELSE -1 END for t in w]) AS v{b}".format(
+        d=D.simhash_bit_predicate(b, SIMHASH_BITS)[0],
+        s=D.simhash_bit_predicate(b, SIMHASH_BITS)[1],
+        b=b,
+    )
     for b in range(SIMHASH_BITS)
 )
 _sig_sql = " || ".join(
