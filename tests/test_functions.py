@@ -250,6 +250,42 @@ class TestDedupRecall:
         dd2 = D.IncrementalDeduper(spark, str(tmp_path / "state"))
         assert {r.doc_id for r in dd2.process(b1).collect()} == {1, 2}
 
+    def test_incremental_near_dedup_across_batches(self, spark, tmp_path):
+        base = (
+            "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+            "behind the tall green hills of the quiet valley town"
+        )
+        near = base.replace("quiet valley town", "quiet valley city")  # ~1-shingle delta
+        dd = D.IncrementalNearDeduper(spark, str(tmp_path / "nstate"), threshold=0.5)
+        b1 = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated content about spark execution engines"
+                            " and columnar storage formats for analytics")],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in dd.process(b1).collect()} == {1, 2}
+        b2 = spark.createDataFrame(
+            [
+                (10, near),  # near-copy of accepted doc 1 → dropped
+                (11, "genuinely fresh material discussing distributed joins"
+                     " broadcast strategies and shuffle partitioning at scale"),
+            ],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in dd.process(b2).collect()} == {11}
+        # replay of batch 2: its accepted doc stays accepted (lossless)
+        assert {r.doc_id for r in dd.process(b2).collect()} == {11}
+        # a near-copy WITHIN one batch collapses to the lowest id
+        b3 = spark.createDataFrame(
+            [
+                (20, "a brand new paragraph about watermarking and stateful stream"
+                     " processing with exactly once semantics in engines"),
+                (21, "a brand new paragraph about watermarking and stateful stream"
+                     " processing with exactly once semantics in systems"),
+            ],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in dd.process(b3).collect()} == {20}
+
     def test_df_capped_jaccard_keeps_recall(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         exact = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5).collect()}

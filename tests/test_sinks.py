@@ -184,6 +184,86 @@ class _FlakyCursor:
         return self.real.executemany(sql, params)
 
 
+class TestConnectionPool:
+    """O20: pooled connections persist across apply calls in a process;
+    a failed apply evicts its connection instead of repooling it."""
+
+    def _writer(self, path, calls, pool_key, **kw):
+        def connect():
+            calls.append(1)
+            return sqlite3.connect(path, timeout=30)
+
+        return JdbcUpsertWriter(
+            connect_fn=connect,
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            pool_key=pool_key,
+            **kw,
+        )
+
+    def test_connection_reused_across_applies(self, target_db):
+        from xxt_cdc_spark.sinks.upsert import close_pooled_connections
+
+        calls: list[int] = []
+        row = {
+            "op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+            "o_totalprice": 1.0, "o_orderdate": "1995-01-01", "o_orderpriority": "1-URGENT",
+        }
+        try:
+            for i in range(3):
+                w = self._writer(target_db, calls, pool_key="t1")
+                w.apply_rows([dict(row, o_orderkey=i + 1)])
+            assert len(calls) == 1  # one physical connection for 3 applies
+            con = sqlite3.connect(target_db)
+            assert con.execute("SELECT count(*) FROM orders").fetchone()[0] == 3
+            con.close()
+        finally:
+            close_pooled_connections()
+
+    def test_unpooled_connects_every_apply(self, target_db):
+        calls: list[int] = []
+        row = {
+            "op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+            "o_totalprice": 1.0, "o_orderdate": "1995-01-01", "o_orderpriority": "1-URGENT",
+        }
+        for i in range(2):
+            w = self._writer(target_db, calls, pool_key=None)
+            w.apply_rows([dict(row, o_orderkey=i + 1)])
+        assert len(calls) == 2
+
+    def test_failed_apply_evicts_pooled_connection(self, target_db):
+        from xxt_cdc_spark.sinks.upsert import _CONN_POOL, close_pooled_connections
+
+        calls: list[int] = []
+        try:
+            w = self._writer(
+                target_db, calls, pool_key="t2",
+                breaker=CircuitBreaker(failure_threshold=1, cooldown_s=60),
+                retry=RetryPolicy(max_retries=0),
+            )
+            w.apply_rows([{
+                "op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+                "o_totalprice": 1.0, "o_orderdate": "1995-01-01", "o_orderpriority": "1-URGENT",
+            }])
+            assert "t2" in _CONN_POOL
+            # second apply hits an open circuit mid-flush → raises → evicted
+            w2 = self._writer(
+                target_db, calls, pool_key="t2",
+                breaker=w.breaker,
+            )
+            w2.breaker.record_failure()  # opens (threshold 1)
+            with pytest.raises(CircuitOpen):
+                w2.apply_rows([{
+                    "op": "I", "o_orderkey": 9, "o_custkey": 2, "o_orderstatus": "O",
+                    "o_totalprice": 1.0, "o_orderdate": "1995-01-01", "o_orderpriority": "1-URGENT",
+                }])
+            assert "t2" not in _CONN_POOL
+        finally:
+            close_pooled_connections()
+
+
 class TestRetryAndBreaker:
     def test_retry_then_succeed(self, target_db):
         fails = [2]

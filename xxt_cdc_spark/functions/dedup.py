@@ -556,12 +556,20 @@ class IncrementalDeduper:
             F.col(self.id_col), fingerprint(self.text_col).alias("fp")
         )
         # batch-internal: first (lowest-id) occurrence per fingerprint
-        local = with_fp.groupBy("fp").agg(F.min(self.id_col).alias(self.id_col))
+        local = with_fp.groupBy("fp").agg(F.min(self.id_col).alias(self.id_col)).localCheckpoint()
         # cross-batch: accept docs that are (or now become) the canonical
         # owner of their fingerprint. A replayed batch re-returns its
         # previously accepted ids (owner == candidate) instead of
         # dropping them — foreachBatch retries stay lossless.
-        owners = self.state.read().select(
+        # Read ONLY the buckets this batch's fingerprints hash into —
+        # the collect is bounded by n_buckets, and the state scan prunes
+        # to those partitions (at 100 TB the state is big; a batch
+        # touches a bounded slice).
+        touched = [
+            r["b"]
+            for r in local.select(self.state.bucket_of(F.col("fp")).alias("b")).distinct().collect()
+        ]
+        owners = self.state.read_buckets(touched).select(
             "fp", F.col(self.id_col).alias("__owner")
         )
         accepted = (
@@ -576,4 +584,161 @@ class IncrementalDeduper:
                 fresh.withColumn("op", F.lit("I")),
                 order_cols=[self.id_col],
             )
+        return accepted
+
+
+class IncrementalNearDeduper:
+    """Cross-batch NEAR-dup rejection against a persistent MinHash band
+    store — the fuzzy twin of ``IncrementalDeduper`` (ROADMAP round-2
+    item 3): today's shard must drop near-copies of everything already
+    accepted, not just of itself.
+
+    State layout (bucket-partitioned parquet, append-only — near-dup
+    state never deletes): one row per accepted (band_index, band_key)
+    with the owner's doc id and full MinHash signature, partitioned by
+    ``bucket = pmod(hash(band_index, band_key), n_buckets)`` so a batch
+    reads only the buckets its own band keys hash into.
+
+    Per batch:
+
+    1. MinHash signatures (one shuffle) + LSH band keys;
+    2. batch-internal near-dup collapse: banded candidates, signature-
+       estimated Jaccard (mean per-hash agreement — the standard
+       streaming estimator; exact verification would need the stored
+       docs' shingle sets), connected components, min id per cluster
+       survives;
+    3. cross-batch: join the survivors' band keys against the pruned
+       state slice; a survivor whose estimated similarity to ANY stored
+       owner ≥ threshold is dropped (unless it IS the owner — replay
+       stays lossless);
+    4. append the accepted docs' band rows to the touched buckets.
+
+    Returns the accepted (id) frame. The estimator's granularity is
+    1/num_hashes; raise num_hashes for finer thresholds.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 6,
+        rows_per_band: int = 2,
+        n: int = 3,
+        threshold: float = 0.5,
+        n_buckets: int = 64,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.state_root = state_root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.n = n
+        self.threshold = threshold
+        self.n_buckets = n_buckets
+        os.makedirs(state_root, exist_ok=True)
+
+    def _sig_cols(self) -> list[str]:
+        return [f"h{s}" for s in range(self.num_hashes)]
+
+    def _bands(self, sig: DataFrame) -> DataFrame:
+        band_keys = [
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{bi * self.rows_per_band + r}") for r in range(self.rows_per_band)],
+            )
+            for bi in range(self.num_hashes // self.rows_per_band)
+        ]
+        return sig.select(
+            F.col(self.id_col),
+            *self._sig_cols(),
+            F.posexplode(F.array(*band_keys)).alias("band_index", "band_key"),
+        ).withColumn(
+            "bucket", F.pmod(F.hash("band_index", "band_key"), F.lit(self.n_buckets))
+        )
+
+    def _est(self, a_prefix: str, b_prefix: str):
+        agree = sum(
+            F.when(F.col(f"{a_prefix}{s}") == F.col(f"{b_prefix}{s}"), 1).otherwise(0)
+            for s in range(self.num_hashes)
+        )
+        return agree / F.lit(float(self.num_hashes))
+
+    def _read_state_buckets(self, buckets: list[int]) -> DataFrame:
+        import os
+
+        schema = ", ".join(
+            ["band_index int", "band_key string", f"{self.id_col} long"]
+            + [f"{c} string" for c in self._sig_cols()]
+        )
+        if not any(e.startswith("bucket=") for e in os.listdir(self.state_root)):
+            return self.spark.createDataFrame([], schema + ", bucket int")
+        return (
+            self.spark.read.parquet(self.state_root)
+            .filter(F.col("bucket").isin(buckets))
+        )
+
+    def process(self, batch_df: DataFrame) -> DataFrame:
+        """Near-dedup one batch against itself and the store; persist
+        accepted band rows; return the accepted id frame."""
+        sig = minhash_signatures(
+            batch_df, self.text_col, self.id_col, self.num_hashes, self.n
+        ).localCheckpoint()
+
+        # 2. batch-internal collapse (banded candidates → estimated
+        # similarity edges → components → min-id survivor)
+        cand = lsh_candidate_pairs(sig, self.id_col, self.num_hashes, self.rows_per_band)
+        a = sig.select(F.col(self.id_col).alias("i"), *[F.col(c).alias(f"ai{c}") for c in self._sig_cols()])
+        b = sig.select(F.col(self.id_col).alias("j"), *[F.col(c).alias(f"bj{c}") for c in self._sig_cols()])
+        edges = (
+            cand.join(a, "i")
+            .join(b, "j")
+            .withColumn("est", self._est("aih", "bjh"))
+            .filter(F.col("est") >= self.threshold)
+            .select("i", "j")
+        )
+        comp = connected_components(
+            sig.select(F.col(self.id_col).alias("id")), edges, "id"
+        )
+        survivors = (
+            comp.groupBy("component").agg(F.min("id").alias(self.id_col)).select(self.id_col)
+        )
+        surv_bands = self._bands(sig.join(survivors, self.id_col)).localCheckpoint()
+
+        # 3. cross-batch: candidates from shared band keys in the pruned
+        # state slice; estimated similarity vs each stored owner
+        touched = [r["bucket"] for r in surv_bands.select("bucket").distinct().collect()]
+        state = self._read_state_buckets(touched)
+        owners = state.select(
+            "band_index",
+            "band_key",
+            F.col(self.id_col).alias("__owner"),
+            *[F.col(c).alias(f"o{c}") for c in self._sig_cols()],
+        )
+        matches = (
+            surv_bands.join(owners, ["band_index", "band_key"])
+            .withColumn("est", self._est("h", "oh"))
+            .filter((F.col("est") >= self.threshold) & (F.col("__owner") != F.col(self.id_col)))
+            .select(self.id_col)
+            .distinct()
+        )
+        accepted = survivors.join(matches, self.id_col, "left_anti").localCheckpoint()
+
+        # 4. append accepted band rows (dedup vs existing owners so a
+        # replayed batch doesn't double-store its own rows)
+        fresh_rows = (
+            surv_bands.join(accepted, self.id_col)
+            .join(
+                state.select("band_index", "band_key", self.id_col),
+                ["band_index", "band_key", self.id_col],
+                "left_anti",
+            )
+            .select("band_index", "band_key", self.id_col, *self._sig_cols(), "bucket")
+        )
+        if not fresh_rows.isEmpty():
+            fresh_rows.write.mode("append").partitionBy("bucket").parquet(self.state_root)
         return accepted

@@ -138,6 +138,42 @@ FROM documents GROUP BY 2 ORDER BY doc_id
 """
 
 
+# --- incremental cross-batch exact dedup ------------------------------------
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup against the persistent fingerprint store
+    (IncrementalDeduper): documents arrive in two batches (even ids
+    first), and batch 2 must reject content already accepted in batch 1.
+    Returns batch 2's accepted (doc_id, fp) rows — checkpoint-backed,
+    so the temp state dir can be dropped before the driver collects."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="xxt_incr_dedup_")
+    try:
+        dd = D.IncrementalDeduper(spark, state)
+        dd.process(d.filter(F.col("doc_id") % 2 == 0))
+        accepted = dd.process(d.filter(F.col("doc_id") % 2 == 1))
+        return accepted.orderBy("doc_id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+# mirror of functions/text.fingerprint(): DuckDB regexp_replace needs
+# the 'g' flag (Spark replaces all matches by default)
+DEDUP_INCREMENTAL_SQL = """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+),
+b1 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+local AS (SELECT fp, min(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 1 GROUP BY fp)
+SELECT doc_id, fp FROM local
+WHERE fp NOT IN (SELECT fp FROM b1)
+ORDER BY doc_id
+"""
+
+
 # --- n-gram Jaccard near-dup ---------------------------------------------------------
 _SHINGLES_SQL = f"""
 sh AS (
@@ -342,6 +378,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE = {
@@ -355,4 +392,5 @@ ORACLE = {
     "dedup_ngram_jaccard": JACCARD_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

@@ -98,6 +98,17 @@ class ParquetStateTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.root).drop(_BUCKET)
 
+    def bucket_of(self, *key_values) -> "F.Column":
+        """Bucket id expression for arbitrary key columns/literals —
+        lets callers compute which buckets a batch will touch without
+        reading anything."""
+        return F.pmod(F.hash(*key_values), F.lit(self.n_buckets))
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Public bucket-pruned read: only the listed bucket partitions
+        are scanned (partition pruning on the directory column)."""
+        return self._read_buckets(buckets)
+
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
         if not self._has_data():
             return self.read()

@@ -122,6 +122,28 @@ class CircuitOpen(RuntimeError):
 
 _DIALECTS = ("mysql", "sqlite", "starrocks")
 
+# Per-process connection pool (O20 parity — the reference's Hikari pool
+# keeps connections across batches). Spark reuses Python workers across
+# tasks (spark.python.worker.reuse), so a pooled connection survives
+# from one micro-batch's apply to the next instead of paying connect +
+# session-init per batch. Keyed by caller-chosen pool_key (one entry per
+# target DB per worker process).
+_CONN_POOL: dict[str, object] = {}
+import threading as _threading  # noqa: E402
+
+_POOL_LOCK = _threading.Lock()
+
+
+def close_pooled_connections() -> None:
+    """Close and forget every pooled connection in this process."""
+    with _POOL_LOCK:
+        for conn in _CONN_POOL.values():
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+        _CONN_POOL.clear()
+
 
 class JdbcUpsertWriter:
     """Per-partition idempotent writer. One DB-API connection, cached
@@ -139,6 +161,7 @@ class JdbcUpsertWriter:
         retry: RetryPolicy | None = None,
         breaker: CircuitBreaker | None = None,
         connection_init: list[str] | None = None,
+        pool_key: str | None = None,
     ) -> None:
         if dialect not in _DIALECTS:
             raise ValueError(f"dialect must be one of {_DIALECTS}")
@@ -147,6 +170,10 @@ class JdbcUpsertWriter:
         # Hikari cachePrepStmts/rewriteBatchedStatements knobs; e.g.
         # sqlite PRAGMAs or MySQL sessionInitStatement)
         self.connection_init = connection_init or []
+        # pool_key: borrow/return the connection from the per-process
+        # pool instead of connect/close per apply — init statements run
+        # once per pooled connection, not once per micro-batch
+        self.pool_key = pool_key
         self.table = table
         self.columns = columns
         self.key_cols = key_cols
@@ -183,13 +210,8 @@ class JdbcUpsertWriter:
             self._sql_cache["delete"] = f"DELETE FROM {self.table} WHERE {where}"
         return self._sql_cache["delete"]
 
-    # -- batch application -------------------------------------------------
-    def apply_rows(self, rows) -> dict:
-        """Apply an iterator of envelope-ish rows (needs ``op`` plus the
-        payload columns). Rows arrive in binlog order (route() sorted
-        them); flushes preserve that order: a flush happens whenever the
-        pending op kind flips, so delete/upsert interleavings for
-        different keys never reorder."""
+    # -- connection acquisition (direct or pooled, O20) -------------------
+    def _new_connection(self):
         conn = self.connect_fn()
         if self.connection_init:
             # through a cursor, not conn.execute: only sqlite3 has the
@@ -199,6 +221,35 @@ class JdbcUpsertWriter:
             for stmt in self.connection_init:
                 cur.execute(stmt)
             cur.close()
+        return conn
+
+    def _acquire(self) -> tuple[object, bool]:
+        if self.pool_key is None:
+            return self._new_connection(), False
+        with _POOL_LOCK:
+            conn = _CONN_POOL.get(self.pool_key)
+            if conn is None:
+                conn = self._new_connection()
+                _CONN_POOL[self.pool_key] = conn
+        return conn, True
+
+    def _evict(self, conn) -> None:
+        with _POOL_LOCK:
+            if _CONN_POOL.get(self.pool_key) is conn:
+                del _CONN_POOL[self.pool_key]
+        try:
+            conn.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+    # -- batch application -------------------------------------------------
+    def apply_rows(self, rows) -> dict:
+        """Apply an iterator of envelope-ish rows (needs ``op`` plus the
+        payload columns). Rows arrive in binlog order (route() sorted
+        them); flushes preserve that order: a flush happens whenever the
+        pending op kind flips, so delete/upsert interleavings for
+        different keys never reorder."""
+        conn, pooled = self._acquire()
         try:
             pending: list[tuple] = []
             pending_kind: str | None = None
@@ -218,11 +269,19 @@ class JdbcUpsertWriter:
             if pending:
                 self._flush(conn, pending_kind, pending)
             return dict(self.stats)
+        except BaseException:
+            # a connection that saw an unhandled failure may be wedged —
+            # never return it to the pool
+            if pooled:
+                self._evict(conn)
+                pooled = False
+            raise
         finally:
-            try:
-                conn.close()
-            except Exception:
-                pass
+            if not pooled:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
 
     def _flush(self, conn, kind: str, params: list[tuple]) -> None:
         sql = self._delete_sql() if kind == "delete" else self._upsert_sql()
