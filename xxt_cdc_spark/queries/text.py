@@ -242,6 +242,103 @@ ORDER BY i, j
 """
 
 
+# --- incremental cross-batch NEAR-dup ----------------------------------------
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch near-dup rejection via the persistent MinHash band
+    store (IncrementalNearDeduper): documents arrive in two batches
+    (even ids first); batch 2 must drop near-copies of anything batch 1
+    accepted. Returns batch 2's accepted ids."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="xxt_incr_near_")
+    try:
+        nd = D.IncrementalNearDeduper(
+            spark, state, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND,
+            n=SHINGLE_N, threshold=JACCARD_T,
+        )
+        nd.process(d.filter(F.col("doc_id") % 2 == 0))
+        accepted = nd.process(d.filter(F.col("doc_id") % 2 == 1))
+        return accepted.orderBy("doc_id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _batch_bands(src: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band_index, "
+        f"h{bi * ROWS_PER_BAND} || '|' || h{bi * ROWS_PER_BAND + 1} AS band_key FROM {src}"
+        for bi in range(NUM_HASHES // ROWS_PER_BAND)
+    )
+
+
+def _est_sql(a: str, b: str) -> str:
+    agree = " + ".join(
+        f"CASE WHEN {a}.h{s} = {b}.h{s} THEN 1 ELSE 0 END" for s in range(NUM_HASHES)
+    )
+    return f"({agree}) / {NUM_HASHES}.0"
+
+
+# full mirror of IncrementalNearDeduper over the two-batch delivery:
+# per-batch signature-estimated edges + transitive closure (recursive
+# CTE, same pattern as CLUSTERS_SQL) for the internal collapse, then
+# band-join + estimate against batch-1's accepted owners
+DEDUP_INCREMENTAL_NEAR_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sig AS (SELECT doc_id, {_sig_cols} FROM sh GROUP BY doc_id),
+b1 AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+b2 AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+b1bands AS ({_batch_bands('b1')}),
+b2bands AS ({_batch_bands('b2')}),
+b1edges AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM b1bands a
+  JOIN b1bands b ON a.band_index = b.band_index AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+  JOIN b1 sa ON sa.doc_id = a.doc_id
+  JOIN b1 sb ON sb.doc_id = b.doc_id
+  WHERE {_est_sql('sa', 'sb')} >= {JACCARD_T}
+),
+b1sym AS (SELECT i AS a, j AS b FROM b1edges UNION SELECT j, i FROM b1edges),
+b1reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM b1
+  UNION
+  SELECT s.a, b1reach.r FROM b1sym s JOIN b1reach ON s.b = b1reach.id
+),
+b1surv AS (SELECT DISTINCT MIN(r) OVER (PARTITION BY id) AS doc_id FROM b1reach),
+b2edges AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM b2bands a
+  JOIN b2bands b ON a.band_index = b.band_index AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+  JOIN b2 sa ON sa.doc_id = a.doc_id
+  JOIN b2 sb ON sb.doc_id = b.doc_id
+  WHERE {_est_sql('sa', 'sb')} >= {JACCARD_T}
+),
+b2sym AS (SELECT i AS a, j AS b FROM b2edges UNION SELECT j, i FROM b2edges),
+b2reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM b2
+  UNION
+  SELECT s.a, b2reach.r FROM b2sym s JOIN b2reach ON s.b = b2reach.id
+),
+b2surv AS (SELECT DISTINCT MIN(r) OVER (PARTITION BY id) AS doc_id FROM b2reach),
+matches AS (
+  SELECT DISTINCT sb2.doc_id
+  FROM b2bands sb2
+  JOIN b2surv s ON s.doc_id = sb2.doc_id
+  JOIN b1bands ob ON ob.band_index = sb2.band_index AND ob.band_key = sb2.band_key
+  JOIN b1surv os ON os.doc_id = ob.doc_id
+  JOIN b2 q ON q.doc_id = sb2.doc_id
+  JOIN b1 o ON o.doc_id = ob.doc_id
+  WHERE {_est_sql('q', 'o')} >= {JACCARD_T} AND ob.doc_id <> sb2.doc_id
+)
+SELECT doc_id FROM b2surv
+WHERE doc_id NOT IN (SELECT doc_id FROM matches)
+ORDER BY doc_id
+"""
+
+
 # --- SimHash ------------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -379,6 +476,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
 }
 
 ORACLE = {
@@ -393,4 +491,5 @@ ORACLE = {
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
 }
