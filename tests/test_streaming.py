@@ -146,3 +146,50 @@ class TestStreamingPipeline:
         q = pipe.start(available_now=True)
         q.awaitTermination(120)
         assert sum(seen) == 0
+
+
+class TestKafkaAdapter:
+    def test_kafka_records_round_trip_envelope(self, spark, sf_dir):
+        """Kafka record (binary key/value) → envelope: the decode/parse
+        transform must reproduce the original envelope rows exactly.
+        (The Kafka socket transport itself is jar-gated; this covers
+        every line of logic the adapter adds on top of it.)"""
+        from xxt_cdc_spark.streaming.pipeline import kafka_records_to_envelope
+
+        env = to_envelope(orders_changefeed(spark, sf_dir)).limit(500)
+        # serialize exactly as a Debezium-ish producer would: key = pk
+        # JSON bytes, value = envelope JSON bytes (micros ts format)
+        from xxt_cdc_spark.model.envelope import TS_JSON_FORMAT
+
+        records = env.select(
+            F.col("key").cast("binary").alias("key"),
+            F.to_json(
+                F.struct(*[F.col(c) for c in env.columns]),
+                {"timestampFormat": TS_JSON_FORMAT, "timestampNTZFormat": TS_JSON_FORMAT},
+            ).cast("binary").alias("value"),
+            F.lit("cdc.testdb.orders").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+        )
+        decoded = kafka_records_to_envelope(records)
+        assert decoded.columns == env.columns
+        assert decoded.count() == env.count()
+        # row-level equality both directions
+        assert decoded.exceptAll(env).count() == 0
+        assert env.exceptAll(decoded).count() == 0
+
+    def test_kafka_records_feed_pipeline_filter(self, spark, sf_dir):
+        """Decoded Kafka records compose with the pipeline's T5 filter
+        and LWW collapse the same as the file source."""
+        from xxt_cdc_spark.operators.collapse import last_write_wins
+        from xxt_cdc_spark.streaming.pipeline import kafka_records_to_envelope
+
+        env = to_envelope(orders_changefeed(spark, sf_dir))
+        records = env.select(F.to_json(F.struct(*env.columns)).cast("binary").alias("value"))
+        decoded = kafka_records_to_envelope(records)
+        flt = TableFilter(include_tables=["orders"])
+        kept = decoded.filter(flt.predicate())
+        assert kept.count() == env.count()
+        collapsed = last_write_wins(kept, ["key"], ["pos_offset"])
+        expected = last_write_wins(env, ["key"], ["pos_offset"])
+        assert collapsed.count() == expected.count()

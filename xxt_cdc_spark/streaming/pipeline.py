@@ -50,6 +50,24 @@ def read_envelope_stream(
     )
 
 
+def kafka_records_to_envelope(records: DataFrame) -> DataFrame:
+    """Kafka record frame (binary ``value``, as spark-sql-kafka yields)
+    → envelope frame (CHANGE_EVENT_SCHEMA).
+
+    Pure column transform, shared by the streaming source below and by
+    tests (the Kafka *transport* needs the spark-sql-kafka jar, absent
+    from this image, but the value decode/parse — the part with logic
+    in it — runs on any DataFrame with the Kafka record shape).
+    """
+    from pyspark.sql import functions as F
+
+    from xxt_cdc_spark.model.envelope import JSON_OPTS
+
+    return records.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA, JSON_OPTS).alias("e")
+    ).select("e.*")
+
+
 def read_kafka_envelope_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -59,10 +77,9 @@ def read_kafka_envelope_stream(
     """Kafka transport for the same envelope (production source).
 
     Requires the spark-sql-kafka package on the classpath — not in the
-    test image, so this is exercised only when the jar is present.
+    test image, so the transport is exercised only when the jar is
+    present; the record→envelope transform is tested without it.
     """
-    from pyspark.sql import functions as F
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -70,9 +87,7 @@ def read_kafka_envelope_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias("e")
-    ).select("e.*")
+    return kafka_records_to_envelope(raw)
 
 
 @dataclass
