@@ -39,6 +39,26 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+# space-prefixed letter runs, digit runs, and punctuation runs. This is
+# the subword-boundary split BPE vocabularies are trained over; counting
+# its matches approximates BPE token counts far better than whitespace
+# (which undercounts punctuation-heavy and number-heavy text). The
+# pattern uses only syntax shared by Java regex (Spark) and RE2
+# (DuckDB): \p{L}, \p{N}, character classes, alternation.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text_col: str) -> Column:
+    """Subword-boundary token array (BPE pre-tokenization units)."""
+    pat = BPE_SPLIT_RE.replace("\\", "\\\\").replace("'", "\\'")
+    return F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")
+
+
+def bpe_token_count(text_col: str) -> Column:
+    return F.size(bpe_tokens(text_col))
+
+
 def marker_count(text_col: str, words: tuple[str, ...]) -> Column:
     """How many tokens (with multiplicity) fall in `words` — JVM-side
     higher-order filter, no UDF."""

@@ -51,6 +51,34 @@ FROM documents
 """
 
 
+# --- BPE-ish subword token counting -----------------------------------------
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-pre-tokenizer token counts per doc — the
+    number a training-data pipeline budgets by (whitespace undercounts
+    punctuation/number-heavy text)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        (
+            TX.bpe_token_count("text").cast("double")
+            / TX.token_count("text").cast("double")
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+
+_BPE_RE_SQL = TX.BPE_SPLIT_RE.replace("'", "''")
+BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS bpe_per_word
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- quality score ----------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -468,6 +496,7 @@ QUERIES = {
     "training_data_selection": training_data_selection,
     "dedup_clusters": dedup_clusters_q,
     "text_token_stats": text_token_stats,
+    "text_bpe_token_stats": text_bpe_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -483,6 +512,7 @@ ORACLE = {
     "training_data_selection": TRAINING_SELECTION_SQL,
     "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
+    "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "text_quality": QUALITY_SQL,
     "text_langid": LANGID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
