@@ -153,6 +153,27 @@ class TestSimilarityFastPath:
             if (r.query_id, r.item_id) in bf_scores:
                 assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-12
 
+    def test_pq_topk_shape_and_recall(self, spark, sf_dir):
+        """PQ/ADC: dense ranks per query, approx scores bounded, and
+        non-trivial recall vs exact top-k (scores are quantized so only
+        the ranking, not the values, is compared to brute force)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+        pq = S.pq_topk(emb, queries, k=10).collect()
+        per_q = {}
+        for r in pq:
+            per_q.setdefault(r.query_id, []).append(r)
+            assert -1.001 <= r.approx_cosine <= 1.001
+        for q, rows in per_q.items():
+            assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1))
+        bf = {(r.query_id, r.item_id) for r in S.brute_force_topk(emb, queries, k=10).collect()}
+        hits = sum(1 for r in pq if (r.query_id, r.item_id) in bf)
+        recall = hits / len(bf)
+        # 8 fixed-seed centroids x 4 subspaces on word-salad vectors:
+        # coarse, but must beat noise (random recall@10 ≈ 10/N)
+        n = emb.count()
+        assert recall > 3 * (10 / n), f"recall {recall:.2f} vs noise {10/n:.3f}"
+
     def test_lsh_topk_is_subset_of_brute_force_bucketmates(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 3)

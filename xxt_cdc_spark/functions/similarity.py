@@ -222,6 +222,102 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation).
+
+    The memory-bound scale path: each corpus vector is compressed to
+    ``n_subspaces`` one-byte codes (here: argmin-L2 sub-centroid per
+    contiguous dim slice), and a query scores a vector as the SUM of
+    per-subspace dot products looked up from a tiny query×codebook
+    table — no full vectors touched at scan time. At 100 TB the codes
+    table is ~m bytes/vector (vs 4·d for floats) and scans stay
+    sequential; the codebook side is broadcast.
+
+    Codebooks are deterministic fixed seeds — the ``n_centroids``
+    lowest-id corpus vectors' sub-slices (the same SQL-expressible
+    trick as ``ivf_topk(centroids="fixed")``), so the registered query
+    carries a full DuckDB oracle. Production would swap in per-subspace
+    k-means codebooks; encoding/ADC plumbing is identical.
+
+    All vectors are unit-normalized first, so Σ_s dot(q_s, c_{s,code})
+    approximates cosine(q, x). Everything is JVM-side: slice() for
+    subvectors, ordered folds for dot/L2, broadcast codebook joins.
+    """
+    d = len(corpus.select(vec_col).first()[0])
+    sub = d // n_subspaces
+    assert sub * n_subspaces == d, "dimension must divide evenly into subspaces"
+
+    nc = corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
+    # codebook: sub-slices of the k lowest-id normalized vectors
+    seeds = nc.orderBy(F.col(id_col)).limit(n_centroids).select(
+        F.col(id_col).cast("int").alias("code"), "v"
+    )
+    sub_idx = F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s")
+    cen = seeds.select("code", "v", sub_idx).withColumn(
+        "cvec", F.expr(f"slice(v, s * {sub} + 1, {sub})")
+    ).select("s", "code", "cvec")
+
+    # encode: per (doc, subspace), the centroid minimizing L2 distance
+    corpus_sub = nc.select(F.col(id_col).alias("item_id"), "v", sub_idx).withColumn(
+        "xvec", F.expr(f"slice(v, s * {sub} + 1, {sub})")
+    ).select("item_id", "s", "xvec")
+    dist2 = F.expr(
+        "aggregate(zip_with(xvec, cvec, (x, c) -> (x - c) * (x - c)), "
+        "cast(0.0 as double), (acc, e) -> acc + e)"
+    )
+    w_enc = Window.partitionBy("item_id", "s").orderBy(F.col("d2"), F.col("code"))
+    codes = (
+        corpus_sub.join(F.broadcast(cen), "s")
+        .withColumn("d2", dist2)
+        .withColumn("r", F.row_number().over(w_enc))
+        .filter(F.col("r") == 1)
+        .select("item_id", "s", "code")
+    )
+
+    # ADC tables: per (query, subspace, centroid) partial dot product
+    q_sub = (
+        queries.select(F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv"))
+        .select("query_id", "qv", sub_idx)
+        .withColumn("qvec", F.expr(f"slice(qv, s * {sub} + 1, {sub})"))
+        .select("query_id", "s", "qvec")
+    )
+    qtab = q_sub.join(F.broadcast(cen), "s").withColumn("pdot", dot("qvec", "cvec")).select(
+        "query_id", "s", "code", "pdot"
+    )
+
+    # scan: codes ⋈ tables on (s, code), sum partials, rank descending.
+    # The partial dots are folded in SUBSPACE ORDER (sort the collected
+    # structs, then an ordered double fold) so the result is
+    # deterministic and bit-identical to the DuckDB mirror's
+    # list_sum(list(pdot ORDER BY s)) — a plain SUM would depend on
+    # aggregation order.
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(s, pdot))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.pdot)"
+            ).alias("approx_cosine")
+        )
+        .filter(F.col("item_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_cosine").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", F.col("approx_cosine"))
+    )
+
+
 def cosine_neardup_pairs_fast(
     corpus: DataFrame,
     threshold: float = 0.45,

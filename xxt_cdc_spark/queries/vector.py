@@ -287,6 +287,75 @@ ORDER BY query_id, rank
 """
 
 
+PQ_SUBSPACES = 4
+PQ_CENTROIDS = 8
+_PQ_SUB = 16  # 64-dim corpus / 4 subspaces
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan over per-subspace codes) with
+    deterministic fixed-seed codebooks — fully SQL-expressible, so the
+    oracle checks encoding, ADC tables, and ranking end to end."""
+    e = _emb(spark, sf_dir)
+    return S.pq_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        TOP_K,
+        n_subspaces=PQ_SUBSPACES,
+        n_centroids=PQ_CENTROIDS,
+    ).orderBy("query_id", "rank")
+
+
+def _dotc(a: str, b: str) -> str:
+    return f"list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)])"
+
+
+ANN_PQ_SQL = f"""
+WITH nv AS (SELECT vec_id, {_NORMED} AS v FROM embeddings),
+seeds AS (SELECT vec_id AS code, v FROM nv ORDER BY vec_id LIMIT {PQ_CENTROIDS}),
+subs AS (SELECT unnest([{", ".join(str(s) for s in range(PQ_SUBSPACES))}]) AS s),
+cen AS (
+  SELECT s, code, list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS cvec
+  FROM seeds CROSS JOIN subs
+),
+csub AS (
+  SELECT vec_id AS item_id, s, list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS xvec
+  FROM nv CROSS JOIN subs
+),
+codes AS (
+  SELECT item_id, s, code FROM (
+    SELECT c.item_id, c.s, e.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.item_id, c.s
+             ORDER BY list_sum([(c.xvec[i] - e.cvec[i]) * (c.xvec[i] - e.cvec[i])
+                                for i in range(1, len(c.xvec) + 1)]), e.code) AS r
+    FROM csub c JOIN cen e ON e.s = c.s
+  ) WHERE r = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, s, list_slice(v, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) AS qvec
+  FROM nv CROSS JOIN subs WHERE vec_id < {N_QUERIES}
+),
+qtab AS (
+  SELECT q.query_id, q.s, e.code, {_dotc('q.qvec', 'e.cvec')} AS pdot
+  FROM qsub q JOIN cen e ON e.s = q.s
+),
+scored AS (
+  SELECT t.query_id, c.item_id,
+         list_sum(list(t.pdot ORDER BY t.s)) AS approx_cosine
+  FROM codes c JOIN qtab t ON t.s = c.s AND t.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, item_id, approx_cosine FROM (
+  SELECT query_id, item_id, approx_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_cosine DESC, item_id) AS rank
+  FROM scored WHERE item_id <> query_id
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy/BLAS variant of emb_neardup_pairs. BLAS summation order
     differs from a sequential fold by ~1 ulp, so the registered form
@@ -323,12 +392,14 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_fast": emb_neardup_fast,
 }
 
 ORACLE = {
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_pq_topk": ANN_PQ_SQL,
     "emb_neardup_fast": EMB_NEARDUP_FAST_SQL,
     "multimodal_image_features": IMAGE_FEATURES_SQL,
     "multimodal_audio_features": AUDIO_FEATURES_SQL,
