@@ -109,6 +109,46 @@ def predict_lang(text_col: str) -> Column:
     )
 
 
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+
+
+def char_codes(text_col: str) -> Column:
+    """Per-character code array (bigint) — the input to rolling hashes."""
+    return F.expr(
+        f"transform(sequence(1, length({text_col})), "
+        f"i -> cast(ascii(substring({text_col}, i, 1)) as bigint))"
+    )
+
+
+def rolling_hash_expr(arr: str) -> Column:
+    """Polynomial rolling hash of a char-code array column:
+    fold (acc·B + c) mod M — the Rabin-Karp document fingerprint.
+    Unlike md5, prefix hashes extend incrementally, which is what
+    streaming fingerprinters and content-defined chunkers need."""
+    return F.expr(
+        f"aggregate({arr}, cast(0 as bigint), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+
+
+def chunk_boundary_count(arr: str, window: int = 16, divisor: int = 64) -> Column:
+    """Content-defined chunking boundary count: positions whose
+    ``window``-char rolling hash ≡ 0 (mod ``divisor``) — the
+    Rabin-fingerprint cut rule used by dedup-friendly chunkers (LBFS /
+    restic-style). Expected chunk length ≈ divisor chars. The guard
+    matters: Spark's sequence(a, b) runs DESCENDING when b < a, so
+    short docs must short-circuit to 0 boundaries."""
+    whash = (
+        f"aggregate(slice({arr}, i - {window} + 1, {window}), cast(0 as bigint), "
+        f"(acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+    return F.expr(
+        f"IF(size({arr}) >= {window}, "
+        f"size(filter(sequence({window}, size({arr})), i -> {whash} % {divisor} = 0)), 0)"
+    )
+
+
 def fingerprint(text_col: str) -> Column:
     """Content fingerprint: md5 of the case/punctuation-normalized text."""
     return F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))

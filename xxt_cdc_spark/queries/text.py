@@ -152,6 +152,44 @@ FROM documents
 """
 
 
+# --- rolling-hash fingerprint + content-defined chunking ---------------------
+CDC_CHUNK_W = 16
+CDC_CHUNK_DIV = 64
+
+
+def text_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp document fingerprint + content-defined chunk count
+    per doc (boundary where the 16-char window hash ≡ 0 mod 64) — the
+    dedup-friendly chunking a 100 TB ingest pipeline applies before
+    block-level dedup."""
+    d = _docs(spark, sf_dir)
+    d2 = d.select(
+        "doc_id", F.length("text").alias("n_chars"), TX.char_codes("text").alias("cs")
+    )
+    return d2.select(
+        "doc_id",
+        "n_chars",
+        (TX.chunk_boundary_count("cs", CDC_CHUNK_W, CDC_CHUNK_DIV) + F.lit(1)).alias("n_chunks"),
+        TX.rolling_hash_expr("cs").alias("doc_hash"),
+    ).orderBy("doc_id")
+
+
+ROLLING_CHUNKS_SQL = f"""
+WITH cs AS (
+  SELECT doc_id, length(text) AS n_chars,
+         [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')] AS cs
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  1 + len([i for i in range({CDC_CHUNK_W}, len(cs) + 1)
+           if list_reduce(list_slice(cs, i - {CDC_CHUNK_W - 1}, i),
+                          (acc, c) -> (acc * {TX.ROLL_BASE} + c) % {TX.ROLL_MOD})
+              % {CDC_CHUNK_DIV} = 0]) AS n_chunks,
+  list_reduce(cs, (acc, c) -> (acc * {TX.ROLL_BASE} + c) % {TX.ROLL_MOD}) AS doc_hash
+FROM cs ORDER BY doc_id
+"""
+
+
 # --- exact dedup ------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -497,6 +535,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters_q,
     "text_token_stats": text_token_stats,
     "text_bpe_token_stats": text_bpe_token_stats,
+    "text_rolling_chunks": text_rolling_chunks,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -513,6 +552,7 @@ ORACLE = {
     "dedup_clusters": CLUSTERS_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
+    "text_rolling_chunks": ROLLING_CHUNKS_SQL,
     "text_quality": QUALITY_SQL,
     "text_langid": LANGID_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
