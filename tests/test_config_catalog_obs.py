@@ -121,6 +121,38 @@ class TestManagementHTTP:
         finally:
             server.shutdown()
 
+    def test_config_and_table_activity_endpoints(self):
+        import json
+        import urllib.request
+
+        from xxt_cdc_spark.api import ManagementAPI
+        from xxt_cdc_spark.model.states import CDCState
+
+        m = MetricsSnapshot(per_table={"orders": 900, "li": 100})
+        api = ManagementAPI(
+            metrics=m,
+            state=CDCState.STREAMING,
+            config={"source": {"host": "db1", "password": "hunter2"}, "batch_size": 100},
+        )
+        server = api.start(port=0)
+        try:
+            _, port = server.server_address
+
+            def get(path):
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+                    return json.loads(r.read().decode())
+
+            cfg = get("/api/v1/config")["config"]
+            assert cfg["source"]["host"] == "db1"
+            assert cfg["source"]["password"] == "***"  # secrets redacted
+            assert cfg["batch_size"] == 100
+            act = get("/api/v1/tables/orders/activity")
+            assert act == {"table": "orders", "events": 900, "share": 0.9}
+            act = get("/api/v1/tables/nope/activity")
+            assert act["events"] == 0
+        finally:
+            server.shutdown()
+
     def test_prometheus_exposition_over_http(self):
         import urllib.request
 

@@ -22,6 +22,9 @@ class ManagementAPI:
     health_check: HealthCheck = field(default_factory=HealthCheck)
     state: CDCState = CDCState.INIT
     components: dict[str, str] = field(default_factory=dict)
+    config: dict = field(default_factory=dict)
+
+    _REDACT = ("password", "secret", "token", "key")
 
     # GET /api/v1/health
     def health(self) -> dict:
@@ -44,6 +47,25 @@ class ManagementAPI:
         ranked = sorted(self.metrics.per_table.items(), key=lambda kv: (-kv[1], kv[0]))
         return {"hot_tables": [{"table": t, "events": n} for t, n in ranked[:top_n]]}
 
+    # GET /api/v1/config — redacted configuration echo (reference
+    # api/CDCManagementAPI.scala /config endpoint)
+    def config_endpoint(self) -> dict:
+        def redact(d):
+            if isinstance(d, dict):
+                return {
+                    k: ("***" if any(s in k.lower() for s in self._REDACT) else redact(v))
+                    for k, v in d.items()
+                }
+            return d
+
+        return {"config": redact(self.config)}
+
+    # GET /api/v1/tables/{table}/activity — per-table event activity
+    def table_activity(self, table: str) -> dict:
+        total = sum(self.metrics.per_table.values()) or 1
+        n = self.metrics.per_table.get(table, 0)
+        return {"table": table, "events": n, "share": n / total}
+
     def routes(self) -> dict:
         return {
             "/api/v1/health": self.health,
@@ -51,7 +73,20 @@ class ManagementAPI:
             "/api/v1/metrics": self.metrics_endpoint,
             "/api/v1/components": self.components_endpoint,
             "/api/v1/hotset": self.hotset,
+            "/api/v1/config": self.config_endpoint,
         }
+
+    def dispatch(self, path: str):
+        """Resolve a request path to a payload-producing callable, or
+        None for 404. Handles the one parameterized route."""
+        fn = self.routes().get(path)
+        if fn is not None:
+            return fn
+        if path.startswith("/api/v1/tables/") and path.endswith("/activity"):
+            table = path[len("/api/v1/tables/") : -len("/activity")]
+            if table and "/" not in table:
+                return lambda: self.table_activity(table)
+        return None
 
     # GET /metrics — Prometheus text exposition (M33 parity, reference
     # metrics/PrometheusMetrics.scala:18-120); everything else is JSON
@@ -71,7 +106,7 @@ class ManagementAPI:
                     body = api.prometheus_endpoint().encode()
                     ctype = "text/plain; version=0.0.4; charset=utf-8"
                 else:
-                    fn = api.routes().get(self.path)
+                    fn = api.dispatch(self.path)
                     if fn is None:
                         self.send_response(404)
                         self.end_headers()

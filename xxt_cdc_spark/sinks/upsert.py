@@ -134,6 +134,13 @@ import threading as _threading  # noqa: E402
 _POOL_LOCK = _threading.Lock()
 
 
+def pool_stats() -> dict:
+    """Pool introspection for the management surface (reference
+    EnhancedMetricsCollector's connection-pool stats, M34)."""
+    with _POOL_LOCK:
+        return {"pooled_connections": len(_CONN_POOL), "pool_keys": sorted(_CONN_POOL)}
+
+
 def close_pooled_connections() -> None:
     """Close and forget every pooled connection in this process."""
     with _POOL_LOCK:
