@@ -58,3 +58,11 @@ class TestPlanShapes:
         # shared-shingle counting joins on (doc, shingle-hash) — the
         # hash key must reach the join, not a post-join filter
         assert "xxhash64" in plan
+
+    def test_pq_uses_broadcast_joins_only(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "ann_pq_topk")
+        # codebook/table sides are broadcast; the code scan must never
+        # degrade to a nested-loop or cartesian pair join
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

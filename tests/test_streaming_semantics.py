@@ -91,7 +91,7 @@ class TestManagementAPI:
         assert api.components_endpoint() == {"components": {"normalizer": "RUNNING"}}
         hs = api.hotset()["hot_tables"]
         assert hs[0] == {"table": "orders", "events": 60}
-        assert set(api.routes()) == {
+        assert {
             "/api/v1/health", "/api/v1/status", "/api/v1/metrics",
-            "/api/v1/components", "/api/v1/hotset",
-        }
+            "/api/v1/components", "/api/v1/hotset", "/api/v1/config",
+        } <= set(api.routes())
