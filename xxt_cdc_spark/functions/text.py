@@ -149,6 +149,146 @@ def chunk_boundary_count(arr: str, window: int = 16, divisor: int = 64) -> Colum
     )
 
 
+def term_frequencies(df, text_col: str, id_col: str):
+    """(id, term, tf) term-frequency table — explode + one hash
+    aggregation on (id, term) with map-side partial counts. At 100 TB
+    this is the canonical one-shuffle corpus statistic; everything
+    downstream (doc-freq, TF-IDF, BM25) derives from it without
+    touching the raw text again."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_frequencies(tf_df, id_col: str):
+    """(term, df_t) document frequencies from a term-frequency table.
+    One row per (doc, term) in, so count(*) per term == doc-freq —
+    no countDistinct shuffle needed."""
+    return tf_df.groupBy("term").agg(F.count("*").alias("df_t"))
+
+
+def tfidf_topk(df, text_col: str, id_col: str, k: int = 5):
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn-style).
+
+    Plan shape: tf shuffle on (id, term); doc-freq agg is vocab-sized
+    (≪ corpus) and joins back on term — AQE broadcasts it when small,
+    sort-merge when the vocabulary itself is huge. The corpus-size
+    scalar N rides in as a broadcast single-row cross join, so the
+    whole thing is ONE logical plan with no driver-side collect.
+    Scores are rounded to 9 decimals so ranking ties break identically
+    across engines (tie-break: term asc)."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    n = df.agg(F.count("*").alias("n_docs"))
+    idf = doc_frequencies(tf, id_col).crossJoin(F.broadcast(n)).select(
+        "term",
+        (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", F.round(F.col("tf") * F.col("idf"), 9).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(df, text_col: str, id_col: str, query_terms: tuple[str, ...], k: int = 20):
+    """BM25 ranking of documents for a bag-of-terms query.
+
+    The term filter lands BEFORE the (id, term) aggregation, so the
+    shuffle carries only rows matching the query vocabulary — at
+    100 TB that's the difference between shuffling the corpus and
+    shuffling the hit set. Per-doc score sums go through the exact
+    decimal path (queries/_util.DEC) so partition order can't change
+    the double result."""
+    from pyspark.sql import Window
+
+    from xxt_cdc_spark.queries._util import DEC
+
+    terms = list(query_terms)
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term"),
+        token_count(text_col).alias("dl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    # integer token-count sum is exact, so avgdl (long/long → double
+    # division) is partition-order-free without the decimal detour
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(token_count(text_col).cast("long")) / F.count("*")).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df_t"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    contrib = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        (
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        ).alias("c"),
+    )
+    scores = contrib.groupBy(id_col).agg(
+        F.sum(F.col("c").cast(DEC)).cast("double").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "score")
+    )
+
+
+# deterministic corpus split: lexicographic thresholds over the md5 hex
+# space. First-2-hex-char prefixes are uniform over 00..ff, so
+# ['00','c8') = 200/256 ≈ 78.1% train, ['c8','e4') ≈ 10.9% val,
+# ['e4','ff'] ≈ 10.9% test. String comparison avoids hex→int casts
+# that differ across engines; the salt keeps the assignment independent
+# of any other md5-keyed operator.
+SPLIT_SALT = "split:"
+SPLIT_BOUNDS = (("train", "c8"), ("val", "e4"))
+
+
+def split_assign(id_col: str) -> Column:
+    """Deterministic, stateless train/val/test assignment from the id —
+    reproducible across runs, engines, and repartitioning (the property
+    a training pipeline needs so shards never migrate between splits)."""
+    h2 = F.substring(F.md5(F.concat(F.lit(SPLIT_SALT), F.col(id_col).cast("string"))), 1, 2)
+    expr = F.when(h2 < SPLIT_BOUNDS[0][1], F.lit(SPLIT_BOUNDS[0][0])).when(
+        h2 < SPLIT_BOUNDS[1][1], F.lit(SPLIT_BOUNDS[1][0])
+    )
+    return expr.otherwise(F.lit("test"))
+
+
 def fingerprint(text_col: str) -> Column:
     """Content fingerprint: md5 of the case/punctuation-normalized text."""
     return F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))

@@ -19,7 +19,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from xxt_cdc_spark.queries import cdc, relational, relational2, streaming, text, vector
+from xxt_cdc_spark.queries import (
+    cdc,
+    corpus,
+    relational,
+    relational2,
+    streaming,
+    text,
+    vector,
+)
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -49,6 +57,6 @@ ORACLE: dict[str, str] = {}
 # the families that were cut off (streaming analytics, norm stats,
 # multimodal) FIRST, and the heaviest oracle comparisons last, so a
 # repeat truncation costs the least evidence.
-for mod in (streaming, vector, relational, relational2, cdc, text):
+for mod in (streaming, vector, corpus, relational, relational2, cdc, text):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)
