@@ -1,0 +1,95 @@
+"""Offset-resume on a NON-file streaming source (round-1 verdict,
+"what's missing" #1): the rate source's offsets live in the streaming
+checkpoint exactly like Kafka's, so killing the query mid-stream and
+restarting from the same checkpoint must lose nothing and leave no
+duplicate state behind (at-least-once transport + idempotent LWW apply
+= effectively-once)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+from xxt_cdc_spark.streaming.pipeline import (
+    CDCStreamPipeline,
+    read_rate_envelope_stream,
+)
+
+
+def _start(spark, ck, state):
+    def apply_fn(batch_df, _batch_id):
+        state.apply(
+            batch_df.select(
+                "db", "table", "key", "after", "pos_file", "pos_offset", "op"
+            ),
+            order_cols=["pos_file", "pos_offset"],
+        )
+
+    pipe = CDCStreamPipeline(
+        spark=spark,
+        source=read_rate_envelope_stream(spark, rows_per_second=500),
+        apply_fn=apply_fn,
+        checkpoint_dir=ck,
+        trigger_interval="500 milliseconds",
+        query_name="rate-resume",
+    )
+    return pipe.start()
+
+
+def _drain_until(state, min_rows: int, deadline_s: float = 90.0) -> int:
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        try:
+            n = state.read().count()
+        except Exception:
+            n = 0
+        if n >= min_rows:
+            return n
+        time.sleep(0.5)
+    raise AssertionError(f"state never reached {min_rows} rows")
+
+
+class TestRateSourceResume:
+    def test_kill_restart_no_loss_no_dup(self, spark, tmp_path):
+        ck = str(tmp_path / "ck")
+        state = ParquetStateTable(
+            spark, str(tmp_path / "state"), key_cols=["db", "table", "key"], n_buckets=8
+        )
+        state.init(
+            spark.createDataFrame(
+                [],
+                "db string, table string, key string, after string,"
+                " pos_file string, pos_offset long",
+            )
+        )
+
+        # phase 1: run until a few batches committed, then kill
+        q1 = _start(spark, ck, state)
+        try:
+            _drain_until(state, 200)
+        finally:
+            q1.stop()
+        s1 = state.read().agg(
+            F.count("*").alias("n"), F.max("pos_offset").alias("mx")
+        ).first()
+        # contiguous prefix: every emitted position applied exactly once
+        assert s1.n == s1.mx + 1
+
+        # phase 2: restart from the same checkpoint — the offset log,
+        # not the source, decides where to resume
+        q2 = _start(spark, ck, state)
+        try:
+            _drain_until(state, s1.n + 200)
+        finally:
+            q2.stop()
+        s2 = state.read().agg(
+            F.count("*").alias("n"),
+            F.max("pos_offset").alias("mx"),
+            F.count_distinct("pos_offset").alias("nd"),
+        ).first()
+        assert s2.mx > s1.mx  # it actually continued
+        # no gap (nothing skipped on resume), no duplicate rows (replayed
+        # in-flight batch absorbed by the idempotent keyed apply)
+        assert s2.n == s2.mx + 1 == s2.nd
