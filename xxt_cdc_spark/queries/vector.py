@@ -126,6 +126,52 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+# --- higher-order array function family --------------------------------------
+def vector_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-expression surface over array columns: transform /
+    filter / zip_with / aggregate / exists / forall / array_sort /
+    slice, all JVM-side inside codegen — per-vector feature extraction
+    with NO Python UDF, the pattern every 100 TB embedding job should
+    use before reaching for pandas."""
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    top = "reverse(array_sort(v))"
+    return v.select(
+        "vec_id",
+        F.expr("size(filter(v, x -> x > 0))").alias("n_pos"),
+        F.expr("array_max(transform(v, x -> abs(x)))").alias("max_abs"),
+        F.expr(
+            "aggregate(transform(v, x -> abs(x)), cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("l1"),
+        F.expr(
+            "aggregate(zip_with(v, reverse(v), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("palindot"),
+        F.expr("exists(v, x -> abs(x) > 2.0)").alias("has_outlier"),
+        F.expr("forall(v, x -> abs(x) <= 4.0)").alias("bounded"),
+        F.expr(f"{top}[0] + {top}[1] + {top}[2]").alias("top3_sum"),
+    ).orderBy("vec_id")
+
+
+HOF_FAMILY_SQL = """
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+srt AS (SELECT vec_id, v, list_sort(v, 'DESC') AS s FROM base)
+SELECT vec_id,
+  len([x for x in v if x > 0]) AS n_pos,
+  list_max([abs(x) for x in v]) AS max_abs,
+  list_sum([abs(x) for x in v]) AS l1,
+  list_sum([v[i] * v[len(v) + 1 - i] for i in range(1, len(v) + 1)]) AS palindot,
+  len([x for x in v if abs(x) > 2.0]) > 0 AS has_outlier,
+  len([x for x in v if abs(x) > 4.0]) = 0 AS bounded,
+  s[1] + s[2] + s[3] AS top3_sum
+FROM srt ORDER BY vec_id
+"""
+
+
 # --- multimodal binary plumbing ------------------------------------------------------
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -384,6 +430,7 @@ ORDER BY i, j
 # before the O(N²)-oracle ANN/near-dup family
 QUERIES = {
     "vector_norm_stats": vector_norm_stats,
+    "vector_hof_family": vector_hof_family,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
@@ -409,5 +456,6 @@ ORACLE = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "vector_norm_stats": NORM_STATS_SQL,
+    "vector_hof_family": HOF_FAMILY_SQL,
     "multimodal_binary_meta": MULTIMODAL_SQL,
 }
