@@ -313,3 +313,47 @@ class TestDedupRecall:
         capped = {(r.i, r.j) for r in D.jaccard_pairs(docs, threshold=0.5, df_cap=20).collect()}
         # stop-shingle cut prunes candidates, never verified pairs
         assert capped == exact
+
+    def test_incremental_simhash_dedup_across_batches(self, spark, tmp_path):
+        base = (
+            "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+            "behind the tall green hills of the quiet valley town"
+        )
+        near = base.replace("town", "city")  # 1-token delta → tiny hamming
+        dd = D.IncrementalSimHashDeduper(
+            spark, str(tmp_path / "shstate"), bits=64, max_hamming=6
+        )
+        b1 = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated content about spark execution engines"
+                            " and columnar storage formats for analytics")],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in dd.process(b1).collect()} == {1, 2}
+        b2 = spark.createDataFrame(
+            [
+                (10, near),  # near-copy of accepted doc 1 → dropped
+                (11, "genuinely fresh material discussing distributed joins"
+                     " broadcast strategies and shuffle partitioning at scale"),
+            ],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in dd.process(b2).collect()} == {11}
+        # replay stays lossless
+        assert {r.doc_id for r in dd.process(b2).collect()} == {11}
+        # in-batch near-pair collapses to lowest id; fresh deduper over
+        # the same persisted state still rejects stored near-dups
+        b3 = spark.createDataFrame(
+            [(20, base.replace("dog", "cat")), (21, "something else entirely about"
+              " vectorized execution and adaptive query planning in engines")],
+            "doc_id long, text string",
+        )
+        dd2 = D.IncrementalSimHashDeduper(
+            spark, str(tmp_path / "shstate"), bits=64, max_hamming=6
+        )
+        assert {r.doc_id for r in dd2.process(b3).collect()} == {21}
+
+    def test_incremental_simhash_rejects_unsafe_hamming(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            D.IncrementalSimHashDeduper(spark, str(tmp_path / "x"), bits=4, max_hamming=8)

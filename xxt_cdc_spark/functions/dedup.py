@@ -459,6 +459,19 @@ def simhash_pairs(
     """
     # the signature feeds four join branches (a/b sides × two halves);
     # cache the per-doc frame so the token-hash votes run once
+    sig = simhash_longs(df, text_col, id_col, bits).persist()
+    return simhash_pairs_from_longs(sig, id_col, bits, max_hamming)
+
+
+def simhash_longs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, s): the SimHash signature collapsed to ONE bigint per doc —
+    the form every downstream join/compare uses (8-byte shuffle keys,
+    ``bit_count(xor)`` hamming)."""
     if bits <= 32:
         to_long = "cast(conv(simhash, 2, 10) as bigint)"
     else:
@@ -470,11 +483,20 @@ def simhash_pairs(
             f"shiftleft(cast(conv(substring(simhash, 1, {hi}), 2, 10) as bigint), 32)"
             f" + cast(conv(substring(simhash, {hi + 1}, 32), 2, 10) as bigint)"
         )
-    sig = (
-        simhash_signature(df, text_col, id_col, bits)
-        .select(F.col(id_col), F.expr(to_long).alias("s"))
-        .persist()
+    return simhash_signature(df, text_col, id_col, bits).select(
+        F.col(id_col), F.expr(to_long).alias("s")
     )
+
+
+def simhash_pairs_from_longs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from a precomputed (id, s) long-signature frame —
+    the join/verify half of ``simhash_pairs``, reusable against stored
+    signatures (IncrementalSimHashDeduper)."""
     half = bits // 2
     mask = (1 << half) - 1
     a = sig.select(F.col(id_col).alias("i"), F.col("s").alias("si"))
@@ -738,6 +760,166 @@ class IncrementalNearDeduper:
                 "left_anti",
             )
             .select("band_index", "band_key", self.id_col, *self._sig_cols(), "bucket")
+        )
+        if not fresh_rows.isEmpty():
+            fresh_rows.write.mode("append").partitionBy("bucket").parquet(self.state_root)
+        return accepted
+
+
+class IncrementalSimHashDeduper:
+    """Cross-batch SimHash near-dup rejection against a persistent
+    half-key signature store (ROADMAP round-3 item 5) — the hamming-
+    distance twin of ``IncrementalNearDeduper``.
+
+    State layout (bucket-partitioned parquet, append-only):
+    ``max_hamming + 1`` rows per accepted doc, one per signature block
+    ``(block_index, block_key, id, s)``, partitioned by ``bucket =
+    pmod(hash(block_index, block_key), n_buckets)``. Splitting the
+    signature into ``max_hamming + 1`` blocks is the pigeonhole design
+    of Manku et al. (WWW'07 near-duplicate detection): two signatures
+    within hamming ``h`` differ in at most ``h`` blocks, so with
+    ``h + 1`` blocks at least one block matches EXACTLY — the block-key
+    equi-join is a LOSSLESS candidate filter, not an approximation
+    (unlike MinHash banding, which can miss pairs; a plain two-half
+    join misses e.g. a 1+3 bit split at h=4).
+
+    Per batch:
+
+    1. one bigint SimHash signature per doc (one md5 per token);
+    2. batch-internal collapse: block-key candidates →
+       ``bit_count(xor) ≤ max_hamming`` edges → connected components →
+       min-id survivor;
+    3. cross-batch: survivors' block-keys join the pruned state slice;
+       a survivor within max_hamming of ANY stored owner is dropped
+       (unless it IS the owner — replayed batches stay lossless);
+    4. append the accepted docs' block rows to the touched buckets.
+
+    Returns the accepted (id) frame.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        bits: int = 64,
+        max_hamming: int = 4,
+        n_buckets: int = 64,
+    ) -> None:
+        import os
+
+        if max_hamming + 1 > bits:
+            raise ValueError("need max_hamming + 1 blocks of >= 1 bit each")
+        self.spark = spark
+        self.state_root = state_root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bits = bits
+        self.max_hamming = max_hamming
+        self.n_buckets = n_buckets
+        os.makedirs(state_root, exist_ok=True)
+
+    def _block_exprs(self) -> list:
+        """One (s >> shift) & mask extractor per block; widths differ by
+        at most one bit. shiftright sign-extends, but the mask strips
+        the extension, so the top block is safe for negative s."""
+        n_blocks = self.max_hamming + 1
+        base, extra = divmod(self.bits, n_blocks)
+        exprs, shift = [], 0
+        for i in range(n_blocks):
+            w = base + (1 if i < extra else 0)
+            exprs.append(
+                F.shiftright("s", shift).bitwiseAND(F.lit((1 << w) - 1))
+            )
+            shift += w
+        return exprs
+
+    def _blocks(self, sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.col(self.id_col),
+            "s",
+            F.posexplode(F.array(*self._block_exprs())).alias(
+                "block_index", "block_key"
+            ),
+        ).withColumn(
+            "bucket", F.pmod(F.hash("block_index", "block_key"), F.lit(self.n_buckets))
+        )
+
+    def _read_state_buckets(self, buckets: list[int]) -> DataFrame:
+        import os
+
+        schema = f"block_index int, block_key long, {self.id_col} long, s long"
+        if not any(e.startswith("bucket=") for e in os.listdir(self.state_root)):
+            return self.spark.createDataFrame([], schema + ", bucket int")
+        return self.spark.read.parquet(self.state_root).filter(
+            F.col("bucket").isin(buckets)
+        )
+
+    def process(self, batch_df: DataFrame) -> DataFrame:
+        """Near-dedup one batch against itself and the store; persist
+        accepted half rows; return the accepted id frame."""
+        sig = simhash_longs(
+            batch_df, self.text_col, self.id_col, self.bits
+        ).localCheckpoint()
+        blocks = self._blocks(sig).localCheckpoint()
+
+        # 2. batch-internal collapse: block-key equi-join (lossless
+        # candidates by pigeonhole), exact hamming on the 8-byte sigs
+        a = blocks.select(
+            F.col(self.id_col).alias("i"), F.col("s").alias("si"),
+            "block_index", "block_key",
+        )
+        b = blocks.select(
+            F.col(self.id_col).alias("j"), F.col("s").alias("sj"),
+            "block_index", "block_key",
+        )
+        edges = (
+            a.join(b, ["block_index", "block_key"])
+            .filter(F.col("i") < F.col("j"))
+            .filter(F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))) <= self.max_hamming)
+            .select("i", "j")
+            .distinct()
+        )
+        comp = connected_components(
+            sig.select(F.col(self.id_col).alias("id")), edges, "id"
+        )
+        survivors = (
+            comp.groupBy("component").agg(F.min("id").alias(self.id_col)).select(self.id_col)
+        )
+        surv_blocks = blocks.join(survivors, self.id_col).localCheckpoint()
+
+        # 3. cross-batch: block-key equi-join against the pruned slice,
+        # exact hamming verification on the 8-byte signatures
+        touched = [r["bucket"] for r in surv_blocks.select("bucket").distinct().collect()]
+        state = self._read_state_buckets(touched)
+        owners = state.select(
+            "block_index",
+            "block_key",
+            F.col(self.id_col).alias("__owner"),
+            F.col("s").alias("os"),
+        )
+        matches = (
+            surv_blocks.join(owners, ["block_index", "block_key"])
+            .filter(
+                (F.bit_count(F.col("s").bitwiseXOR(F.col("os"))) <= self.max_hamming)
+                & (F.col("__owner") != F.col(self.id_col))
+            )
+            .select(self.id_col)
+            .distinct()
+        )
+        accepted = survivors.join(matches, self.id_col, "left_anti").localCheckpoint()
+
+        # 4. append accepted block rows (anti-join so replays don't
+        # double-store)
+        fresh_rows = (
+            surv_blocks.join(accepted, self.id_col)
+            .join(
+                state.select("block_index", "block_key", self.id_col),
+                ["block_index", "block_key", self.id_col],
+                "left_anti",
+            )
+            .select("block_index", "block_key", self.id_col, "s", "bucket")
         )
         if not fresh_rows.isEmpty():
             fresh_rows.write.mode("append").partitionBy("bucket").parquet(self.state_root)

@@ -447,6 +447,70 @@ ORDER BY i, j
 """
 
 
+# --- incremental cross-batch SimHash near-dup --------------------------------
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch SimHash near-dup rejection via the persistent
+    block-key store (IncrementalSimHashDeduper): even-id docs arrive
+    first; odd-id docs within MAX_HAMMING of anything accepted must be
+    dropped. The oracle mirrors the SEMANTICS with brute-force
+    all-pairs hamming — the (max_hamming+1)-block candidate join is
+    pigeonhole-lossless, so the two must agree exactly (this oracle
+    would catch a lossy candidate filter, unlike a mechanism mirror)."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="xxt_incr_simhash_")
+    try:
+        dd = D.IncrementalSimHashDeduper(
+            spark, state, bits=SIMHASH_BITS, max_hamming=MAX_HAMMING
+        )
+        dd.process(d.filter(F.col("doc_id") % 2 == 0))
+        return dd.process(d.filter(F.col("doc_id") % 2 == 1)).orderBy("doc_id")
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def _closure_sql(src: str) -> str:
+    """Recursive-CTE connected-components collapse of one batch under
+    brute-force hamming ≤ MAX_HAMMING edges; yields <src>surv."""
+    return f"""
+{src}edges AS (
+  SELECT a.doc_id AS i, b.doc_id AS j FROM {src} a JOIN {src} b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig::BIT, b.sig::BIT)) <= {MAX_HAMMING}
+),
+{src}sym AS (SELECT i AS a, j AS b FROM {src}edges UNION SELECT j, i FROM {src}edges),
+{src}reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM {src}
+  UNION
+  SELECT s.a, {src}reach.r FROM {src}sym s JOIN {src}reach ON s.b = {src}reach.id
+),
+{src}surv AS (SELECT id AS doc_id FROM {src}reach GROUP BY id HAVING id = MIN(r))"""
+
+
+DEDUP_INCREMENTAL_SIMHASH_SQL = f"""
+WITH RECURSIVE votes AS (
+  SELECT doc_id, {_votes_sql}
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+sig AS (SELECT doc_id, {_sig_sql} AS sig FROM votes),
+b1 AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+b2 AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+{_closure_sql('b1')},
+{_closure_sql('b2')},
+matches AS (
+  SELECT DISTINCT q.doc_id
+  FROM b2 q
+  JOIN b2surv s2 ON s2.doc_id = q.doc_id
+  JOIN b1 o ON bit_count(xor(q.sig::BIT, o.sig::BIT)) <= {MAX_HAMMING}
+  JOIN b1surv s1 ON s1.doc_id = o.doc_id
+)
+SELECT doc_id FROM b2surv
+WHERE doc_id NOT IN (SELECT doc_id FROM matches)
+ORDER BY doc_id
+"""
+
+
 # --- transitive dedup closure (connected components) ------------------------
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -545,6 +609,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_near": dedup_incremental_near,
+    "dedup_incremental_simhash": dedup_incremental_simhash,
 }
 
 ORACLE = {
@@ -562,4 +627,5 @@ ORACLE = {
     "dedup_simhash": SIMHASH_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
+    "dedup_incremental_simhash": DEDUP_INCREMENTAL_SIMHASH_SQL,
 }
