@@ -357,3 +357,33 @@ class TestDedupRecall:
 
         with _pytest.raises(ValueError):
             D.IncrementalSimHashDeduper(spark, str(tmp_path / "x"), bits=4, max_hamming=8)
+
+    def test_pq_kmeans_codebooks_recall_and_determinism(self, spark, sf_dir):
+        """Trained per-subspace codebooks: deterministic across runs and
+        at least as good as the fixed-seed codebooks on recall@10."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+        bf = {(r.query_id, r.item_id) for r in S.brute_force_topk(emb, queries, k=10).collect()}
+
+        def recall(rows):
+            return sum(1 for r in rows if (r.query_id, r.item_id) in bf) / len(bf)
+
+        km1 = S.pq_topk(emb, queries, k=10, codebooks="kmeans", n_iters=3).collect()
+        km2 = S.pq_topk(emb, queries, k=10, codebooks="kmeans", n_iters=3).collect()
+        assert sorted((r.query_id, r.rank, r.item_id) for r in km1) == sorted(
+            (r.query_id, r.rank, r.item_id) for r in km2
+        )
+        fixed = S.pq_topk(emb, queries, k=10, codebooks="fixed").collect()
+        # Lloyd's iterations fit the data distribution; they must not be
+        # WORSE than arbitrary seed slices (allow a one-hit slack for
+        # quantization ties)
+        assert recall(km1) >= recall(fixed) - 1 / len(bf), (
+            f"kmeans {recall(km1):.2f} vs fixed {recall(fixed):.2f}"
+        )
+
+    def test_pq_trained_codebook_shape(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = S.pq_train_codebooks(emb, n_subspaces=4, n_centroids=8, n_iters=2)
+        rows = cb.collect()
+        assert len(rows) == 32  # 4 subspaces x 8 centroids
+        assert all(len(r.cvec) == 16 for r in rows)  # 64 dims / 4
