@@ -387,3 +387,29 @@ class TestDedupRecall:
         rows = cb.collect()
         assert len(rows) == 32  # 4 subspaces x 8 centroids
         assert all(len(r.cvec) == 16 for r in rows)  # 64 dims / 4
+
+    def test_nsw_recall_determinism_and_guard(self, spark, sf_dir):
+        """NSW broadcast-index ANN: high recall vs brute force on a
+        small corpus, identical output across runs, exact re-scored
+        cosines, and the oversize guard refuses to collect."""
+        import pytest as _pytest
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        bf = S.brute_force_topk(emb, queries, k=10)
+        bf_set = {(r.query_id, r.item_id) for r in bf.collect()}
+        nsw1 = S.nsw_topk(emb, queries, k=10, m=8, ef_search=48).collect()
+        nsw2 = S.nsw_topk(emb, queries, k=10, m=8, ef_search=48).collect()
+        assert sorted((r.query_id, r.rank, r.item_id) for r in nsw1) == sorted(
+            (r.query_id, r.rank, r.item_id) for r in nsw2
+        )
+        recall = sum(1 for r in nsw1 if (r.query_id, r.item_id) in bf_set) / len(bf_set)
+        # graph search with ef=48 on a 500-vector corpus should be
+        # near-exhaustive
+        assert recall >= 0.8, f"recall {recall:.2f}"
+        bf_scores = {(r.query_id, r.item_id): r.cosine for r in bf.collect()}
+        for r in nsw1:
+            if (r.query_id, r.item_id) in bf_scores:
+                assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-9
+        with _pytest.raises(ValueError, match="max_broadcast_rows"):
+            S.nsw_topk(emb, queries, k=10, max_broadcast_rows=10)
