@@ -46,6 +46,13 @@ HEADLINE = [
     "multimodal_image_features",
     "range_join_order_events",
     "lead_lag_user_gaps",
+    "text_tfidf_topk",
+    "text_bm25_search",
+    "vector_hof_family",
+    # dedup_incremental_simhash is deliberately NOT a headline entry:
+    # it replays a 5-batch incremental pipeline (persistent store,
+    # per-batch jobs), so its wall-clock measures batch-loop overhead,
+    # not single-query latency; the oracle sweep covers its correctness
 ]
 
 
