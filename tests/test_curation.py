@@ -1,0 +1,143 @@
+"""Unit tests for the curation operator family (functions/curation.py):
+repetition gates, PII scrubbing, stratified sampling, sequence packing,
+and domain mixing. Cross-engine value equality is covered by the oracle
+sweep; these tests pin the SEMANTICS on crafted inputs where the right
+answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions import curation as CU
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# --- repetition --------------------------------------------------------------
+def test_repetition_flags_degenerate_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam", "en", "s"),        # all one token
+            (2, "a b c d e f g h i j", "en", "s"),             # all distinct
+            (3, "x y x y x y x y", "en", "s"),                 # repeated bigrams
+            (4, "solo", "en", "s"),                            # single token
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert out[1]["top_token_frac"] == 1.0 and out[1]["flagged"]
+    assert out[2]["top_token_frac"] == pytest.approx(0.1)
+    assert out[2]["dup_bigram_frac"] == 0.0 and not out[2]["flagged"]
+    # doc 3: bigrams = [x y, y x, x y, y x, x y, y x, x y] → 2 distinct of 7
+    assert out[3]["dup_bigram_frac"] == pytest.approx(1 - 2 / 7)
+    assert out[3]["flagged"]
+    # single-token doc: no bigrams → dup share 0 by definition
+    assert out[4]["dup_bigram_frac"] == 0.0 and out[4]["n_tok"] == 1
+
+
+# --- PII scrub ---------------------------------------------------------------
+def test_redact_and_count_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "call +1-555-0192 or +44-555-0000 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        CU.pattern_count("t", CU.EMAIL_RE).alias("em"),
+        CU.pattern_count("t", CU.PHONE_RE).alias("ph"),
+        CU.redact(CU.redact("t", CU.EMAIL_RE, "[EMAIL]"), CU.PHONE_RE, "[PHONE]").alias("red"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["em"] == 1 and "[EMAIL]" in by_id[1]["red"]
+    assert "alice" not in by_id[1]["red"]
+    assert by_id[2]["ph"] == 2 and by_id[2]["red"].count("[PHONE]") == 2
+    assert by_id[3]["em"] == 0 and by_id[3]["ph"] == 0
+    assert by_id[3]["red"] == "nothing sensitive here"
+
+
+# --- stratified sampling -----------------------------------------------------
+def test_stratified_rates_and_determinism(spark):
+    rows = [(i, "w " * 5, ["en", "de"][i % 2], "s") for i in range(2000)]
+    df = _docs(spark, rows)
+    keep = CU.stratified_keep("doc_id", "lang", {"en": "40", "de": "g0"})
+    agg = (
+        df.select("lang", keep.cast("int").alias("k"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("kept"))
+        .collect()
+    )
+    by_lang = {r["lang"]: r for r in agg}
+    # de: 'g0' keeps everything; en: '40' = 64/256 = 25% ± sampling noise
+    assert by_lang["de"]["kept"] == by_lang["de"]["n"]
+    assert 0.18 <= by_lang["en"]["kept"] / by_lang["en"]["n"] <= 0.32
+    # repartitioning must not change any document's fate
+    again = (
+        df.repartition(13)
+        .select("doc_id", keep.alias("k"))
+        .collect()
+    )
+    first = dict(
+        df.select("doc_id", keep.alias("k")).collect()
+    )
+    assert dict(again) == first
+
+
+def test_stratified_unknown_stratum_dropped(spark):
+    df = _docs(spark, [(1, "x", "xx", "s"), (2, "x", "en", "s")])
+    keep = CU.stratified_keep("doc_id", "lang", {"en": "g0"})
+    out = dict(df.select("doc_id", keep).collect())
+    assert out[1] is False or out[1] == 0
+    assert out[2]
+
+
+# --- sequence packing --------------------------------------------------------
+def test_pack_bins_partitions_and_conserves_tokens(spark):
+    rows = [(i, "t " * 100, "en", "s") for i in range(64)]  # 100 tokens each
+    df = _docs(spark, rows)
+    out = CU.pack_bins(df, "doc_id", "text", seq_len=256).collect()
+    # token conservation: every document lands in exactly one bin
+    assert sum(r["tokens"] for r in out) == 64 * 100
+    # within a shard, bins are dense from 0 and ordered
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, bins in by_shard.items():
+        ids = sorted(b["bin"] for b in bins)
+        assert ids[0] == 0 and ids == list(range(len(ids)))
+        # chop rule: a bin is "full" when the NEXT doc starts past the
+        # boundary, so every non-final bin holds ≥ seq_len - 99 tokens
+        for b in sorted(bins, key=lambda x: x["bin"])[:-1]:
+            assert b["tokens"] >= 256 - 99
+
+
+def test_pack_bins_deterministic_under_repartition(spark):
+    rows = [(i, "t " * (i % 37 + 1), "en", "s") for i in range(200)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, CU.pack_bins(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, CU.pack_bins(df.repartition(17), "doc_id", "text").collect()))
+    assert a == b
+
+
+# --- domain mix --------------------------------------------------------------
+def test_domain_mix_weights_normalize_and_upweight_small(spark):
+    rows = [(i, "w " * 200, "en", "big") for i in range(90)] + [
+        (1000 + i, "w " * 200, "en", "small") for i in range(10)
+    ]
+    df = _docs(spark, rows)
+    out = {r["source"]: r for r in CU.domain_mix(df, "source", "text").collect()}
+    assert out["big"]["token_share"] == pytest.approx(0.9)
+    assert sum(r["mix_weight"] for r in out.values()) == pytest.approx(1.0, abs=1e-6)
+    # alpha < 1 compresses the gap: small domain's weight > its share
+    assert out["small"]["mix_weight"] > out["small"]["token_share"]
+    assert out["big"]["mix_weight"] < out["big"]["token_share"]

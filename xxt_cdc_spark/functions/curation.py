@@ -1,0 +1,213 @@
+"""Corpus-curation operators: repetition filters, PII scrubbing,
+stratified sampling, sequence packing, and domain mixing.
+
+These are the curation half of a training-data pipeline (dedup lives in
+functions/dedup.py, relevance in functions/text.py): the Gopher-style
+repetition gates, the scrub pass that strips emails/phones before text
+reaches a training shard, deterministic per-stratum downsampling, the
+concat-and-chop packing that turns documents into fixed-token training
+sequences, and temperature-smoothed domain mixture weights.
+
+Everything is pyspark.sql.functions built-ins (regexp / lambda /
+window / hash expressions) running inside whole-stage codegen — no
+Python UDFs — and every operator has an ANSI-SQL twin in
+queries/curation.py for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions.text import token_count, tokens
+
+# Patterns use only syntax shared by Java regex (Spark) and RE2
+# (DuckDB): classes, bounded repetition, alternation — no backrefs or
+# lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pattern_count(col: Column | str, pattern: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def redact(col: Column | str, pattern: str, token: str) -> Column:
+    """Replace every match of ``pattern`` with ``token`` (Spark's
+    regexp_replace is global; the DuckDB twin needs the 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, token)
+
+
+# --- repetition statistics (Gopher-style quality gates) ----------------------
+
+TOP_TOKEN_MAX = 0.20
+DUP_BIGRAM_MAX = 0.30
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition profile: most-frequent-token share and
+    duplicate-bigram share, with the Gopher-style flag
+    (top_token_frac > 0.20 OR dup_bigram_frac > 0.30).
+
+    Plan shape for 100 TB: both statistics come from explode →
+    (doc, term) hash aggregations with map-side partial counts — the
+    same one-shuffle shape as term_frequencies — NOT per-row nested
+    lambdas (an O(tokens·distinct) quadratic per document). Documents
+    with fewer than two tokens have no bigrams; their duplicate share
+    is 0 by definition (left join + coalesce).
+    """
+    tok_tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tok_stats = tok_tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tok"),
+        F.max("tf").alias("top_tf"),
+    )
+    # bigram array via a guarded index lambda: sequence(a, b) runs
+    # DESCENDING in Spark when b < a, so single-token docs must
+    # short-circuit to an empty array
+    t = f"split(trim({text_col}), '\\\\s+')"
+    bigrams = F.expr(
+        f"IF(size({t}) >= 2, "
+        f"transform(sequence(0, size({t}) - 2), i -> concat({t}[i], ' ', {t}[i + 1])), "
+        f"array())"
+    )
+    bi_tf = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("tf"))
+    )
+    bi_stats = bi_tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    joined = tok_stats.join(bi_stats, id_col, "left")
+    top_frac = F.round(F.col("top_tf") / F.col("n_tok"), 9)
+    dup_frac = F.coalesce(
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 9
+        ),
+        F.lit(0.0),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (
+            (top_frac > TOP_TOKEN_MAX) | (dup_frac > DUP_BIGRAM_MAX)
+        ).alias("flagged"),
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+SAMPLE_SALT = "sample:"
+
+
+def stratified_keep(
+    id_col: str, stratum_col: str, rates: dict[str, str]
+) -> Column:
+    """Deterministic keep/drop decision for per-stratum downsampling.
+
+    ``rates`` maps stratum value → 2-hex-char threshold: a document is
+    kept iff the first two hex chars of md5(salt ‖ id) sort below the
+    stratum's threshold, giving an exact k/256 sampling rate ('40' =
+    25 %, '80' = 50 %, 'g0' = keep-all since 'ff' < 'g0'). Hash-of-id
+    gating is stable across runs, engines, partitioning and cluster
+    size — re-running curation never flips a document's fate, which is
+    what makes incremental corpus rebuilds reproducible. Unknown
+    strata are dropped (threshold '00')."""
+    h2 = F.substring(
+        F.md5(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))), 1, 2
+    )
+    expr = F.lit("00")
+    for stratum, bound in rates.items():
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(bound)).otherwise(expr)
+    return h2 < expr
+
+
+# --- sequence packing (concat-and-chop) --------------------------------------
+
+PACK_SALT = "shard:"
+SEQ_LEN = 256
+N_SHARDS = 16
+
+
+def pack_bins(
+    df: DataFrame, id_col: str, text_col: str, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are sharded by a
+    hash of their id, concatenated in id order within each shard, and
+    chopped into fixed ``seq_len``-token training sequences; a document
+    lands in the bin where its first token falls.
+
+    The window (cumulative token count) partitions BY SHARD — there is
+    no global ordering, so at 100 TB each shard's packing runs
+    independently on its own executor and the shard count scales with
+    the cluster, while the assignment stays deterministic (hash + id
+    order, not partition order)."""
+    shard = F.substring(
+        F.md5(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string"))), 1, 1
+    )
+    sized = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.select(
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len).alias("bin"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+
+
+# --- domain mixture weights --------------------------------------------------
+
+MIX_ALPHA = 0.3
+MIX_DEC = "decimal(18,12)"
+
+
+def domain_mix(
+    df: DataFrame, source_col: str, text_col: str, alpha: float = MIX_ALPHA
+) -> DataFrame:
+    """Per-domain token shares and temperature-smoothed sampling
+    weights w_d = share_d^alpha / Σ share^alpha (the multilingual /
+    multi-domain mixing rule; alpha < 1 upweights small domains).
+
+    One corpus-wide aggregation to domain granularity (thousands of
+    rows at worst), then window normalizations over that tiny frame.
+    Double sums at domain granularity go through exact decimal casts so
+    partition order can't perturb the normalizing constants."""
+    per_domain = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("tokens"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("tokens") / F.sum("tokens").over(everything)
+    # round share^alpha to a fixed decimal BEFORE the normalizing sum:
+    # exact decimal addition is order-free, so both engines compute the
+    # identical normalizer regardless of aggregation order
+    smoothed = F.round(F.pow(share, F.lit(alpha)), 12).cast(MIX_DEC)
+    # divide as doubles: decimal÷decimal rounding rules differ between
+    # engines, but decimal→double casts and double division do not
+    weight = smoothed.cast("double") / F.sum(smoothed).over(everything).cast("double")
+    return per_domain.select(
+        F.col(source_col),
+        "n_docs",
+        "tokens",
+        F.round(share, 9).alias("token_share"),
+        F.round(weight, 9).alias("mix_weight"),
+    )

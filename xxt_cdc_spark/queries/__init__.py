@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from xxt_cdc_spark.queries import (
     cdc,
     corpus,
+    curation,
     relational,
     relational2,
     streaming,
@@ -57,6 +58,6 @@ ORACLE: dict[str, str] = {}
 # the families that were cut off (streaming analytics, norm stats,
 # multimodal) FIRST, and the heaviest oracle comparisons last, so a
 # repeat truncation costs the least evidence.
-for mod in (streaming, vector, corpus, relational, relational2, cdc, text):
+for mod in (streaming, vector, corpus, curation, relational, relational2, cdc, text):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)

@@ -1,0 +1,240 @@
+"""Curation queries: repetition gates, PII scrubbing, stratified
+sampling, sequence packing, and domain mixing over the documents table.
+
+The synthetic corpus contains no real PII, so the scrub query plants
+deterministic emails/phones derived from doc_id — IDENTICALLY in both
+engines — and then verifies that detection counts and redacted-length
+deltas agree; the redaction logic itself is what's under test, with
+non-trivial (non-zero, non-uniform) match counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions import curation as CU
+from xxt_cdc_spark.functions.text import token_count
+
+_TOK = "string_split_regex(trim(text), '\\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- per-document repetition profile -----------------------------------------
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-token share + duplicate-bigram
+    share per document, flag = top > 0.20 OR dup > 0.30."""
+    out = CU.repetition_stats(_docs(spark, sf_dir), "text", "doc_id")
+    return out.withColumn("flagged", F.col("flagged").cast("int")).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2
+),
+ts AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, MAX(tf) AS top_tf FROM tf GROUP BY 1),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM t
+),
+btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, SUM(tf) AS n_bigrams, count(*) AS n_distinct FROM btf GROUP BY 1)
+SELECT ts.doc_id, n_tok,
+       round(top_tf / n_tok, 9) AS top_token_frac,
+       coalesce(round(1.0 - n_distinct / n_bigrams, 9), 0.0) AS dup_bigram_frac,
+       CAST(round(top_tf / n_tok, 9) > {CU.TOP_TOKEN_MAX}
+            OR coalesce(round(1.0 - n_distinct / n_bigrams, 9), 0.0) > {CU.DUP_BIGRAM_MAX}
+            AS INT) AS flagged
+FROM ts LEFT JOIN bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- PII scrub ---------------------------------------------------------------
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.withColumn(
+        "aug", F.when(F.col("doc_id") % 3 == 0, planted).otherwise(F.col("text"))
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass over the (PII-planted) corpus: per-language match
+    counts for email and phone patterns plus the total characters
+    removed by redaction. Single projection + one partial-aggregated
+    groupBy — the scan-shaped plan a 100 TB scrub job needs."""
+    a = _augmented(spark, sf_dir)
+    scrubbed = CU.redact(
+        CU.redact("aug", CU.EMAIL_RE, "[EMAIL]"), CU.PHONE_RE, "[PHONE]"
+    )
+    return (
+        a.select(
+            "lang",
+            CU.pattern_count("aug", CU.EMAIL_RE).alias("em"),
+            CU.pattern_count("aug", CU.PHONE_RE).alias("ph"),
+            (F.length("aug") - F.length(scrubbed)).cast("long").alias("cut"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("em").alias("emails_found"),
+            F.sum("ph").alias("phones_found"),
+            F.sum("cut").alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PII_SQL = f"""
+WITH a AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com call +1-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS aug
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(aug, '{CU.EMAIL_RE}'))) AS BIGINT) AS emails_found,
+       CAST(SUM(len(regexp_extract_all(aug, '{CU.PHONE_RE}'))) AS BIGINT) AS phones_found,
+       CAST(SUM(length(aug) - length(
+         regexp_replace(regexp_replace(aug, '{CU.EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{CU.PHONE_RE}', '[PHONE]', 'g'))) AS BIGINT) AS redacted_chars
+FROM a GROUP BY lang ORDER BY lang
+"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+# 2-hex-char thresholds: exact k/256 rates per language ('g0' = keep all)
+SAMPLE_RATES = {"en": "40", "de": "g0", "es": "80", "fr": "c0", "zh": "1a"}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling report under deterministic hash-gated
+    stratified sampling (en 25 %, de 100 %, es 50 %, fr 75 %, zh ~10 %)."""
+    d = _docs(spark, sf_dir)
+    keep = CU.stratified_keep("doc_id", "lang", SAMPLE_RATES)
+    return (
+        d.select(
+            "lang",
+            keep.cast("int").alias("kept"),
+            token_count("text").cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
+            F.round(F.sum("kept") / F.count("*"), 9).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_rate_cases = " ".join(
+    f"WHEN lang = '{s}' THEN '{b}'" for s, b in SAMPLE_RATES.items()
+)
+STRATIFIED_SQL = f"""
+WITH gated AS (
+  SELECT lang,
+         CASE WHEN substr(md5('{CU.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < (CASE {_rate_cases} ELSE '00' END)
+              THEN 1 ELSE 0 END AS kept,
+         len({_TOK}) AS n_tok
+  FROM documents
+)
+SELECT lang, count(*) AS total_docs,
+       CAST(SUM(kept) AS BIGINT) AS kept_docs,
+       CAST(SUM(kept * n_tok) AS BIGINT) AS kept_tokens,
+       round(SUM(kept) / count(*), 9) AS kept_frac
+FROM gated GROUP BY lang ORDER BY lang
+"""
+
+
+# --- sequence packing --------------------------------------------------------
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing into 256-token sequences across 16 hash
+    shards: per-(shard, bin) document and token counts."""
+    return CU.pack_bins(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "shard", "bin"
+    )
+
+
+PACK_SQL = f"""
+WITH sized AS (
+  SELECT substr(md5('{CU.PACK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT shard, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // {CU.SEQ_LEN}
+              AS BIGINT) AS bin
+  FROM sized
+)
+SELECT shard, bin, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- domain mixture weights --------------------------------------------------
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha = 0.3) domain sampling weights from
+    per-source token shares."""
+    return CU.domain_mix(_docs(spark, sf_dir), "source", "text").orderBy("source")
+
+
+MIX_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(len({_TOK})) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+sh AS (
+  SELECT source, n_docs, tokens,
+         tokens / SUM(tokens) OVER () AS share FROM per
+),
+sm AS (
+  SELECT *, CAST(round(pow(share, {CU.MIX_ALPHA}), 12) AS DECIMAL(18,12)) AS smoothed
+  FROM sh
+)
+SELECT source, n_docs, tokens,
+       round(share, 9) AS token_share,
+       round(CAST(smoothed AS DOUBLE) / CAST(SUM(smoothed) OVER () AS DOUBLE), 9) AS mix_weight
+FROM sm ORDER BY source
+"""
+
+
+QUERIES = {
+    "text_repetition_stats": text_repetition_stats,
+    "text_pii_redact": text_pii_redact,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_domain_mix": corpus_domain_mix,
+}
+
+ORACLE = {
+    "text_repetition_stats": REPETITION_SQL,
+    "text_pii_redact": PII_SQL,
+    "corpus_stratified_sample": STRATIFIED_SQL,
+    "corpus_pack_sequences": PACK_SQL,
+    "corpus_domain_mix": MIX_SQL,
+}
