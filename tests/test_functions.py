@@ -413,3 +413,56 @@ class TestDedupRecall:
                 assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-9
         with _pytest.raises(ValueError, match="max_broadcast_rows"):
             S.nsw_topk(emb, queries, k=10, max_broadcast_rows=10)
+
+    def test_ivf_nsw_composed_recall_and_determinism(self, spark, sf_dir):
+        """IVF-routed per-bucket NSW (the above-broadcast-cap composed
+        design): recall in flat IVF's neighborhood (same routing, so
+        bounded by the same probe set), deterministic across runs and
+        input partitioning, exact re-scored cosines, and NO driver-side
+        corpus materialization in the plan (applyInPandas, not a
+        broadcast of a collected matrix)."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        bf = S.brute_force_topk(emb, queries, k=10)
+        bf_rows = bf.collect()
+        bf_set = {(r.query_id, r.item_id) for r in bf_rows}
+        out1 = S.ivf_nsw_topk(emb, queries, k=10, n_centroids=8, n_probe=3).collect()
+        # same-input rerun is deterministic even in kmeans mode...
+        out2 = S.ivf_nsw_topk(emb, queries, k=10, n_centroids=8, n_probe=3).collect()
+        key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
+        assert key(out1) == key(out2)
+        # ...while partition-order independence needs the fixed-centroid
+        # mode (Spark ML's k-means|| init samples vary with partitioning)
+        fx1 = S.ivf_nsw_topk(
+            emb, queries, k=10, n_centroids=8, n_probe=3, centroids="fixed"
+        ).collect()
+        fx2 = S.ivf_nsw_topk(
+            emb.repartition(7), queries, k=10, n_centroids=8, n_probe=3, centroids="fixed"
+        ).collect()
+        assert key(fx1) == key(fx2)
+        recall = sum(1 for r in out1 if (r.query_id, r.item_id) in bf_set) / len(bf_set)
+        # bounded by IVF routing (3/8 probes) ∩ NSW search; must stay in
+        # the flat-IVF neighborhood, not degrade to noise
+        assert recall >= 0.4, f"recall {recall:.2f}"
+        bf_scores = {(r.query_id, r.item_id): r.cosine for r in bf_rows}
+        for r in out1:
+            if (r.query_id, r.item_id) in bf_scores:
+                assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-9
+
+    def test_ivf_nsw_matches_flat_ivf_routing(self, spark, sf_dir):
+        """With ef_search covering whole buckets, per-bucket NSW search
+        is exhaustive, so the composed variant must return EXACTLY the
+        flat ivf_topk result (same probes → same candidate pool → same
+        top-k). This pins the routing composition, independent of graph
+        recall."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        flat = S.ivf_topk(
+            emb, queries, k=10, n_centroids=4, n_probe=4, centroids="fixed"
+        ).collect()
+        composed = S.ivf_nsw_topk(
+            emb, queries, k=10, n_centroids=4, n_probe=4,
+            m=16, ef_search=10_000, centroids="fixed",
+        ).collect()
+        key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
+        assert key(flat) == key(composed)

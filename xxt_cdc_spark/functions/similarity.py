@@ -126,39 +126,22 @@ def normalized(vec_col: str) -> Column:
     )
 
 
-def ivf_topk(
+def _ivf_assign(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 8,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    centroids: str = "kmeans",
-) -> DataFrame:
-    """IVF (inverted-file) ANN: centroid-partition the corpus, search
-    only the ``n_probe`` centroids nearest each query.
-
-    The higher-recall alternative to sign-LSH bucketing: centroids
-    adapt to the data distribution instead of fixed hyperplanes. At
-    100 TB the corpus is written partitioned by centroid id so a query
-    reads ``n_probe`` partitions; here the centroid assignment is
-    computed inline.
-
-    Two centroid sources:
-
-    - ``centroids="kmeans"``: seeded Spark-ML KMeans — deterministic
-      within Spark, but not expressible in SQL (recall is pytest-
-      checked against brute force).
-    - ``centroids="fixed"``: the ``n_centroids`` lowest-id corpus
-      vectors act as seed centroids. Slightly lower recall than
-      learned centroids, but fully deterministic AND SQL-expressible,
-      so the registered query carries a complete DuckDB value-hash
-      oracle (round-1 verdict: rows-only checks are weak evidence).
-      The inverted-file plumbing (assignment, probes, per-centroid
-      search) is identical in both modes.
-    """
+    n_centroids: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    centroids: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF routing: returns (assigned, probes) where
+    ``assigned`` = (item_id, cv, centroid) — each corpus vector in its
+    nearest-centroid partition — and ``probes`` = (query_id, qv,
+    centroid) — the ``n_probe`` centroids each query searches. Both
+    ``ivf_topk`` (flat within-partition scan) and ``ivf_nsw_topk``
+    (per-partition graph index) route through this."""
     if centroids == "fixed":
         cen_df = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(
             F.col(id_col).cast("int").alias("centroid"),
@@ -207,6 +190,45 @@ def ivf_topk(
         q_cen.withColumn("crank", F.row_number().over(w_c))
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", "centroid")
+    )
+    return assigned, probes
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: centroid-partition the corpus, search
+    only the ``n_probe`` centroids nearest each query.
+
+    The higher-recall alternative to sign-LSH bucketing: centroids
+    adapt to the data distribution instead of fixed hyperplanes. At
+    100 TB the corpus is written partitioned by centroid id so a query
+    reads ``n_probe`` partitions; here the centroid assignment is
+    computed inline.
+
+    Two centroid sources:
+
+    - ``centroids="kmeans"``: seeded Spark-ML KMeans — deterministic
+      within Spark, but not expressible in SQL (recall is pytest-
+      checked against brute force).
+    - ``centroids="fixed"``: the ``n_centroids`` lowest-id corpus
+      vectors act as seed centroids. Slightly lower recall than
+      learned centroids, but fully deterministic AND SQL-expressible,
+      so the registered query carries a complete DuckDB value-hash
+      oracle (round-1 verdict: rows-only checks are weak evidence).
+      The inverted-file plumbing (assignment, probes, per-centroid
+      search) is identical in both modes.
+    """
+    assigned, probes = _ivf_assign(
+        corpus, queries, n_centroids, n_probe, id_col, vec_col, seed, centroids
     )
 
     scored = (
@@ -703,3 +725,87 @@ def nsw_topk(
         F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv")
     )
     return q.mapInPandas(search, "query_id long, rank int, item_id long, cosine double")
+
+
+def ivf_nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ef_search: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """Composed scale-path ANN: IVF centroid routing + an NSW graph
+    PER CENTROID PARTITION, built and searched inside the partition's
+    own task (ROADMAP item 6 — the design for corpora above
+    ``nsw_topk``'s broadcast cap).
+
+    Plan shape: one groupBy(centroid) ``applyInPandas`` receives each
+    inverted list together with the queries routed to it (union of the
+    two sides, shuffled once on the centroid key). The task builds the
+    bucket's NSW graph — O(bucket²) worst case, bounded by the
+    inverted-list size, embarrassingly parallel across centroids — and
+    greedy-searches its routed queries. A final per-query window merges
+    the ``n_probe`` bucket result sets. Nothing corpus-sized ever
+    reaches the driver, and the graph-build cost scales out with the
+    centroid count, which is the knob that grows with the cluster.
+
+    Candidates are re-scored as exact cosines on float64, so shared
+    pairs match brute force to float precision; recall is bounded by
+    IVF routing ∩ NSW search (pytest-checked vs brute force).
+    """
+    import pandas as pd
+
+    assigned, probes = _ivf_assign(
+        corpus, queries, n_centroids, n_probe, id_col, vec_col, seed, centroids
+    )
+    # one frame, both roles: items carry role=0, routed queries role=1
+    items = assigned.select(
+        "centroid",
+        F.lit(0).alias("role"),
+        F.col("item_id").alias("vid"),
+        normalized("cv").alias("v"),
+    )
+    routed = probes.select(
+        "centroid",
+        F.lit(1).alias("role"),
+        F.col("query_id").alias("vid"),
+        normalized("qv").alias("v"),
+    )
+    both = items.unionByName(routed)
+
+    def bucket_search(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        it = pdf[pdf["role"] == 0].sort_values("vid")
+        qs = pdf[pdf["role"] == 1].sort_values("vid")
+        if len(it) == 0 or len(qs) == 0:
+            return pd.DataFrame(columns=["query_id", "item_id", "cosine"])
+        ids = it["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(it["v"]), dtype=np.float64)
+        neighbors = nsw_build_index(mat, m=m)
+        out = []
+        for qid, qv in zip(qs["vid"], qs["v"]):
+            q = np.asarray(qv, dtype=np.float64)
+            found = _nsw_search(mat, neighbors, q, ef_search, n_existing=len(ids))
+            for c in found:
+                if int(ids[c]) != int(qid):
+                    out.append((int(qid), int(ids[c]), float(np.dot(mat[c], q))))
+        return pd.DataFrame(out, columns=["query_id", "item_id", "cosine"])
+
+    cand = both.groupBy("centroid").applyInPandas(
+        bucket_search, "query_id long, item_id long, cosine double"
+    )
+    # merge the n_probe bucket result sets per query (an item lives in
+    # exactly one inverted list, so no dedup is needed)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )
