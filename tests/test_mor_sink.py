@@ -1,0 +1,134 @@
+"""Merge-on-read changelog sink: JVM-only streaming append, read-time
+convergence, compaction watermark, exactly-once restart."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+
+def _typed(spark, rows):
+    """Typed change rows: payload (id, v) + op + composite position."""
+    return spark.createDataFrame(
+        rows, "id long, v string, op string, pos_file string, pos_offset long"
+    )
+
+
+B1 = [
+    (1, "a1", "I", "bin.000001", 10),
+    (2, "b1", "I", "bin.000001", 11),
+    (3, "c1", "I", "bin.000001", 12),
+    (2, "b2", "U", "bin.000001", 13),
+]
+B2 = [
+    (3, None, "D", "bin.000001", 20),
+    (4, "d1", "I", "bin.000001", 21),
+    (1, "a2", "U", "bin.000001", 22),
+]
+# post-rotation batch: offsets RESET to small values — the composite
+# watermark must still order these AFTER bin.000001 offsets
+B3 = [
+    (4, "d2", "U", "bin.000002", 3),
+    (5, "e1", "I", "bin.000002", 4),
+    (5, None, "D", "bin.000002", 5),
+]
+
+
+def _state(df):
+    return sorted((r.id, r.v) for r in df.select("id", "v").collect())
+
+
+class TestChangelogMor:
+    def test_converged_from_log_only(self, spark, tmp_path):
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        t.append_batch(_typed(spark, B2))
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d1")]
+
+    def test_compaction_preserves_state_and_advances_watermark(self, spark, tmp_path):
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        before = _state(t.converged())
+        stats = t.compact()
+        assert stats["compacted_rows"] == len(B1)
+        assert _state(t.converged()) == before
+        wm = json.load(open(tmp_path / "t" / "_mor_compaction.json"))
+        assert (wm["pos_file"], wm["pos_offset"]) == ("bin.000001", 13)
+        # suffix after compaction is empty → converged == base state
+        assert t._log_suffix().count() == 0
+
+    def test_deletes_survive_compaction_and_rotation(self, spark, tmp_path):
+        """A delete in the suffix must drop a compacted base row, a
+        delete folded by compaction must not resurrect, and offsets
+        that reset at a file rotation must still be ordered after."""
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        t.compact()
+        t.append_batch(_typed(spark, B2))
+        # suffix delete (id=3) removes a base row at read time
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d1")]
+        t.compact()
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d1")]
+        # rotation: pos_offset resets below the watermark offset
+        t.append_batch(_typed(spark, B3))
+        assert t._log_suffix().count() == len(B3)
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d2")]
+        t.compact()
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d2")]
+
+    def test_compaction_replay_idempotent(self, spark, tmp_path):
+        """Replaying the same suffix through compaction (crash between
+        state apply and watermark write) converges to the same state."""
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        t.compact()
+        # simulate the crash: rewind the watermark, compact again
+        os.remove(tmp_path / "t" / "_mor_compaction.json")
+        t.compact()
+        assert _state(t.converged()) == [(1, "a1"), (2, "b2"), (3, "c1")]
+
+    def test_streaming_append_is_jvm_only_and_exactly_once(self, spark, tmp_path):
+        """The write path must contain no Python evaluation (that is the
+        whole point of merge-on-read here), and a restart from the same
+        checkpoint must not duplicate log rows."""
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        schema = "id long, v string, op string, pos_file string, pos_offset long"
+
+        def write_file(name, rows):
+            with open(src_dir / name, "w") as f:
+                for (i, v, op, pf, po) in rows:
+                    f.write(
+                        json.dumps(
+                            {"id": i, "v": v, "op": op, "pos_file": pf, "pos_offset": po}
+                        )
+                        + "\n"
+                    )
+
+        write_file("b1.json", B1)
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        stream = spark.readStream.schema(schema).json(str(src_dir))
+
+        q = t.start_stream(stream, str(tmp_path / "ck"), trigger={"availableNow": True})
+        q.awaitTermination(120)
+        # restart with one more file: only the new rows append
+        write_file("b2.json", B2)
+        q2 = t.start_stream(stream, str(tmp_path / "ck"), trigger={"availableNow": True})
+        q2.awaitTermination(120)
+        log = t.log()
+        assert log.count() == len(B1) + len(B2)
+        # no Python eval operators anywhere in the log-append plan
+        batch_plan = log._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in batch_plan and "MapInPandas" not in batch_plan
+        assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d1")]
+
+    def test_compact_on_empty_suffix_is_noop(self, spark, tmp_path):
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        t.compact()
+        assert t.compact() == {"compacted_rows": 0}
