@@ -289,6 +289,49 @@ def bench_streaming(spark) -> dict:
         }
 
 
+def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
+    """Merge-on-read write-path latency: the rate transport (no file
+    listing/scan) appended through the JVM-only parquet log sink —
+    Spark's lowest-latency apply posture (sinks/changelog_mor.py;
+    convergence happens at read time, off this path). Reported
+    percentiles skip the first 5 batches (JIT/codegen warm-up)."""
+    import json as _json
+
+    from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+    from xxt_cdc_spark.streaming.pipeline import read_rate_envelope_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        prev = spark.conf.get("spark.sql.streaming.asyncProgressTrackingEnabled", "false")
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+        spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "true")
+        try:
+            src = read_rate_envelope_stream(spark, rows_per_second=500)
+            typed = src.selectExpr(
+                "op", "pos_file", "pos_offset", "ts",
+                "from_json(after, 'id long, seq long') AS p",
+            ).selectExpr("op", "pos_file", "pos_offset", "ts", "p.*")
+            t = ChangelogMorTable(spark, os.path.join(tmp, "t"), ["id"])
+            q = t.start_stream(typed, os.path.join(tmp, "ck"))
+            time.sleep(seconds)
+            q.stop()
+            q.awaitTermination(60)
+            durs = []
+            for p in q.recentProgress:
+                if not isinstance(p, dict):
+                    j = p.json() if callable(getattr(p, "json", None)) else p.json
+                    p = _json.loads(j)
+                if p.get("numInputRows"):
+                    durs.append(float(p["durationMs"]["triggerExecution"]))
+        finally:
+            spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", prev)
+        durs = sorted(durs[5:])
+
+        def pct(p: float):
+            return durs[min(len(durs) - 1, int(round(p * (len(durs) - 1))))] if durs else None
+
+        return {"batches": len(durs), "p50_ms": pct(0.5), "p95_ms": pct(0.95)}
+
+
 def bench_snapshot(spark) -> dict:
     """Snapshot path: full partitioned read → noop write (isolates scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -312,6 +355,7 @@ def main() -> None:
     # sensitive numbers (a 21-query sweep beforehand leaves GC/broadcast
     # residue worth ~+250 ms of per-batch noise — measured)
     stream = bench_streaming(spark)
+    mor = bench_mor_latency(spark)
 
     # best-of-2 per query: the first run pays one-time codegen/JIT and
     # scan-cache costs (measured 2-3x inflation); the min is the
@@ -358,6 +402,9 @@ def main() -> None:
             "stream_latency_p50_ms": stream["p50_ms"],
             "stream_latency_p95_ms": stream["p95_ms"],
             "stream_latency_p99_ms": stream["p99_ms"],
+            "stream_mor_latency_p50_ms": mor["p50_ms"],
+            "stream_mor_latency_p95_ms": mor["p95_ms"],
+            "stream_mor_batches": mor["batches"],
             "cpus": int(CPUS),
         }
     )

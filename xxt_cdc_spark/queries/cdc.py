@@ -15,6 +15,8 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
 - cdc_offset_barrier         → C22 min-barrier committable position
 - cdc_table_filter           → T5 include/exclude wildcard filtering
 - cdc_ddl_classify           → T6/C31 DDL classification
+- cdc_mor_converged          → merge-on-read sink lifecycle
+                               (append → compact → append → read-merge)
 """
 
 from __future__ import annotations
@@ -439,6 +441,52 @@ ORDER BY o_orderkey
 """
 
 
+# --- merge-on-read sink convergence (changelog_mor) ---------------------------
+# split position 422 cuts INSIDE key 42's event run (42 % 21 == 0, so it
+# has insert 421, update 422 AND delete 423): the insert+update land in
+# the compacted base, the delete arrives in the post-compaction suffix —
+# exercising cross-batch supersede, not just a clean key split.
+MOR_CUT = 422
+
+
+def cdc_mor_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle end-to-end: append the changefeed prefix
+    to the log, COMPACT it into the bucketed state table (watermark
+    advances), append the suffix, and read ``converged()`` — the
+    (compacted base ⋈ LWW suffix) view. The oracle replays the WHOLE
+    feed in one LWW pass, so a hash-match proves append→compact→append→
+    read-merge equals single-shot replay, including a suffix delete
+    superseding a compacted base row (key 42)."""
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+    cf = orders_changefeed(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mor_q_")
+    try:
+        t = ChangelogMorTable(spark, tmp, ["o_orderkey"], n_buckets=8)
+        t.append_batch(cf.filter(F.col("pos_offset") <= MOR_CUT))
+        t.compact()
+        t.append_batch(cf.filter(F.col("pos_offset") > MOR_CUT))
+        # materialize off the temp files before they are removed
+        out = t.converged().orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC_MOR_SQL = f"""{_CF},
+latest AS (
+  SELECT * FROM cf
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "cdc_changefeed_events": cdc_changefeed_events,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -453,6 +501,7 @@ QUERIES = {
     "cdc_ddl_classify": cdc_ddl_classify,
     "cdc_composite_key_apply": cdc_composite_key_apply,
     "cdc_catchup_range": cdc_catchup_range,
+    "cdc_mor_converged": cdc_mor_converged,
 }
 
 ORACLE = {
@@ -469,4 +518,5 @@ ORACLE = {
     "cdc_ddl_classify": CDC_DDL_SQL,
     "cdc_composite_key_apply": CDC_COMPOSITE_SQL,
     "cdc_catchup_range": CDC_CATCHUP_SQL,
+    "cdc_mor_converged": CDC_MOR_SQL,
 }
