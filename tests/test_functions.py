@@ -56,6 +56,37 @@ class TestMultimodal:
             d["sample_rate"], d["duration_ms"], d["peak"]
         )
 
+    def test_real_ppm_decode_roundtrip(self):
+        """PPM is a REAL decoder (no codec lib needed): generated
+        container bytes parse back to the exact generator parameters,
+        and non-PPM bytes are rejected, not misparsed."""
+        for mid in (0, 7, 42, 115):
+            content = MM.synth_ppm_bytes(mid)
+            assert content.startswith(b"P6\n")
+            d = MM.decode_ppm(content)
+            w, h = 8 + mid % 16, 8 + mid % 8
+            assert (d["width"], d["height"], d["ok"]) == (w, h, True)
+            assert d["mean_r"] == (w - 1 + h - 1) / 2
+            assert d["mean_g"] == d["mean_r"] + 1 and d["mean_b"] == d["mean_r"] + 2
+            assert len(content) == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+        assert MM.decode_ppm(b"\x89PNG....")["ok"] is False
+        assert MM.decode_ppm(b"")["ok"] is False
+
+    def test_real_wav_decode_roundtrip(self):
+        """WAV/PCM is a REAL decoder (stdlib wave + numpy): header and
+        sample plane parse back to the generator's closed forms."""
+        for mid in (0, 1, 2, 901, 450):
+            content = MM.synth_wav_bytes(mid)
+            d = MM.decode_wav(content)
+            rate = 8000 + (mid % 3) * 4000
+            nframes = rate * (20 + mid % 50) // 1000
+            assert d["ok"] and d["sample_rate"] == rate
+            assert d["n_frames"] == nframes
+            assert d["duration_ms"] == nframes * 1000 // rate
+            assert d["peak"] == 100 + mid % 900
+            assert len(content) == 44 + 2 * nframes  # canonical PCM header
+        assert MM.decode_wav(b"not riff")["ok"] is False
+
     def test_resize_binary_roundtrip(self, spark, sf_dir):
         # binary must survive Arrow in BOTH directions: payload in,
         # (smaller) thumbnail out, dims clamped to max_dim

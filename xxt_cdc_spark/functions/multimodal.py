@@ -185,6 +185,166 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# --- REAL decoders: codec-free container formats -----------------------------
+# PPM (P6) and PCM WAV are fully specified byte layouts that need no
+# codec library — so for these two the decode step is NOT a stub: the
+# generator writes real container bytes and the decoder genuinely
+# parses headers and sample/pixel planes (numpy + stdlib `wave`). The
+# compressed formats (JPEG/PNG/MP4) keep the documented deterministic
+# stand-ins above; the dispatch boundary is the magic-byte sniff.
+
+
+def synth_ppm_bytes(media_id: int) -> bytes:
+    """Deterministic real P6 image: width/height from the id, pixel
+    channel values r=x+y, g=x+y+1, b=x+y+2 (no 8-bit wraparound for
+    these dims), so per-channel means have closed forms an oracle can
+    compute: mean_r = ((w-1)+(h-1))/2."""
+    w = 8 + media_id % 16
+    h = 8 + media_id % 8
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base = x + y
+            px += bytes((base, base + 1, base + 2))
+    return header + bytes(px)
+
+
+def decode_ppm(content: bytes) -> dict:
+    """REAL P6 decode: header parse + numpy plane reshape. A stride or
+    header-length bug shifts channel means by ±1 and fails the oracle."""
+    import numpy as np
+
+    if not content or not content.startswith(b"P6"):
+        return {"width": None, "height": None, "mean_r": None, "mean_g": None, "mean_b": None, "ok": False}
+    # header = 3 whitespace-delimited tokens after the magic; the pixel
+    # plane starts one byte after the maxval token
+    tokens, i, tok = [], 2, b""
+    while len(tokens) < 3 and i < len(content):
+        c = content[i : i + 1]
+        if c.isspace():
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    if len(tokens) < 3:
+        return {"width": None, "height": None, "mean_r": None, "mean_g": None, "mean_b": None, "ok": False}
+    w, h = int(tokens[0]), int(tokens[1])
+    plane = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    means = plane.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": round(float(means[0]), 6),
+        "mean_g": round(float(means[1]), 6),
+        "mean_b": round(float(means[2]), 6),
+        "ok": True,
+    }
+
+
+def synth_wav_bytes(media_id: int) -> bytes:
+    """Deterministic real PCM WAV (mono, 16-bit): rate/duration/
+    amplitude from the id; samples alternate ±amp so the true peak is
+    exactly amp and every stat has an integer closed form."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate = 8000 + (media_id % 3) * 4000
+    dur_ms = 20 + media_id % 50
+    nframes = rate * dur_ms // 1000
+    amp = 100 + media_id % 900
+    samples = np.full(nframes, amp, dtype=np.int16)
+    samples[1::2] *= -1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> dict:
+    """REAL PCM WAV decode via stdlib `wave` + numpy: container header
+    gives rate/frames, the sample plane gives the true peak."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not content or not content.startswith(b"RIFF"):
+        return {"sample_rate": None, "duration_ms": None, "n_frames": None, "peak": None, "ok": False}
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        rate = wf.getframerate()
+        nframes = wf.getnframes()
+        raw = wf.readframes(nframes)
+    samples = np.frombuffer(raw, dtype=np.int16)
+    return {
+        "sample_rate": rate,
+        "duration_ms": nframes * 1000 // rate,
+        "n_frames": nframes,
+        "peak": int(np.abs(samples.astype(np.int32)).max()) if len(samples) else 0,
+        "ok": True,
+    }
+
+
+def ppm_decode_stats(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate real PPM bytes per id and decode them back — one
+    mapInPandas stage, so the Arrow binary round-trip carries REAL
+    container bytes both ways."""
+    out_schema = (
+        "media_id long, width long, height long, n_bytes long,"
+        " mean_r double, mean_g double, mean_b double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                content = synth_ppm_bytes(int(mid))
+                d = decode_ppm(content)
+                rows.append(
+                    (int(mid), d["width"], d["height"], len(content),
+                     d["mean_r"], d["mean_g"], d["mean_b"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(batches, out_schema)
+
+
+def wav_decode_stats(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Generate real PCM WAV bytes per id and decode them back (same
+    real-bytes Arrow round-trip as the PPM stage)."""
+    out_schema = (
+        "media_id long, sample_rate long, duration_ms long,"
+        " n_frames long, peak long, n_bytes long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                content = synth_wav_bytes(int(mid))
+                d = decode_wav(content)
+                rows.append(
+                    (int(mid), d["sample_rate"], d["duration_ms"],
+                     d["n_frames"], d["peak"], len(content))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "duration_ms", "n_frames", "peak", "n_bytes"],
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(batches, out_schema)
+
+
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a deterministic media table from the documents corpus
     (text → utf-8 bytes as the opaque payload) so the multimodal

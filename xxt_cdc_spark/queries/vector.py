@@ -281,6 +281,69 @@ FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms
 """
 
 
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub): deterministic P6/PPM container
+    bytes are generated per id and genuinely parsed back (header +
+    numpy plane reshape) inside one Arrow-batched stage. The oracle
+    computes the closed-form dims/channel means, so a header-parse or
+    stride bug fails the hash — this is the codec-free slice of the
+    image path (compressed formats stay stubbed; no codec libs in the
+    container)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return MM.ppm_decode_stats(ids).orderBy("media_id")
+
+
+# closed forms of the generator: w = 8 + id%16, h = 8 + id%8,
+# pixel r = x+y (g,b offset by 1,2) → mean_r = ((w-1)+(h-1))/2;
+# container size = header("P6\n{w} {h}\n255\n") + 3wh
+PPM_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 16 AS BIGINT) AS width,
+         CAST(8 + doc_id % 8 AS BIGINT) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+       CAST(3 + length(CAST(width AS VARCHAR)) + 1 + length(CAST(height AS VARCHAR)) + 5
+            + 3 * width * height AS BIGINT) AS n_bytes,
+       round((width - 1 + height - 1) / 2.0, 6) AS mean_r,
+       round((width - 1 + height - 1) / 2.0 + 1.0, 6) AS mean_g,
+       round((width - 1 + height - 1) / 2.0 + 2.0, 6) AS mean_b
+FROM dims ORDER BY media_id
+"""
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): deterministic mono 16-bit PCM WAV
+    bytes per id, parsed back with stdlib `wave` + numpy. Rate,
+    duration, frame count, true sample peak and container size all have
+    integer closed forms the oracle recomputes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return MM.wav_decode_stats(ids).orderBy("media_id")
+
+
+# closed forms: rate = 8000 + (id%3)*4000; frames = rate*(20 + id%50)//1000;
+# duration = frames*1000//rate; peak = 100 + id%900 (alternating ±amp);
+# canonical PCM WAV = 44-byte header + 2 bytes/frame
+WAV_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
+         CAST(20 + doc_id % 50 AS BIGINT) AS dur_req,
+         CAST(100 + doc_id % 900 AS BIGINT) AS amp
+  FROM documents
+),
+f AS (SELECT *, rate * dur_req // 1000 AS n_frames FROM p)
+SELECT media_id, rate AS sample_rate,
+       n_frames * 1000 // rate AS duration_ms,
+       n_frames, amp AS peak,
+       CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes
+FROM f ORDER BY media_id
+"""
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
@@ -436,6 +499,8 @@ QUERIES = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -452,6 +517,8 @@ ORACLE = {
     "multimodal_audio_features": AUDIO_FEATURES_SQL,
     "multimodal_resize": RESIZE_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    "multimodal_ppm_decode": PPM_DECODE_SQL,
+    "multimodal_wav_decode": WAV_DECODE_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
