@@ -129,6 +129,34 @@ def test_pack_bins_deterministic_under_repartition(spark):
     assert a == b
 
 
+# --- decontamination ---------------------------------------------------------
+def test_decontaminate_flags_only_true_overlaps(spark):
+    shared = "alpha beta gamma delta epsilon"           # one full 5-gram
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail words here", "train"),       # contains the bench 5-gram
+            (2, "totally different words with no overlap at all", "train"),
+            (3, "alpha beta gamma delta DIFFERENT suffix", "train"),  # only 4-gram overlap
+            (4, "short doc", "train"),                        # < n tokens → no grams
+            (9, shared + " bench continuation", "test"),      # the benchmark doc
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = {r.doc_id: r.contaminated for r in CU.decontaminate(df, "text", "doc_id", "split").collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0}  # test rows excluded from output
+
+
+def test_unigram_logprob_ranks_rare_docs_lower(spark):
+    from xxt_cdc_spark.functions import text as TX
+
+    rows = [(i, "common words common words", "en", "s") for i in range(9)]
+    rows.append((100, "rare tokens entirely", "en", "s"))
+    df = _docs(spark, rows)
+    out = {r.doc_id: r.avg_logprob for r in TX.unigram_logprob(df, "text", "doc_id").collect()}
+    # the all-rare doc is less probable under the corpus model
+    assert out[100] < out[0] < 0
+
+
 # --- domain mix --------------------------------------------------------------
 def test_domain_mix_weights_normalize_and_upweight_small(spark):
     rows = [(i, "w " * 200, "en", "big") for i in range(90)] + [

@@ -66,3 +66,30 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_repetition_stats_prunes_and_partially_aggregates(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "text_repetition_stats")
+        # only (doc_id, text) may be read — lang/source/n_chars pruned
+        read_schema = plan.split("ReadSchema", 1)[1][:200]
+        assert "doc_id" in read_schema and "text" in read_schema
+        assert "lang" not in read_schema and "source" not in read_schema
+        assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+        assert "CartesianProduct" not in plan
+
+    def test_pii_redact_is_scan_shaped(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "text_pii_redact")
+        # one scan → projection → partial-aggregated groupBy; no joins
+        assert "Join" not in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+
+    def test_pack_sequences_windows_by_shard_not_globally(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "corpus_pack_sequences")
+        # the cumsum window must partition by shard: a global window
+        # shows up as a single-partition Exchange
+        assert "SinglePartition" not in plan.split("Window", 1)[0]
+
+    def test_decontaminate_semi_joins_on_hash(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "corpus_decontaminate")
+        assert "xxhash64" in plan  # 8-byte gram key, not the string
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan

@@ -174,6 +174,65 @@ def pack_bins(
     )
 
 
+# --- benchmark decontamination -----------------------------------------------
+
+DECON_N = 5
+
+
+def ngram_keys(text_col: str, n: int = DECON_N) -> Column:
+    """Token n-gram array (space-joined strings) with the same guarded
+    index-lambda shape as the bigram builder: Spark's sequence()
+    descends when the doc is shorter than n, so short docs must
+    short-circuit to an empty array."""
+    t = f"split(trim({text_col}), '\\\\s+')"
+    gram = " , ' ', ".join(f"{t}[i + {j}]" for j in range(n)).join(["concat(", ")"])
+    return F.expr(
+        f"IF(size({t}) >= {n}, "
+        f"transform(sequence(0, size({t}) - {n}), i -> {gram}), array())"
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    n: int = DECON_N,
+    benchmark_split: str = "test",
+) -> DataFrame:
+    """Flag training documents sharing ANY token n-gram with the
+    benchmark split — the dataset-decontamination gate every serious
+    training pipeline runs before the eval set means anything.
+
+    Plan shape for 100 TB: one explode to (doc, gram-hash), the
+    benchmark gram set is distinct-collapsed (typically millions of
+    grams — tiny next to the corpus) and semi-joined back on an 8-byte
+    `xxhash64` key, so the corpus shuffles its gram hashes once and
+    the join is broadcastable. Returns non-benchmark rows with a
+    `contaminated` flag (benchmark rows are the reference set, not
+    candidates)."""
+    grams = df.select(
+        F.col(id_col),
+        F.col(split_col).alias("_split"),
+        F.explode(ngram_keys(text_col, n)).alias("gram"),
+    ).select(id_col, "_split", F.xxhash64("gram").alias("gh"))
+    bench = (
+        grams.filter(F.col("_split") == benchmark_split).select("gh").distinct()
+    )
+    hit = (
+        grams.filter(F.col("_split") != benchmark_split)
+        .join(bench, "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        df.filter(F.col(split_col) != benchmark_split)
+        .join(hit, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
+    )
+
+
 # --- domain mixture weights --------------------------------------------------
 
 MIX_ALPHA = 0.3

@@ -289,6 +289,40 @@ def split_assign(id_col: str) -> Column:
     return expr.otherwise(F.lit("test"))
 
 
+def unigram_logprob(df, text_col: str, id_col: str):
+    """Per-document average token log-probability under the corpus's
+    own unigram model — the cheap perplexity proxy used to rank
+    documents for quality (a KenLM stand-in with the same plumbing:
+    train counts on the corpus, score each doc by summed token
+    log-likelihood).
+
+    Plan: ONE (doc, term) shuffle produces both the model (term counts,
+    vocab-sized) and the scoring frame; the model joins back on term
+    (AQE broadcasts it when small). Cross-engine determinism: each
+    term's ln() is rounded to 9 dp BEFORE the exact decimal sum, so
+    aggregation order cannot perturb the total (same posture as TF-IDF).
+    Returns (id, n_tok, avg_logprob)."""
+    from pyspark.sql import functions as F
+
+    tf = term_frequencies(df, text_col, id_col)
+    totals = tf.agg(F.sum("tf").alias("n_total"))
+    model = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .crossJoin(F.broadcast(totals))
+        .select("term", F.round(F.log(F.col("ctf") / F.col("n_total")), 9).alias("lp"))
+    )
+    scored = tf.join(model, "term").groupBy(id_col).agg(
+        F.sum("tf").alias("n_tok"),
+        F.sum((F.col("tf") * F.col("lp")).cast("decimal(28,9)")).alias("sum_lp"),
+    )
+    return scored.select(
+        id_col,
+        "n_tok",
+        F.round(F.col("sum_lp").cast("double") / F.col("n_tok"), 6).alias("avg_logprob"),
+    )
+
+
 def fingerprint(text_col: str) -> Column:
     """Content fingerprint: md5 of the case/punctuation-normalized text."""
     return F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))

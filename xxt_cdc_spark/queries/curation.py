@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xxt_cdc_spark.functions import curation as CU
+from xxt_cdc_spark.functions import text as TX
 from xxt_cdc_spark.functions.text import token_count
 
 _TOK = "string_split_regex(trim(text), '\\s+')"
@@ -223,12 +224,87 @@ FROM sm ORDER BY source
 """
 
 
+# --- benchmark decontamination -----------------------------------------------
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate composed with the deterministic split: flag
+    train/val documents sharing any 5-gram with the md5-assigned test
+    split, reported per (split, lang). The gram semi-join keys on
+    xxhash64 (8 bytes) Spark-side; the oracle joins the raw gram
+    strings — equal results bar a 64-bit collision."""
+    d = _docs(spark, sf_dir).withColumn("split", TX.split_assign("doc_id"))
+    out = CU.decontaminate(d, "text", "doc_id", "split")
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contaminated").alias("n_contaminated"),
+            F.round(F.sum("contaminated") / F.count("*"), 9).alias("contamination_rate"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_CASE = f"""CASE
+  WHEN substr(md5('{TX.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TX.SPLIT_BOUNDS[0][1]}' THEN 'train'
+  WHEN substr(md5('{TX.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TX.SPLIT_BOUNDS[1][1]}' THEN 'val'
+  ELSE 'test' END"""
+
+DECON_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SPLIT_CASE} AS split, {_TOK} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, split, unnest(
+    CASE WHEN len(toks) >= {CU.DECON_N}
+         THEN list_transform(generate_series(1, len(toks) - {CU.DECON_N} + 1),
+                             i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(CU.DECON_N))})
+         ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM t
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+hit AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split <> 'test' AND g IN (SELECT g FROM bench)
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 9) AS contamination_rate
+FROM t LEFT JOIN hit USING (doc_id)
+WHERE split <> 'test'
+GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+# --- unigram-LM quality scoring ----------------------------------------------
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy ranking: per-document average token log-prob
+    under the corpus unigram model (KenLM-style quality signal)."""
+    return TX.unigram_logprob(_docs(spark, sf_dir), "text", "doc_id").orderBy("doc_id")
+
+
+LOGPROB_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf),
+model AS (
+  SELECT term, round(ln(SUM(tf) / (SELECT n_total FROM n)), 9) AS lp
+  FROM tf GROUP BY term
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       round(CAST(SUM(CAST(tf * lp AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+FROM tf JOIN model USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "text_pii_redact": text_pii_redact,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_domain_mix": corpus_domain_mix,
+    "corpus_decontaminate": corpus_decontaminate,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE = {
@@ -237,4 +313,6 @@ ORACLE = {
     "corpus_stratified_sample": STRATIFIED_SQL,
     "corpus_pack_sequences": PACK_SQL,
     "corpus_domain_mix": MIX_SQL,
+    "corpus_decontaminate": DECON_SQL,
+    "text_unigram_logprob": LOGPROB_SQL,
 }
