@@ -38,7 +38,11 @@ def _start(spark, ck, state):
     return pipe.start()
 
 
-def _drain_until(state, min_rows: int, deadline_s: float = 90.0) -> int:
+# generous deadline: the rate source only emits 500 rows/s of wall
+# clock, and a loaded machine (e.g. the oracle sweep sharing all 32
+# cores) stretches batch cadence well past the unloaded ~2 s — a short
+# deadline here fails on scheduling starvation, not on lost offsets
+def _drain_until(state, min_rows: int, deadline_s: float = 300.0) -> int:
     t0 = time.time()
     while time.time() - t0 < deadline_s:
         try:
