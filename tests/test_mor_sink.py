@@ -127,6 +127,24 @@ class TestChangelogMor:
         assert "Python" not in batch_plan and "MapInPandas" not in batch_plan
         assert _state(t.converged()) == [(1, "a2"), (2, "b2"), (4, "d1")]
 
+    def test_batch_append_refused_on_stream_owned_log(self, spark, tmp_path):
+        """Once the streaming sink's _spark_metadata exists, readers
+        trust only its file list — a batch append would be silently
+        invisible, so it must be refused loudly instead."""
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        with open(src_dir / "b1.json", "w") as f:
+            for (i, v, op, pf, po) in B1:
+                f.write(json.dumps({"id": i, "v": v, "op": op, "pos_file": pf, "pos_offset": po}) + "\n")
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        stream = spark.readStream.schema(
+            "id long, v string, op string, pos_file string, pos_offset long"
+        ).json(str(src_dir))
+        q = t.start_stream(stream, str(tmp_path / "ck"), trigger={"availableNow": True})
+        q.awaitTermination(120)
+        with pytest.raises(ValueError, match="_spark_metadata"):
+            t.append_batch(_typed(spark, B2))
+
     def test_compact_on_empty_suffix_is_noop(self, spark, tmp_path):
         t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
         t.append_batch(_typed(spark, B1))

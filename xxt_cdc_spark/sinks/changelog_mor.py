@@ -106,7 +106,19 @@ class ChangelogMorTable:
         return writer.start()
 
     def append_batch(self, typed: DataFrame) -> None:
-        """Batch-mode log append (catchup/backfill path)."""
+        """Batch-mode log append (catchup/backfill path).
+
+        REFUSED once the streaming file sink owns the log: the sink's
+        ``_spark_metadata`` commit log makes readers trust ONLY the
+        files it lists, so rows appended outside it would be silently
+        invisible — worse than an error. Run backfills through the
+        stream (or into a fresh log) instead."""
+        if os.path.isdir(os.path.join(self.log_path, "_spark_metadata")):
+            raise ValueError(
+                f"log at {self.log_path} is owned by the streaming file sink "
+                "(_spark_metadata present); batch-appended files would be "
+                "invisible to readers — route backfill through the stream"
+            )
         typed.write.mode("append").parquet(self.log_path)
 
     # --- metadata ------------------------------------------------------------
