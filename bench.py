@@ -342,6 +342,23 @@ def bench_snapshot(spark) -> dict:
     return {"rows": n, "sec": dt, "rows_per_sec": n / dt}
 
 
+def _guard(errors: dict, key: str, fn, *args, **kwargs):
+    """Round-2 postmortem: ONE AnalysisException zeroed the whole
+    official bench (rc=1, no JSON). No single query or phase may ever
+    take the evidence down with it — failures become error strings in
+    the output instead."""
+    import traceback
+
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 — the whole point is isolation
+        import sys
+
+        errors[key] = f"{type(e).__name__}: {e}"
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
 def main() -> None:
     from xxt_cdc_spark.queries import QUERIES
     from xxt_cdc_spark.session import get_spark
@@ -351,11 +368,13 @@ def main() -> None:
     # warm up the JVM/codegen so per-query numbers measure the plan, not startup
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
 
+    errors: dict[str, str] = {}
+
     # streaming latency FIRST: its P50/P95 are the most session-state-
     # sensitive numbers (a 21-query sweep beforehand leaves GC/broadcast
     # residue worth ~+250 ms of per-batch noise — measured)
-    stream = bench_streaming(spark)
-    mor = bench_mor_latency(spark)
+    stream = _guard(errors, "stream", bench_streaming, spark)
+    mor = _guard(errors, "mor", bench_mor_latency, spark)
 
     # best-of-2 per query: the first run pays one-time codegen/JIT and
     # scan-cache costs (measured 2-3x inflation); the min is the
@@ -366,11 +385,15 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.monotonic()
-            _materialize(QUERIES[name](spark, SF_DIR))
+            ok = _guard(errors, name, lambda: _materialize(QUERIES[name](spark, SF_DIR)))
             dt = time.monotonic() - t0
+            if ok is None and name in errors:
+                best = None
+                break
             best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 3)
-        total += per_query[name]
+        if best is not None:
+            per_query[name] = round(best, 3)
+            total += per_query[name]
 
     # dedup/similarity queries persist intermediate frames (and the
     # second timed run legitimately reuses them via the CacheManager's
@@ -380,42 +403,80 @@ def main() -> None:
 
     # best-of-2 on the sink phases too: single-shot runs showed ±20%
     # run-to-run variance from sqlite fsync and GC timing
-    sink = min((bench_sink_apply(spark) for _ in range(2)), key=lambda d: d["sec"])
-    skew = min((bench_sink_apply_skewed(spark) for _ in range(2)), key=lambda d: d["sec"])
-    snap = min((bench_snapshot(spark) for _ in range(2)), key=lambda d: d["sec"])
+    def best_of_2(key, fn):
+        runs = [r for r in (_guard(errors, key, fn, spark) for _ in range(2)) if r]
+        return min(runs, key=lambda d: d["sec"]) if runs else None
+
+    sink = best_of_2("sink", bench_sink_apply)
+    skew = best_of_2("skew", bench_sink_apply_skewed)
+    snap = best_of_2("snapshot", bench_snapshot)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": per_query,
-            "sf": float(sf),
-            "cdc_events_per_sec": round(sink["events_per_sec"]),
-            "cdc_apply_events": sink["events"],
-            "cdc_apply_sec": round(sink["sec"], 3),
-            "cdc_skew_events_per_sec": round(skew["events_per_sec"]),
-            "snapshot_rows_per_sec": round(snap["rows_per_sec"]),
-            "stream_events_per_sec": round(stream["events_per_sec"]),
-            "stream_batches": stream["batches"],
-            "stream_latency_p50_ms": stream["p50_ms"],
-            "stream_latency_p95_ms": stream["p95_ms"],
-            "stream_latency_p99_ms": stream["p99_ms"],
-            "stream_mor_latency_p50_ms": mor["p50_ms"],
-            "stream_mor_latency_p95_ms": mor["p95_ms"],
-            "stream_mor_batches": mor["batches"],
-            "cpus": int(CPUS),
-        }
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+        "cpus": int(CPUS),
+    }
+    if sink:
+        out.update(
+            cdc_events_per_sec=round(sink["events_per_sec"]),
+            cdc_apply_events=sink["events"],
+            cdc_apply_sec=round(sink["sec"], 3),
+        )
+    if skew:
+        out["cdc_skew_events_per_sec"] = round(skew["events_per_sec"])
+    if snap:
+        out["snapshot_rows_per_sec"] = round(snap["rows_per_sec"])
+    if stream:
+        out.update(
+            stream_events_per_sec=round(stream["events_per_sec"]),
+            stream_batches=stream["batches"],
+            stream_latency_p50_ms=stream["p50_ms"],
+            stream_latency_p95_ms=stream["p95_ms"],
+            stream_latency_p99_ms=stream["p99_ms"],
+        )
+    if mor:
+        out.update(
+            stream_mor_latency_p50_ms=mor["p50_ms"],
+            stream_mor_latency_p95_ms=mor["p95_ms"],
+            stream_mor_batches=mor["batches"],
+        )
+    if errors:
+        out["errors"] = errors
+    line = json.dumps(out)
     # mirror to a file so the result survives even if stdout is poisoned
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
         f.write(line + "\n")
     # stop Spark BEFORE printing: teardown noise (executor shutdown, event
     # bus drain) then cannot land after — or interleaved with — the JSON line
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(line)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # last resort: the JSON line must exist
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+                    "errors": {"fatal": f"{type(e).__name__}: {e}"},
+                }
+            )
+        )
+        raise SystemExit(0)

@@ -35,7 +35,9 @@ ORDERS_PAYLOAD = [
 
 def orders_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed changefeed: op, pos_file, pos_offset + orders payload columns."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from xxt_cdc_spark.session import normalize_timestamps
+
+    orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     k = F.col("o_orderkey")
 
     inserts = orders.select(
@@ -63,9 +65,9 @@ def orders_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("o_custkey"),
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(None).cast("double").alias("o_totalprice"),
-        # corpus timestamps are TIMESTAMP_NTZ; an LTZ null here would
-        # coerce the union to LTZ and break the JSON round-trip
-        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        # typed null must match the normalized (LTZ) o_orderdate or the
+        # union coerces and breaks the JSON round-trip
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
         F.lit(None).cast("string").alias("o_orderpriority"),
     )
 

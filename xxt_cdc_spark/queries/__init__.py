@@ -43,6 +43,11 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet annotated isAdjustedToUTC=false must read as LTZ
+        # (TIMESTAMP), not NTZ: unix_micros()/withWatermark() require
+        # it, and under UTC the two are value-identical (r2 verdict #1)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
@@ -53,11 +58,13 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-# Sweep order matters: the driver evaluates queries in registry order and
-# round 1's sweep truncated mid-registry, leaving the tail unverified. Put
-# the families that were cut off (streaming analytics, norm stats,
-# multimodal) FIRST, and the heaviest oracle comparisons last, so a
-# repeat truncation costs the least evidence.
-for mod in (streaming, vector, corpus, curation, relational, relational2, cdc, text):
+# Sweep order matters: the driver verifies the FIRST 50 registry entries
+# per round (the cap observed in r1/r2). Rotate each round so every
+# family's evidence stays ≤1 round old: r2 swept streaming/vector/corpus/
+# curation/relational/relational2-head (all green), so r3 leads with the
+# families r2 cut off — the whole CDC operator family, text/dedup
+# (incl. the 5 never-swept incremental/BPE/chunking queries), the
+# relational2 tail, and lead_lag (r2's one red row, NTZ-fixed).
+for mod in (cdc, text, relational2, streaming, vector, corpus, curation, relational):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items()})
     ORACLE.update(mod.ORACLE)

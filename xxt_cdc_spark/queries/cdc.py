@@ -34,6 +34,7 @@ from xxt_cdc_spark.operators.apply import apply_changes
 from xxt_cdc_spark.operators.collapse import dedup_transport, last_write_wins
 from xxt_cdc_spark.operators.ddl import classify_ddl_df
 from xxt_cdc_spark.operators.normalize import envelope_to_typed, normalize_raw_events
+from xxt_cdc_spark.session import normalize_timestamps
 from xxt_cdc_spark.operators.table_filter import TableFilter
 
 _CF = f"WITH cf AS ({ORDERS_CHANGEFEED_SQL})"
@@ -58,7 +59,7 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash."""
     cf = orders_changefeed(spark, sf_dir)
     env = to_envelope(cf)
-    orders_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    orders_schema = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet")).schema
     # image='auto' does the per-op before/after dispatch in one pass —
     # no filter+union re-computing the changefeed per branch. No final
     # sort: see cdc_changefeed_events.
@@ -138,7 +139,7 @@ def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Idempotency is part of the contract: the feed contains duplicate
     deliveries, and apply_changes collapses them (effectively-once).
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     cf = orders_changefeed(spark, sf_dir)
     state = apply_changes(orders, cf, ["o_orderkey"], ["pos_offset"])
     return state.orderBy("o_orderkey")
@@ -415,7 +416,7 @@ def cdc_catchup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     (low, high] — the watermark-protocol execution path. The oracle
     computes the state at `high` directly, so a hash-match proves the
     snapshot+catchup composition equals single-shot replay."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     cf = orders_changefeed(spark, sf_dir)
     state_low = apply_changes(
         orders, cf.filter(F.col("pos_offset") <= CATCHUP_LOW), ["o_orderkey"], ["pos_offset"]

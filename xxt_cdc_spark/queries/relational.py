@@ -20,7 +20,9 @@ from xxt_cdc_spark.queries._util import davg, dsum, sql_davg, sql_dsum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from xxt_cdc_spark.session import normalize_timestamps
+
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # --- q1_pricing_summary: TPC-H Q1 analog (flagship) ---------------------

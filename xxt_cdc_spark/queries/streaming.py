@@ -19,18 +19,24 @@ SESSION_GAP_MIN = 30
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, tolerating parquet TIMESTAMP(NANOS).
+    """Load the events table, tolerating any parquet ts annotation.
 
     Spark has no nanosecond timestamp: the nanosAsLong legacy conf
     (runtime-settable) reads the column as raw nanos, and integer
     division converts to microseconds — same truncation DuckDB's
     epoch_us applies, so both engines see identical instants.
+    Micros/millis files annotated isAdjustedToUTC=false would surface
+    as TIMESTAMP_NTZ; normalize_timestamps delivers TIMESTAMP either
+    way (value-identity under the pinned UTC timezone).
     """
+    from xxt_cdc_spark.session import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    return df
+    return normalize_timestamps(df)
 
 
 # --- tumbling window aggregation (M32-style TPS per window) -----------------
@@ -135,11 +141,13 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one — SURVEY.md §2.7): implemented
     as the union-tag + running last_value trick, which scales as one
     shuffle+sort instead of a per-row subquery."""
+    from xxt_cdc_spark.session import normalize_timestamps
+
     ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     left = ev.select(
         F.col("user_id").alias("uid"),
-        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.col("ts").cast("timestamp").alias("t"),
         F.lit(1).alias("is_event"),
         F.col("event_id"),
         F.lit(None).cast("long").alias("o_orderkey"),

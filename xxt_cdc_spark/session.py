@@ -47,6 +47,14 @@ def get_spark(
         # Deterministic cross-engine semantics (DuckDB oracle, MySQL
         # sources): pin UTC.
         .config("spark.sql.session.timeZone", "UTC")
+        # One timestamp type everywhere: parquet files annotated
+        # isAdjustedToUTC=false otherwise surface as TIMESTAMP_NTZ on
+        # Spark 4, which breaks unix_micros() and withWatermark(). Under
+        # the pinned UTC timezone LTZ and NTZ are value-identical, so
+        # reading everything as LTZ is safe and keeps every operator on
+        # the TIMESTAMP type they expect.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         .config("spark.ui.enabled", "false")
         # corpus events.parquet carries TIMESTAMP(NANOS); read as long
         # and convert (Spark has no nanos timestamp type)
@@ -62,6 +70,24 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def normalize_timestamps(df):
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP at the ingress.
+
+    Under the engine's pinned UTC session timezone the cast is
+    value-identity, and doing it once at the boundary keeps every
+    downstream operator (``unix_micros``, ``withWatermark``,
+    ``window``) on the one timestamp type they require — regardless of
+    how the parquet footer annotates the column or which session confs
+    the caller's environment carries.
+    """
+    from pyspark.sql import functions as F
+
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -82,9 +108,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
-    # events.parquet carries TIMESTAMP(NANOS); make this loader safe
-    # under any session (the conf is runtime-settable)
+    # make this loader safe under ANY session (the driver runs queries
+    # in its own): nanos-annotated files read as raw longs, and
+    # NTZ-annotated files read as LTZ (both confs are runtime-settable)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -94,6 +122,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+            # belt-and-braces: if the inference conf was frozen by the
+            # caller's session, still deliver TIMESTAMP columns
+            df = normalize_timestamps(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
