@@ -47,8 +47,13 @@ class WatermarkStore:
         return os.path.join(self.directory, f"watermark_{snapshot_id}.json")
 
     def save(self, snapshot_id: str, low, high, status: str) -> None:
-        """``low``/``high`` are scalar offsets or (file, offset) pairs;
-        JSON stores pairs as 2-lists (normalized back on load)."""
+        """``low``/``high`` are scalar offsets, (file, offset) pairs, or
+        ``BinlogPosition`` instances; JSON stores pairs as 2-lists and
+        positions in ``as_string`` form (normalized back on load)."""
+        from xxt_cdc_spark.model.positions import BinlogPosition
+
+        low = low.as_string() if isinstance(low, BinlogPosition) else low
+        high = high.as_string() if isinstance(high, BinlogPosition) else high
         os.makedirs(self.directory, exist_ok=True)
         tmp = self._path(snapshot_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -109,7 +114,7 @@ class CDCEngine:
 
             self._to(CDCState.CATCHUP)
             t0 = time.monotonic()
-            if high > low:
+            if self._pos_advanced(low, high):
                 # bounded replay (low, high] filtered like the reference's
                 # takeWhile(pos < high) cut (T8/C28)
                 delta = self.changelog(low, high)
@@ -181,7 +186,31 @@ class CDCEngine:
 
     @staticmethod
     def _norm_pos(pos):
-        return tuple(pos) if isinstance(pos, list) else pos
+        """JSON → position: 2-lists become (file, offset) tuples and
+        ``gtid:<set>`` / ``file:<name>:<off>`` strings become their
+        BinlogPosition types, so GTID-mode positions round-trip through
+        resume exactly like file positions (reference
+        MySQLBinlogReader.scala:127-131 GTID-mode start)."""
+        from xxt_cdc_spark.model.positions import BinlogPosition
+
+        if isinstance(pos, list):
+            return tuple(pos)
+        if isinstance(pos, str) and (pos.startswith("gtid:") or pos.startswith("file:")):
+            return BinlogPosition.parse(pos)
+        return pos
+
+    @staticmethod
+    def _pos_advanced(low, high) -> bool:
+        """True when changes may exist in (low, high]. GTID sets use
+        real containment (high ⊃ low ⇒ advanced); incomparable sets
+        (divergent histories) replay conservatively."""
+        from xxt_cdc_spark.model.gtid import GTIDSet
+        from xxt_cdc_spark.model.positions import GTIDPosition
+
+        if isinstance(low, GTIDPosition) and isinstance(high, GTIDPosition):
+            cmp = GTIDSet.parse(high.gtid_set).compare(GTIDSet.parse(low.gtid_set))
+            return cmp is None or cmp > 0
+        return high > low
 
     def _last_committed(self):
         path = os.path.join(self.checkpoint_dir, "commits.json")
@@ -191,9 +220,16 @@ class CDCEngine:
         except FileNotFoundError:
             return None
 
-    def commit_position(self, position: int) -> None:
+    def commit_position(self, position) -> None:
         """Optional JDBC-offset-mirror-style commit (C23 parity); the
-        streaming path's real offsets live in the Spark checkpoint."""
+        streaming path's real offsets live in the Spark checkpoint.
+        Accepts scalar offsets, (file, offset) pairs, and
+        ``BinlogPosition`` instances (GTID or file) — the latter are
+        stored in their ``as_string`` form and re-parsed on load."""
+        from xxt_cdc_spark.model.positions import BinlogPosition
+
+        if isinstance(position, BinlogPosition):
+            position = position.as_string()
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = os.path.join(self.checkpoint_dir, "commits.json.tmp")
         with open(tmp, "w") as f:

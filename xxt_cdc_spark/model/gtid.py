@@ -94,3 +94,29 @@ class GTIDSet:
         if a_in_b:
             return -1
         return None
+
+
+def gtid_not_executed(executed: GTIDSet, gtid_col: str = "gtid"):
+    """Column predicate: the row's single-transaction GTID
+    (``uuid:txid``) is NOT contained in ``executed`` — the streaming
+    resume gate for GTID mode (reference MySQLBinlogReader.scala:127-131
+    seeds the client with setGtidSet; here the same cut is a Catalyst
+    expression so it runs JVM-side inside whole-stage codegen).
+
+    The executed set is small (a few intervals per source UUID), so it
+    unrolls to literal BETWEEN clauses — no UDF, no broadcast join.
+    Rows with a NULL gtid are kept (non-transactional events must not
+    be silently dropped by a GTID gate).
+    """
+    from pyspark.sql import functions as F
+
+    col = F.col(gtid_col)
+    uuid = F.lower(F.split(col, ":").getItem(0))
+    txid = F.split(col, ":").getItem(1).cast("long")
+    contained = F.lit(False)
+    for u, ivs in executed.by_uuid:
+        in_u = F.lit(False)
+        for a, b in ivs:
+            in_u = in_u | txid.between(F.lit(a), F.lit(b))
+        contained = F.when(uuid == F.lit(u), in_u).otherwise(contained)
+    return col.isNull() | ~contained

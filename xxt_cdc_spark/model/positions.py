@@ -65,11 +65,23 @@ def position_after(
     the start position carries a file: ``FilePosition``, ``(file,
     offset)`` tuple/list, or the ``file:<name>:<off>`` string form.
     A bare int keeps the scalar gate (single-file / synthetic sources).
+
+    GTID mode (``GTIDPosition`` / ``gtid:<set>`` string): "after" means
+    the event's transaction is NOT contained in the executed set —
+    real interval containment on the ``gtid`` column
+    (model/gtid.gtid_not_executed), the semantics the reference's
+    string-compare punt approximates.
     """
     from pyspark.sql import functions as F
 
     if isinstance(start_pos, str) and start_pos.startswith("file:"):
         start_pos = BinlogPosition.parse(start_pos)
+    if isinstance(start_pos, str) and start_pos.startswith("gtid:"):
+        start_pos = BinlogPosition.parse(start_pos)
+    if isinstance(start_pos, GTIDPosition):
+        from xxt_cdc_spark.model.gtid import GTIDSet, gtid_not_executed
+
+        return gtid_not_executed(GTIDSet.parse(start_pos.gtid_set))
     if isinstance(start_pos, FilePosition):
         start_pos = (start_pos.filename, start_pos.offset)
     if isinstance(start_pos, (tuple, list)):
