@@ -304,6 +304,11 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
         prev = spark.conf.get("spark.sql.streaming.asyncProgressTrackingEnabled", "false")
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
         spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "true")
+        # file-sink metadata compaction every 10 batches re-reads the
+        # whole log — at a sub-second cadence that is a recurring p95
+        # spike (measured +50 ms p50, +200 ms p95); compact rarely.
+        spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "100")
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", "10")
         try:
             src = read_rate_envelope_stream(spark, rows_per_second=500)
             typed = src.selectExpr(

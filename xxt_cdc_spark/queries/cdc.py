@@ -17,6 +17,10 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
 - cdc_ddl_classify           → T6/C31 DDL classification
 - cdc_mor_converged          → merge-on-read sink lifecycle
                                (append → compact → append → read-merge)
+- cdc_binlog_transport_replay → S1 binlog transport round-trip (rotated
+                               files, source-assigned positions)
+- cdc_gtid_resume_cut        → S2 GTID-mode resume gate (interval
+                               containment compiled to JVM BETWEENs)
 """
 
 from __future__ import annotations
@@ -488,6 +492,112 @@ ORDER BY o_orderkey
 """
 
 
+# --- S1: the binlog transport end-to-end -----------------------------------
+def cdc_binlog_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real transport round-trip: changefeed → envelope records
+    appended to rotated binlog files (with a mid-stream ROTATE) → read
+    back through the xxt_binlog batch reader → decode → LWW converge.
+
+    The transport assigns its OWN positions (file, byte offset of each
+    record) — the oracle replays the same history on the changefeed's
+    logical clock, so a hash-match proves the transport's clock induces
+    the same total order (append order) as the logical one, across the
+    file rotation, with none of the payload damaged by the wire format.
+    """
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.streaming.binlog_source import BinlogLogWriter, register
+
+    cf = orders_changefeed(spark, sf_dir)
+    env = to_envelope(cf)
+    rows = env.orderBy("pos_offset").collect()  # append in logical order
+    recs = [
+        {
+            "db": r.db,
+            "table": r.table,
+            "op": r.op,
+            "ts": r.ts,
+            "gtid": r.gtid,
+            "key": r.key,
+            "before": r.before,
+            "after": r.after,
+        }
+        for r in rows
+    ]
+    tmp = tempfile.mkdtemp(prefix="binlog_q_")
+    try:
+        w = BinlogLogWriter(tmp)
+        w.append(recs[: len(recs) // 2])
+        w.rotate()  # offsets reset; composite order must still hold
+        w.append(recs[len(recs) // 2 :])
+        register(spark)
+        env2 = spark.read.format("xxt_binlog").option("path", tmp).load()
+        orders_schema = normalize_timestamps(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ).schema
+        typed = envelope_to_typed(env2, "orders", orders_schema, image="auto")
+        latest = last_write_wins(typed, ["o_orderkey"], ["pos_file", "pos_offset"])
+        out = (
+            latest.filter(F.col("op") != "D")
+            .select(*ORDERS_PAYLOAD)
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)  # materialize before temp cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC_BINLOG_REPLAY_SQL = f"""{_CF},
+latest AS (
+  SELECT * FROM cf
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+# --- GTID resume gate --------------------------------------------------------
+GTID_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+GTID_EXECUTED = f"{GTID_UUID}:1-60000:60101-900000"
+
+
+def cdc_gtid_resume_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTID-mode resume over the changefeed: each event carries a
+    single-transaction GTID (txid = pos_offset); the executed set has a
+    GAP (60001-60100) and an open tail (>900000). position_after
+    compiles the set into JVM-side BETWEEN clauses
+    (model/gtid.gtid_not_executed); the oracle states the same
+    containment cut explicitly, so a hash-match proves the interval
+    algebra — the semantics the reference's string compare punts on."""
+    from xxt_cdc_spark.model.positions import GTIDPosition, position_after
+
+    cf = orders_changefeed(spark, sf_dir).withColumn(
+        "gtid", F.concat(F.lit(f"{GTID_UUID}:"), F.col("pos_offset"))
+    )
+    kept = cf.filter(position_after(GTIDPosition(GTID_EXECUTED)))
+    return (
+        kept.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("pos_offset").alias("min_tx"),
+            F.max("pos_offset").alias("max_tx"),
+        )
+        .orderBy("op")
+    )
+
+
+CDC_GTID_CUT_SQL = f"""{_CF}
+SELECT op, COUNT(*) AS n_events, MIN(pos_offset) AS min_tx, MAX(pos_offset) AS max_tx
+FROM cf
+WHERE NOT (pos_offset BETWEEN 1 AND 60000 OR pos_offset BETWEEN 60101 AND 900000)
+GROUP BY op ORDER BY op
+"""
+
+
 QUERIES = {
     "cdc_changefeed_events": cdc_changefeed_events,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -503,6 +613,8 @@ QUERIES = {
     "cdc_composite_key_apply": cdc_composite_key_apply,
     "cdc_catchup_range": cdc_catchup_range,
     "cdc_mor_converged": cdc_mor_converged,
+    "cdc_binlog_transport_replay": cdc_binlog_transport_replay,
+    "cdc_gtid_resume_cut": cdc_gtid_resume_cut,
 }
 
 ORACLE = {
@@ -520,4 +632,6 @@ ORACLE = {
     "cdc_composite_key_apply": CDC_COMPOSITE_SQL,
     "cdc_catchup_range": CDC_CATCHUP_SQL,
     "cdc_mor_converged": CDC_MOR_SQL,
+    "cdc_binlog_transport_replay": CDC_BINLOG_REPLAY_SQL,
+    "cdc_gtid_resume_cut": CDC_GTID_CUT_SQL,
 }

