@@ -337,6 +337,58 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
         return {"batches": len(durs), "p50_ms": pct(0.5), "p95_ms": pct(0.95)}
 
 
+def bench_binlog_transport(spark) -> dict:
+    """S1 transport throughput: the whole sf changefeed written as
+    rotated binlog files, then drained through the xxt_binlog
+    MicroBatchStream (Python source → Arrow-less tuple decode) into a
+    count. Measures the source's decode+plan path, the part a Kafka
+    transport would replace with JVM decode."""
+    import json as _json
+
+    from xxt_cdc_spark.changefeed import orders_changefeed, to_envelope
+    from xxt_cdc_spark.streaming.binlog_source import BinlogLogWriter, read_binlog_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        log = os.path.join(tmp, "log")
+        env = to_envelope(orders_changefeed(spark, SF_DIR)).orderBy("pos_offset")
+        rows = env.collect()
+        w = BinlogLogWriter(log)
+        half = len(rows) // 2
+        recs = [
+            {
+                "db": r.db, "table": r.table, "op": r.op,
+                "ts": r.ts, "gtid": r.gtid, "key": r.key,
+                "before": r.before, "after": r.after,
+            }
+            for r in rows
+        ]
+        w.append(recs[:half])
+        w.rotate()
+        w.append(recs[half:])
+        t0 = time.monotonic()
+        q = (
+            read_binlog_stream(spark, log, max_bytes_per_trigger=1 << 30)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.monotonic() - t0
+        n, exec_ms = 0, 0.0
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                p = _json.loads(p.json())
+            if p.get("numInputRows"):
+                n += p["numInputRows"]
+                exec_ms += float(p["durationMs"]["triggerExecution"])
+        # events/s over batch execution time: the one-time stream startup
+        # (~3 s: plan + Python worker pool spin-up) amortizes to nothing
+        # on a long-running stream, so wall-clock would misreport the
+        # sustained rate a transport delivers
+    return {"events": n, "sec": dt, "events_per_sec": n / (exec_ms / 1000.0)}
+
+
 def bench_snapshot(spark) -> dict:
     """Snapshot path: full partitioned read → noop write (isolates scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -415,6 +467,7 @@ def main() -> None:
     sink = best_of_2("sink", bench_sink_apply)
     skew = best_of_2("skew", bench_sink_apply_skewed)
     snap = best_of_2("snapshot", bench_snapshot)
+    binlog = best_of_2("binlog", bench_binlog_transport)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -435,6 +488,9 @@ def main() -> None:
         out["cdc_skew_events_per_sec"] = round(skew["events_per_sec"])
     if snap:
         out["snapshot_rows_per_sec"] = round(snap["rows_per_sec"])
+    if binlog:
+        out["binlog_events_per_sec"] = round(binlog["events_per_sec"])
+        out["binlog_events"] = binlog["events"]
     if stream:
         out.update(
             stream_events_per_sec=round(stream["events_per_sec"]),

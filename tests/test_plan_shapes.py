@@ -93,3 +93,29 @@ class TestPlanShapes:
         assert "xxhash64" in plan  # 8-byte gram key, not the string
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
+
+    def test_binned_range_join_is_hash_join(self, spark, sf_dir):
+        """The keyless containment join must execute as a hash join on
+        the bin id — the naive form degenerates to a nested-loop
+        (operators/range_join.py docstring)."""
+        plan = _plan(spark, sf_dir, "range_join_binned_global")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan  # still a join, keyed on the bin
+
+    def test_naive_keyless_range_join_would_nested_loop(self, spark, sf_dir):
+        """Documents WHY the binned operator exists: the same join
+        written naively has no equi-key and Catalyst nested-loops it."""
+        from xxt_cdc_spark.session import load_tables
+
+        t = load_tables(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        iv = t["orders"].limit(100).select(
+            "o_orderkey", F.col("o_orderdate").alias("lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("hi"))
+        ev = t["events"].select("event_id", "ts")
+        naive = ev.join(iv, (ev.ts >= iv.lo) & (ev.ts < iv.hi))
+        plan = naive._sc._jvm.PythonSQLUtils.explainString(
+            naive._jdf.queryExecution(), "formatted")
+        assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan

@@ -259,6 +259,61 @@ def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, RANGE_JOIN)
 
 
+# --- KEYLESS range join, binned execution -----------------------------------
+# Without an equi-key Catalyst can only nested-loop a containment join;
+# operators/range_join.py re-expresses it as a hash join on quantized
+# time bins. The oracle is the naive containment join (DuckDB plans it
+# as IEJoin), so a hash-match proves the bin+filter decomposition is
+# exact — including interval edges astride bin boundaries.
+def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from xxt_cdc_spark.operators.range_join import binned_range_join
+    from xxt_cdc_spark.queries._util import dsum
+    from xxt_cdc_spark.queries.streaming import _events
+
+    t = load_tables(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    intervals = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "make_timestamp(2024, 1, least(day(o_orderdate), 28), 0, 0, 0)"
+            ).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 3 DAY"))
+    )
+    joined = binned_range_join(
+        ev.select("event_id", "ts", "value"),
+        intervals,
+        point_ts="ts",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width_s=3 * 24 * 3600,
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy("o_orderkey")
+    )
+
+
+RANGE_JOIN_BINNED_ORACLE = f"""
+WITH iv AS (
+  SELECT o_orderkey,
+         make_timestamp(2024, 1, least(day(o_orderdate), 28), 0, 0, 0) AS lo
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT iv.o_orderkey, COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
+FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.lo + INTERVAL 3 DAYS
+GROUP BY iv.o_orderkey
+HAVING COUNT(*) > 0
+ORDER BY iv.o_orderkey
+"""
+
+
 # --- explicit GROUPING SETS with grouping markers ---------------------------
 GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
@@ -301,6 +356,7 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "lead_lag_user_gaps": lead_lag_user_gaps,
     "range_join_order_events": range_join_order_events,
+    "range_join_binned_global": range_join_binned_global,
     "grouping_sets_returns": grouping_sets_returns,
     "ntile_order_quartiles": ntile_order_quartiles,
     "outer_join_spend": outer_join_spend,
@@ -317,6 +373,7 @@ QUERIES = {
 ORACLE = {
     "lead_lag_user_gaps": LEAD_LAG_ORACLE,
     "range_join_order_events": RANGE_JOIN_ORACLE,
+    "range_join_binned_global": RANGE_JOIN_BINNED_ORACLE,
     "grouping_sets_returns": GROUPING_SETS_ORACLE,
     "ntile_order_quartiles": NTILE_SQL,
     "outer_join_spend": OUTER_JOIN_ORACLE,
