@@ -560,6 +560,63 @@ ORDER BY o_orderkey
 """
 
 
+# --- incremental aggregate maintenance ---------------------------------------
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view over CDC: a grouped aggregate (count + exact
+    sum by order status) maintained purely from change DELTAS — the
+    changefeed replays in four position chunks, each contributing
+    (+new, −old-image) per key — never recomputed from the base table
+    (operators/incremental_agg.py). The oracle aggregates the converged
+    state directly, so a hash-match proves insert/update/delete/
+    group-migration deltas compose to exactly the from-scratch answer.
+    """
+    from xxt_cdc_spark.operators.incremental_agg import cdc_agg_delta, merge_agg
+
+    group, sums = ["o_orderstatus"], ["o_totalprice"]
+    cf = orders_changefeed(spark, sf_dir)
+    max_pos = cf.agg(F.max("pos_offset")).first()[0]
+    cuts = [0] + [max_pos * i // 4 for i in (1, 2, 3)] + [max_pos]
+
+    payload = cf.select(*ORDERS_PAYLOAD).limit(0)
+    state = payload  # empty: the feed's inserts build it
+    agg = (
+        payload.select(
+            *group,
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("decimal(25,6)").alias("o_totalprice_sum"),
+        ).limit(0)
+    )
+    for lo, hi in zip(cuts, cuts[1:]):
+        chunk = cf.filter((F.col("pos_offset") > lo) & (F.col("pos_offset") <= hi))
+        collapsed = last_write_wins(chunk, ["o_orderkey"], ["pos_offset"]).localCheckpoint(
+            eager=True
+        )
+        # prior images of the touched keys: with a persisted state table
+        # this is the bucket-pruned lookup (see tests/test_incremental_agg)
+        old = state.join(collapsed.select("o_orderkey"), "o_orderkey", "inner")
+        delta = cdc_agg_delta(collapsed, old, group, sums)
+        agg = merge_agg(agg, delta, group, sums).localCheckpoint(eager=True)
+        state = apply_changes(state, collapsed, ["o_orderkey"], ["pos_offset"]).localCheckpoint(
+            eager=True
+        )
+    return agg.select(
+        *group,
+        F.col("n"),
+        F.col("o_totalprice_sum").cast("double").alias("total_price"),
+    ).orderBy(*group)
+
+
+CDC_INCR_AGG_SQL = f"""{_CF},
+latest AS (
+  SELECT * FROM cf
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderstatus, COUNT(*) AS n, {{dsum}} AS total_price
+FROM latest WHERE op <> 'D'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""".format(dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)")
+
+
 # --- GTID resume gate --------------------------------------------------------
 GTID_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
 GTID_EXECUTED = f"{GTID_UUID}:1-60000:60101-900000"
@@ -615,6 +672,7 @@ QUERIES = {
     "cdc_mor_converged": cdc_mor_converged,
     "cdc_binlog_transport_replay": cdc_binlog_transport_replay,
     "cdc_gtid_resume_cut": cdc_gtid_resume_cut,
+    "cdc_incremental_agg": cdc_incremental_agg,
 }
 
 ORACLE = {
@@ -634,4 +692,5 @@ ORACLE = {
     "cdc_mor_converged": CDC_MOR_SQL,
     "cdc_binlog_transport_replay": CDC_BINLOG_REPLAY_SQL,
     "cdc_gtid_resume_cut": CDC_GTID_CUT_SQL,
+    "cdc_incremental_agg": CDC_INCR_AGG_SQL,
 }
