@@ -73,6 +73,149 @@ def cdc_agg_delta(
     )
 
 
+class ContinuousAggregate:
+    """Exactly-once continuous aggregate for foreachBatch.
+
+    Spark's foreachBatch is at-least-once: after a crash the last
+    uncommitted micro-batch REPLAYS, and a naive additive update would
+    double-count its delta. This class makes the whole maintenance
+    step idempotent under replay:
+
+    1. the per-batch aggregate result is written to a VERSIONED dir
+       (``agg/b{batch_id}``) derived from the previous committed
+       version + this batch's delta — rewriting it on replay produces
+       the identical content;
+    2. the keyed base-state merge (``ParquetStateTable.apply``) is
+       already idempotent (keyed LWW);
+    3. a marker file commits the batch id LAST (atomic rename).
+
+    Crash at any point: before (1) → clean recompute; between (1) and
+    (2) → the version dir exists, so the delta is NOT recomputed
+    against a state that step (2) may since have advanced — the stored
+    version is reused and only the idempotent steps re-run; between
+    (2) and (3) → same path. Replay of a committed batch is a no-op.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        key_cols: list[str],
+        group_cols: list[str],
+        sum_cols: list[str],
+        order_cols: list[str],
+        n_buckets: int = 16,
+    ) -> None:
+        import os
+
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        self.spark = spark
+        self.root = root
+        self.group_cols = group_cols
+        self.sum_cols = sum_cols
+        self.order_cols = order_cols
+        self.key_cols = key_cols
+        self.state = ParquetStateTable(
+            spark, os.path.join(root, "state"), key_cols, n_buckets=n_buckets
+        )
+        self.agg_root = os.path.join(root, "agg")
+        self.marker_path = os.path.join(root, "_agg_commit.json")
+
+    # -- commit marker ------------------------------------------------------
+    def _last_committed(self) -> int:
+        import json as _json
+
+        try:
+            with open(self.marker_path) as f:
+                return _json.load(f)["batch_id"]
+        except FileNotFoundError:
+            return -1
+
+    def _commit(self, batch_id: int) -> None:
+        import json as _json
+        import os
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self.marker_path)
+
+    def _vdir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.agg_root, f"b{batch_id}")
+
+    def read(self) -> DataFrame:
+        """The current committed aggregate."""
+        import os
+
+        last = self._last_committed()
+        if last < 0:
+            raise RuntimeError("no committed aggregate yet")
+        return self.spark.read.parquet(self._vdir(last))
+
+    def apply_batch(self, typed: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: fold one change micro-batch in, exactly
+        once. ``typed`` carries op + order cols + payload (key, group,
+        sum columns)."""
+        import os
+
+        from xxt_cdc_spark.operators.collapse import last_write_wins
+
+        last = self._last_committed()
+        if batch_id <= last:
+            return  # fully committed earlier; replay is a no-op
+
+        collapsed = last_write_wins(typed, self.key_cols, self.order_cols).localCheckpoint(
+            eager=True
+        )
+        payload = [c for c in collapsed.columns if c not in ("op", *self.order_cols)]
+        if not self.state.exists():
+            self.state.init(collapsed.select(*payload).limit(0))
+
+        vdir = self._vdir(batch_id)
+        if not os.path.isdir(vdir):
+            # old images: bucket-pruned lookup of ONLY the touched keys
+            keys = collapsed.select(*self.key_cols)
+            touched = sorted(
+                r[0]
+                for r in keys.select(
+                    self.state.bucket_of(*[F.col(k) for k in self.key_cols]).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            old = (
+                self.state.read_buckets(touched).join(keys, self.key_cols, "inner")
+                if touched
+                else collapsed.select(*payload).limit(0)
+            )
+            delta = cdc_agg_delta(collapsed, old, self.group_cols, self.sum_cols)
+            if last >= 0:
+                prev = self.spark.read.parquet(self._vdir(last))
+            else:
+                prev = delta.select(
+                    *self.group_cols,
+                    F.lit(0).cast("long").alias("n"),
+                    *[
+                        F.lit(0).cast("decimal(25,6)").alias(f"{c}_sum")
+                        for c in self.sum_cols
+                    ],
+                ).limit(0)
+            merged = merge_agg(prev, delta, self.group_cols, self.sum_cols)
+            merged.write.mode("overwrite").parquet(vdir)
+
+        # idempotent keyed merge, then commit; GC keeps two versions
+        self.state.apply(collapsed, order_cols=self.order_cols)
+        self._commit(batch_id)
+        if last >= 1 and os.path.isdir(self._vdir(last - 1)):
+            import shutil
+
+            shutil.rmtree(self._vdir(last - 1), ignore_errors=True)
+
+
 def merge_agg(
     agg: DataFrame,
     delta: DataFrame,
