@@ -45,6 +45,7 @@ HEADLINE = [
     "training_data_selection",
     "multimodal_image_features",
     "range_join_order_events",
+    "range_join_binned_global",
     "lead_lag_user_gaps",
     "text_tfidf_topk",
     "text_bm25_search",

@@ -274,9 +274,13 @@ def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     ev = _events(spark, sf_dir)
+    # every 1000th order: ~150 intervals at sf0.1. Denser interval sets
+    # work too but the match volume is quadratic-ish in overlap (every
+    # event matches every interval covering its instant), which stresses
+    # the join without saying anything new about the plan shape.
     intervals = (
         t["orders"]
-        .filter(F.col("o_orderkey") % 100 == 0)
+        .filter(F.col("o_orderkey") % 1000 == 0)
         .select(
             "o_orderkey",
             F.expr(
@@ -304,7 +308,7 @@ RANGE_JOIN_BINNED_ORACLE = f"""
 WITH iv AS (
   SELECT o_orderkey,
          make_timestamp(2024, 1, least(day(o_orderdate), 28), 0, 0, 0) AS lo
-  FROM orders WHERE o_orderkey % 100 = 0
+  FROM orders WHERE o_orderkey % 1000 = 0
 )
 SELECT iv.o_orderkey, COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
 FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.lo + INTERVAL 3 DAYS
