@@ -202,6 +202,12 @@ def bench_streaming(spark) -> dict:
         )
         con.commit()
         con.close()
+        # the bulk (throughput-mode) pass below swaps in a fresh target
+        # and coalesces the 8-partition batch to 2 writers (sqlite
+        # serializes writers; a real MySQL/StarRocks target would keep
+        # all 8)
+        db_holder = [db]
+        parts_holder = [None]
 
         def apply_fn(batch_df, _id):
             # one from_json per row (not 6 get_json_object re-parses)
@@ -214,7 +220,7 @@ def bench_streaming(spark) -> dict:
             apply_batch(
                 typed,
                 lambda: JdbcUpsertWriter(
-                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    connect_fn=lambda tgt=db_holder[0]: sqlite3.connect(tgt, timeout=60),
                     table="orders",
                     columns=ORDERS_PAYLOAD,
                     key_cols=["o_orderkey"],
@@ -231,7 +237,7 @@ def bench_streaming(spark) -> dict:
                 # writer still applies every key's events in position
                 # order, so converged state is identical (see apply_batch
                 # docstring); the reference applies every event too.
-                num_partitions=None,
+                num_partitions=parts_holder[0],
                 collapse=False,
                 # Arrow block transfer into the writer: measured ~30% lower
                 # per-batch latency than per-row pickle (tools/latency_probe.py)
@@ -277,6 +283,31 @@ def bench_streaming(spark) -> dict:
             q.awaitTermination(600)
             dt = time.monotonic() - t0
             snap = snapshot_from_query(q)
+
+            # throughput mode: same pipeline, 8 files per trigger — the
+            # other end of the latency/throughput trade (the reference's
+            # multi-table TPS claim is a bulk number, not a 1-file-per-
+            # batch number). Fresh target + checkpoint; per-batch fixed
+            # costs amortize over ~56k-event batches.
+            db2 = os.path.join(tmp, "t2.db")
+            con = sqlite3.connect(db2)
+            con.execute(
+                "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+                " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+            )
+            con.commit()
+            con.close()
+            db_holder[0] = db2
+            parts_holder[0] = 2
+            t0 = time.monotonic()
+            bulk_q = CDCStreamPipeline(
+                spark=spark,
+                source=read_envelope_stream(spark, src, max_files_per_trigger=8),
+                apply_fn=apply_fn,
+                checkpoint_dir=os.path.join(tmp, "ck_bulk"),
+            ).start(available_now=True)
+            bulk_q.awaitTermination(600)
+            bulk_dt = time.monotonic() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "false")
@@ -285,6 +316,7 @@ def bench_streaming(spark) -> dict:
             "events": len(rows),
             "sec": dt,
             "events_per_sec": len(rows) / dt,
+            "bulk_events_per_sec": len(rows) / bulk_dt,
             "batches": snap.batches,
             **pct,
         }
@@ -495,6 +527,7 @@ def main() -> None:
     if stream:
         out.update(
             stream_events_per_sec=round(stream["events_per_sec"]),
+            stream_bulk_events_per_sec=round(stream["bulk_events_per_sec"]),
             stream_batches=stream["batches"],
             stream_latency_p50_ms=stream["p50_ms"],
             stream_latency_p95_ms=stream["p95_ms"],

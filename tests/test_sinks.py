@@ -284,6 +284,54 @@ class TestRetryAndBreaker:
         assert w.stats["upserts"] == 1
         assert _final_state(target_db) == {1: (1, "O", 1.0)}
 
+    def test_connect_time_retryable_error_retries(self, target_db):
+        """Connection establishment failures classified retryable (MySQL
+        1040/2013, sqlite 'database is locked' from init PRAGMAs under
+        writer contention) go through the same retry policy as flushes
+        — observed live when two bench writers raced journal_mode=WAL."""
+        attempts = [0]
+
+        def flaky_connect():
+            attempts[0] += 1
+            if attempts[0] <= 2:
+                raise sqlite3.OperationalError("database is locked")
+            return sqlite3.connect(target_db)
+
+        w = JdbcUpsertWriter(
+            connect_fn=flaky_connect,
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=5, base_delay_s=0.001),
+        )
+        rows = [
+            {"op": "I", "o_orderkey": 5, "o_custkey": 2, "o_orderstatus": "O",
+             "o_totalprice": 2.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1"}
+        ]
+        w.apply_rows(iter(rows))
+        assert w.stats["retries"] == 2 and w.stats["upserts"] == 1
+        assert attempts[0] == 3
+
+    def test_connect_time_fatal_error_raises(self, target_db):
+        def denied():
+            raise sqlite3.OperationalError(1045, "access denied")
+
+        w = JdbcUpsertWriter(
+            connect_fn=denied,
+            table="orders",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=3, base_delay_s=0.001),
+        )
+        with pytest.raises(sqlite3.OperationalError):
+            w.apply_rows(iter([{
+                "op": "I", "o_orderkey": 5, "o_custkey": 2, "o_orderstatus": "O",
+                "o_totalprice": 2.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1",
+            }]))
+        assert w.stats["retries"] == 0
+
     def test_non_retryable_goes_to_dead_letter(self, target_db):
         w = JdbcUpsertWriter(
             connect_fn=lambda: sqlite3.connect(target_db),

@@ -232,13 +232,34 @@ class JdbcUpsertWriter:
 
     def _acquire(self) -> tuple[object, bool]:
         if self.pool_key is None:
-            return self._new_connection(), False
+            return self._acquire_with_retry(), False
         with _POOL_LOCK:
             conn = _CONN_POOL.get(self.pool_key)
             if conn is None:
-                conn = self._new_connection()
+                conn = self._acquire_with_retry()
                 _CONN_POOL[self.pool_key] = conn
         return conn, True
+
+    def _acquire_with_retry(self):
+        """Connection establishment under the SAME retry policy as batch
+        flushes: connect-time failures are where the retryable class
+        lives in practice — MySQL 1040 'too many connections' / 2013
+        'lost connection' fire on connect, and sqlite returns 'database
+        is locked' from connection-init PRAGMAs under writer contention
+        (observed in the bench). Non-retryable/fatal errors (bad
+        credentials, unknown database) still raise immediately."""
+        attempt = 0
+        while True:
+            try:
+                return self._new_connection()
+            except Exception as exc:  # noqa: BLE001 — classified below
+                cls = classify_error(exc)
+                if cls is ErrorClass.RETRYABLE and attempt < self.retry.max_retries:
+                    self.stats["retries"] += 1
+                    time.sleep(self.retry.delay(attempt))
+                    attempt += 1
+                    continue
+                raise
 
     def _evict(self, conn) -> None:
         with _POOL_LOCK:
