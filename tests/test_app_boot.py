@@ -80,3 +80,58 @@ class TestBoot:
             assert comp["pipeline"] == "RUNNING"
         finally:
             server.shutdown()
+
+
+class TestBootOverBinlogTransport:
+    def test_pipeline_on_binlog_source_with_seek(self, spark, tmp_path):
+        """App boot on the source-owned-offset transport: --binlog-dir
+        + --starting-position seeks past the already-applied prefix."""
+        from xxt_cdc_spark.streaming.binlog_source import BinlogLogWriter
+
+        log = tmp_path / "binlog"
+        w = BinlogLogWriter(str(log))
+
+        def rec(k, v):
+            return {
+                "db": "d", "table": "t", "op": "I", "ts": None, "gtid": None,
+                "key": json.dumps({"id": k}), "before": None,
+                "after": json.dumps({"id": k, "v": v}),
+            }
+
+        w.append([rec(k, k) for k in range(10)])
+        seek_file, seek_off = w.current, None
+        from xxt_cdc_spark.streaming.binlog_source import _complete_end
+        import os
+
+        seek_off = _complete_end(os.path.join(str(log), w.current))
+        w.append([rec(k, k) for k in range(10, 25)])
+
+        cfg = load_config(_write_config(tmp_path))
+        args = build_parser().parse_args(
+            [
+                "--config", _write_config(tmp_path),
+                "--binlog-dir", str(log),
+                "--starting-position", f"file:{seek_file}:{seek_off}",
+                "--state-dir", str(tmp_path / "mirror"),
+                "--available-now",
+            ]
+        )
+        query, state, server, api = run_pipeline(cfg, args, spark=spark)
+        try:
+            query.awaitTermination(120)
+        finally:
+            server.shutdown()
+        keys = sorted(
+            json.loads(r.key)["id"] for r in state.read().select("key").collect()
+        )
+        assert keys == list(range(10, 25))  # pre-seek prefix skipped
+
+    def test_mutually_exclusive_transports(self, tmp_path):
+        rc = main(
+            [
+                "--config", _write_config(tmp_path),
+                "--envelope-dir", "/x", "--binlog-dir", "/y",
+                "--state-dir", "/z",
+            ]
+        )
+        assert rc == 2

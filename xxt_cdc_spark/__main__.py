@@ -33,6 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--config", required=True, help="TOML or JSON CDCConfig file")
     ap.add_argument("--dry-run", action="store_true", help="validate config and exit")
     ap.add_argument("--envelope-dir", help="directory of change-event JSON lines (file transport)")
+    ap.add_argument(
+        "--binlog-dir",
+        help="rotated binlog directory (xxt_binlog source-owned-offset transport; "
+        "mutually exclusive with --envelope-dir)",
+    )
+    ap.add_argument(
+        "--starting-position",
+        help="binlog seek: earliest | latest | file:<name>:<off> (binlog transport only)",
+    )
+    ap.add_argument(
+        "--starting-gtids",
+        help="binlog GTID-mode seek: executed GTID set to skip (binlog transport only)",
+    )
     ap.add_argument("--state-dir", help="parquet latest-state mirror root")
     ap.add_argument("--api-port", type=int, default=0, help="management API port (0 = ephemeral)")
     ap.add_argument(
@@ -84,9 +97,20 @@ def run_pipeline(cfg, args, spark=None):
             cfg.include_databases, cfg.exclude_databases,
             cfg.include_tables, cfg.exclude_tables,
         )
+    if getattr(args, "binlog_dir", None):
+        from xxt_cdc_spark.streaming.binlog_source import read_binlog_stream
+
+        source = read_binlog_stream(
+            spark,
+            args.binlog_dir,
+            starting_position=getattr(args, "starting_position", None),
+            starting_gtids=getattr(args, "starting_gtids", None),
+        )
+    else:
+        source = read_envelope_stream(spark, args.envelope_dir)
     pipe = CDCStreamPipeline(
         spark=spark,
-        source=read_envelope_stream(spark, args.envelope_dir),
+        source=source,
         apply_fn=apply_fn,
         checkpoint_dir=cfg.checkpoint_dir,
         table_filter=table_filter,
@@ -118,8 +142,14 @@ def main(argv=None) -> int:
     if args.dry_run:
         print(json.dumps({"config": "valid", "checkpoint_dir": cfg.checkpoint_dir}))
         return 0
-    if not args.envelope_dir or not args.state_dir:
-        print("--envelope-dir and --state-dir are required unless --dry-run", file=sys.stderr)
+    if (not args.envelope_dir and not args.binlog_dir) or not args.state_dir:
+        print(
+            "--state-dir and one of --envelope-dir/--binlog-dir are required unless --dry-run",
+            file=sys.stderr,
+        )
+        return 2
+    if args.envelope_dir and args.binlog_dir:
+        print("--envelope-dir and --binlog-dir are mutually exclusive", file=sys.stderr)
         return 2
 
     from xxt_cdc_spark.obs.metrics import snapshot_from_query
