@@ -13,6 +13,9 @@ import json
 import os
 import sqlite3
 import sys
+
+# runnable as `python tools/latency_probe.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 import time
 

@@ -11,8 +11,13 @@ line per query as it completes (so a crash shows exactly where).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# runnable as `python tools/sweep.py` from anywhere — the repo root is
+# one level up from this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.01"
 
