@@ -191,3 +191,80 @@ class TestFanoutApply:
         jobs_1 = run_group("fanout-narrow", 1)
         jobs_12 = run_group("fanout-wide", 12)
         assert jobs_12 == jobs_1, (jobs_1, jobs_12)
+
+
+class TestMultiTableOverBinlogTransport:
+    def test_streamed_fanout_converges_per_table(self, spark, tmp_path, target_db):
+        """One binlog log carrying two tables with different schemas,
+        streamed through CDCStreamPipeline into apply_batch_multi:
+        each table's slice decodes against its own schema and lands in
+        its own target, with the transport's (file, byte-pos) clock
+        ordering the LWW."""
+        import json as _json
+
+        from xxt_cdc_spark.streaming.binlog_source import (
+            BinlogLogWriter,
+            read_binlog_stream,
+        )
+        from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+        con = sqlite3.connect(target_db)
+        con.execute("CREATE TABLE users (uid INTEGER PRIMARY KEY, name TEXT)")
+        con.execute(
+            "CREATE TABLE items (a INTEGER, b INTEGER, qty REAL, PRIMARY KEY (a, b))"
+        )
+        con.commit()
+        con.close()
+
+        def urec(op, uid, name=None):
+            img = _json.dumps({"uid": uid, "name": name})
+            return {
+                "db": "d", "table": "users", "op": op, "ts": None, "gtid": None,
+                "key": _json.dumps({"uid": uid}),
+                "before": img if op == "D" else None,
+                "after": None if op == "D" else img,
+            }
+
+        def irec(op, a, b, qty=None):
+            img = _json.dumps({"a": a, "b": b, "qty": qty})
+            return {
+                "db": "d", "table": "items", "op": op, "ts": None, "gtid": None,
+                "key": _json.dumps({"a": a, "b": b}),
+                "before": img if op == "D" else None,
+                "after": None if op == "D" else img,
+            }
+
+        log = str(tmp_path / "log")
+        w = BinlogLogWriter(log)
+        w.append(
+            [urec("I", u, f"u{u}") for u in range(20)]
+            + [irec("I", a, b, float(a + b)) for a in range(5) for b in range(4)]
+        )
+        w.rotate()  # interleave a rotation mid-history
+        w.append(
+            [urec("U", 3, "renamed"), urec("D", 7)]
+            + [irec("U", 1, 1, 99.0), irec("D", 2, 2)]
+        )
+
+        users_sink = _sink(target_db, "users", ["uid", "name"], ["uid"])
+        users_sink.schema = spark.createDataFrame([], "uid long, name string").schema
+        items_sink = _sink(target_db, "items", ["a", "b", "qty"], ["a", "b"])
+        items_sink.schema = spark.createDataFrame([], "a long, b long, qty double").schema
+        sinks = {"users": users_sink, "items": items_sink}
+
+        pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_binlog_stream(spark, log),
+            apply_fn=lambda df, _id: apply_batch_multi(df, sinks, 2),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+
+        con = sqlite3.connect(target_db)
+        assert con.execute("SELECT count(*) FROM users").fetchone()[0] == 19
+        assert con.execute("SELECT name FROM users WHERE uid = 3").fetchone()[0] == "renamed"
+        assert con.execute("SELECT count(*) FROM users WHERE uid = 7").fetchone()[0] == 0
+        assert con.execute("SELECT count(*) FROM items").fetchone()[0] == 19
+        assert con.execute("SELECT qty FROM items WHERE a = 1 AND b = 1").fetchone()[0] == 99.0
+        con.close()
