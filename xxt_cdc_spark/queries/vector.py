@@ -56,6 +56,34 @@ ORDER BY query_id, rank
 """
 
 
+# --- NSW graph ANN, exhaustive-exploration limit ----------------------------
+def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW graph search with ef covering the whole corpus: greedy
+    exploration must return EXACTLY the brute-force top-k — an oracle
+    gate on the graph build/search machinery itself (connectivity,
+    candidate ordering, tie-breaks). Recall at practical ef stays
+    pytest-gated; cosines round to 9 decimals on both sides because
+    the numpy re-score and DuckDB differ in the last ulp."""
+    e = _emb(spark, sf_dir)
+    out = S.nsw_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K, ef_search=1_000_000
+    )
+    return out.withColumn("cosine", F.round("cosine", 9)).orderBy("query_id", "rank")
+
+
+ANN_NSW_SQL = f"""
+SELECT query_id, rank, item_id, ROUND(cosine, 9) AS cosine FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # --- LSH-bucketed ANN (scale path) ------------------------------------------
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -503,6 +531,7 @@ QUERIES = {
     "multimodal_wav_decode": multimodal_wav_decode,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -510,6 +539,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "emb_neardup_fast": EMB_NEARDUP_FAST_SQL,
