@@ -393,6 +393,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_ivf_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale-path design (IVF routing + per-bucket NSW
+    graphs inside applyInPandas) in its exhaustive limit: fixed-seed
+    centroids and ef covering every bucket make it provably equal to
+    flat IVF, so the SAME DuckDB oracle gates the whole composition —
+    routing, per-bucket graph build, in-task search, and the final
+    per-query merge. Practical-ef recall stays pytest-gated; cosines
+    round to 9 decimals (numpy vs DuckDB last-ulp)."""
+    e = _emb(spark, sf_dir)
+    out = S.ivf_nsw_topk(
+        e,
+        e.filter(F.col("vec_id") < N_QUERIES),
+        TOP_K,
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        ef_search=1_000_000,
+        centroids="fixed",
+    )
+    return out.withColumn("cosine", F.round("cosine", 9)).orderBy("query_id", "rank")
+
+
 ANN_IVF_SQL = f"""
 WITH seeds AS (
   SELECT vec_id AS centroid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
@@ -422,6 +443,12 @@ SELECT query_id, rank, item_id, cosine FROM (
 ) WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+# same cut, rounded — the exhaustive IVF+NSW composition's oracle
+ANN_IVF_NSW_SQL = ANN_IVF_SQL.replace(
+    "SELECT query_id, rank, item_id, cosine FROM (",
+    "SELECT query_id, rank, item_id, ROUND(cosine, 9) AS cosine FROM (",
+)
 
 
 PQ_SUBSPACES = 4
@@ -532,6 +559,7 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_nsw_topk": ann_nsw_topk,
+    "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -540,6 +568,7 @@ QUERIES = {
 
 ORACLE = {
     "ann_nsw_topk": ANN_NSW_SQL,
+    "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "emb_neardup_fast": EMB_NEARDUP_FAST_SQL,
