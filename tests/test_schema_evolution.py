@@ -170,3 +170,70 @@ class TestStreamingEvolution:
         assert fields == {
             "n": T.LongType(), "x": T.DoubleType(), "s": T.StringType(),
         }
+
+    def test_midstream_evolution_over_binlog_transport(self, spark, tmp_path):
+        """Same mid-stream column growth, but fed by the binlog source:
+        the evolution detector sees payload keys regardless of
+        transport, and the ALTER lands once even though the second era
+        arrives after a checkpointed restart."""
+        import json
+
+        from pyspark.sql import types as T
+
+        from xxt_cdc_spark.sinks.schema_evolution import EvolvingTableSink
+        from xxt_cdc_spark.streaming.binlog_source import (
+            BinlogLogWriter,
+            read_binlog_stream,
+        )
+        from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline
+
+        def rec(op, payload):
+            return {
+                "db": "d", "table": "t", "op": op, "ts": None, "gtid": None,
+                "key": json.dumps({"k": payload["k"]}),
+                "before": None, "after": json.dumps(payload),
+            }
+
+        log = str(tmp_path / "log")
+        w = BinlogLogWriter(log)
+        w.append([rec("I", {"k": 1, "v": "a"}), rec("I", {"k": 2, "v": "b"})])
+
+        db = str(tmp_path / "t.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+        con.commit()
+        con.close()
+
+        sink = EvolvingTableSink(
+            connect_fn=lambda: sqlite3.connect(db, timeout=30),
+            table="t",
+            initial_schema=T.StructType(
+                [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+            ),
+            key_cols=["k"],
+            dialect="sqlite",
+            num_partitions=2,
+        )
+
+        def run():
+            pipe = CDCStreamPipeline(
+                spark=spark,
+                source=read_binlog_stream(spark, log),
+                apply_fn=sink,
+                checkpoint_dir=str(tmp_path / "ck"),
+            )
+            q = pipe.start(available_now=True)
+            q.awaitTermination(120)
+
+        run()  # era 1: original schema
+        w.append([rec("I", {"k": 3, "v": "c", "score": 1.5}),
+                  rec("U", {"k": 1, "v": "a2", "score": 9.25})])
+        run()  # era 2 after restart: schema grows
+
+        assert [c.name for c in sink.evolved] == ["score"]
+        con = sqlite3.connect(db)
+        rows = {r[0]: r for r in con.execute("SELECT k, v, score FROM t").fetchall()}
+        con.close()
+        assert rows[1] == (1, "a2", 9.25)
+        assert rows[2] == (2, "b", None)
+        assert rows[3] == (3, "c", 1.5)
