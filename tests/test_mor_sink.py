@@ -150,3 +150,56 @@ class TestChangelogMor:
         t.append_batch(_typed(spark, B1))
         t.compact()
         assert t.compact() == {"compacted_rows": 0}
+
+
+class TestTimeTravel:
+    def test_as_of_matches_direct_replay_at_cuts(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.changefeed import orders_changefeed
+        from xxt_cdc_spark.operators.apply import apply_changes
+        from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+        sf = "/root/testdata/sf0.001"
+        cf = orders_changefeed(spark, sf)
+        base = cf.select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ).limit(0)
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["o_orderkey"], n_buckets=4)
+        t.append_batch(cf.filter(F.col("pos_offset") <= 3000))
+        t.compact()
+        t.append_batch(cf.filter(F.col("pos_offset") > 3000))
+
+        for cut in (4000, 9000):
+            got = sorted(
+                (r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4))
+                for r in t.as_of("binlog.000001", cut)
+                .select("o_orderkey", "o_orderstatus", "o_totalprice")
+                .collect()
+            )
+            want = sorted(
+                (r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 4))
+                for r in apply_changes(
+                    base, cf.filter(F.col("pos_offset") <= cut),
+                    ["o_orderkey"], ["pos_offset"],
+                )
+                .select("o_orderkey", "o_orderstatus", "o_totalprice")
+                .collect()
+            )
+            assert got == want, f"as_of({cut}) diverged from direct replay"
+
+    def test_as_of_below_watermark_refused(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.changefeed import orders_changefeed
+        from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+        sf = "/root/testdata/sf0.001"
+        cf = orders_changefeed(spark, sf)
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["o_orderkey"], n_buckets=4)
+        t.append_batch(cf.filter(F.col("pos_offset") <= 3000))
+        t.compact()
+        with pytest.raises(ValueError, match="no longer position-addressable"):
+            t.as_of("binlog.000001", 100)

@@ -560,6 +560,49 @@ ORDER BY o_orderkey
 """
 
 
+# --- merge-on-read time travel ------------------------------------------------
+MOR_ASOF = 77777  # between MOR_CUT (compaction watermark) and the feed's max
+
+
+def cdc_mor_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the merge-on-read table: append→compact→append,
+    then read ``as_of`` a position BETWEEN the compaction watermark and
+    the head. The oracle replays the raw feed cut at the same position,
+    so a hash-match proves (compacted base ⋈ bounded suffix) is
+    position-exact — not just eventually consistent."""
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+    cf = orders_changefeed(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mor_asof_q_")
+    try:
+        t = ChangelogMorTable(spark, tmp, ["o_orderkey"], n_buckets=8)
+        t.append_batch(cf.filter(F.col("pos_offset") <= MOR_CUT))
+        t.compact()
+        t.append_batch(cf.filter(F.col("pos_offset") > MOR_CUT))
+        out = (
+            t.as_of("binlog.000001", MOR_ASOF)
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC_MOR_ASOF_SQL = f"""{_CF},
+latest AS (
+  SELECT * FROM cf WHERE pos_offset <= {MOR_ASOF}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pos_offset DESC) = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM latest WHERE op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
 # --- incremental aggregate maintenance ---------------------------------------
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized view over CDC: a grouped aggregate (count + exact
@@ -673,6 +716,7 @@ QUERIES = {
     "cdc_binlog_transport_replay": cdc_binlog_transport_replay,
     "cdc_gtid_resume_cut": cdc_gtid_resume_cut,
     "cdc_incremental_agg": cdc_incremental_agg,
+    "cdc_mor_asof": cdc_mor_asof,
 }
 
 ORACLE = {
@@ -693,4 +737,5 @@ ORACLE = {
     "cdc_binlog_transport_replay": CDC_BINLOG_REPLAY_SQL,
     "cdc_gtid_resume_cut": CDC_GTID_CUT_SQL,
     "cdc_incremental_agg": CDC_INCR_AGG_SQL,
+    "cdc_mor_asof": CDC_MOR_ASOF_SQL,
 }

@@ -179,6 +179,42 @@ class ChangelogMorTable:
         kept = base.join(touched, self.key_cols, "left_anti")
         return kept.unionByName(live)
 
+    def as_of(self, file_val, offset_val) -> DataFrame:
+        """Time travel: the table state AS OF a binlog position — the
+        compacted base merged with the LWW collapse of log rows in
+        (compaction watermark, requested position]. Valid only while
+        the requested position is at or above the compaction watermark
+        (rows folded into the base below it are no longer
+        position-addressable); compaction cadence is therefore also
+        the time-travel retention knob."""
+        wm = self._watermark()
+        if wm is not None and (
+            (wm[self.order_cols[0]], wm[self.order_cols[1]]) > (file_val, offset_val)
+        ):
+            raise ValueError(
+                f"as_of position ({file_val}, {offset_val}) predates the "
+                f"compaction watermark {wm} — that history is folded into "
+                "the base state and no longer position-addressable"
+            )
+        suffix = self._log_suffix().filter(
+            ~_after(
+                F.col(self.order_cols[0]),
+                F.col(self.order_cols[1]),
+                file_val,
+                offset_val,
+            )
+        )
+        meta = ["op", *self.order_cols]
+        payload_cols = [c for c in suffix.columns if c not in meta]
+        latest = last_write_wins(suffix, self.key_cols, self.order_cols)
+        live = latest.filter(F.col("op") != OP_DELETE).select(*payload_cols)
+        if not self.state.exists():
+            return live
+        base = self.state.read()
+        touched = latest.select(*self.key_cols)
+        kept = base.join(touched, self.key_cols, "left_anti")
+        return kept.unionByName(live)
+
     # --- compaction ----------------------------------------------------------
     def compact(self) -> dict:
         """Fold the current log suffix into the bucketed state table and
