@@ -203,3 +203,84 @@ class TestTimeTravel:
         t.compact()
         with pytest.raises(ValueError, match="no longer position-addressable"):
             t.as_of("binlog.000001", 100)
+
+
+class TestChangeDataFeed:
+    def test_changes_between_cuts_exactly(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.changefeed import orders_changefeed
+        from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+        sf = "/root/testdata/sf0.001"
+        cf = orders_changefeed(spark, sf)
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["o_orderkey"], n_buckets=4)
+        t.append_batch(cf)
+
+        lo, hi = ("binlog.000001", 4000), ("binlog.000001", 9000)
+        got = t.changes_between(lo, hi)
+        want = cf.filter((F.col("pos_offset") > 4000) & (F.col("pos_offset") <= 9000))
+        assert got.count() == want.count()
+        # half-open semantics: a row exactly AT lo is excluded, at hi included
+        edge = cf.orderBy("pos_offset").first().pos_offset
+        all_from_head = t.changes_between(None, None)
+        assert all_from_head.count() == cf.count()
+        assert t.changes_between(("binlog.000001", edge), None).filter(
+            F.col("pos_offset") == edge
+        ).count() == 0
+
+    def test_cdf_feeds_continuous_aggregate(self, spark, tmp_path):
+        """Composition: a downstream ContinuousAggregate consumes the
+        MOR table's CDF in two increments and matches a from-scratch
+        aggregate of the converged state."""
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.changefeed import orders_changefeed
+        from xxt_cdc_spark.operators.incremental_agg import ContinuousAggregate
+        from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+        sf = "/root/testdata/sf0.001"
+        cf = orders_changefeed(spark, sf).select(
+            "op", "pos_file", "pos_offset", "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["o_orderkey"], n_buckets=4)
+        t.append_batch(cf)
+
+        ca = ContinuousAggregate(
+            spark, str(tmp_path / "ca"), ["o_orderkey"], ["o_orderstatus"],
+            ["o_totalprice"], ["pos_file", "pos_offset"], n_buckets=4,
+        )
+        cut = ("binlog.000001", 8000)
+        ca.apply_batch(t.changes_between(None, cut), 0)
+        ca.apply_batch(t.changes_between(cut, None), 1)
+
+        got = {
+            r.o_orderstatus: (r.n, float(r.o_totalprice_sum))
+            for r in ca.read().collect()
+        }
+        want_rows = (
+            t.converged()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("s"),
+            )
+            .collect()
+        )
+        want = {r.o_orderstatus: (r.n, float(r.s)) for r in want_rows}
+        assert got == want
+
+    def test_cdf_below_watermark_refused(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.changefeed import orders_changefeed
+        from xxt_cdc_spark.sinks.changelog_mor import ChangelogMorTable
+
+        sf = "/root/testdata/sf0.001"
+        cf = orders_changefeed(spark, sf)
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["o_orderkey"], n_buckets=4)
+        t.append_batch(cf.filter(F.col("pos_offset") <= 3000))
+        t.compact()
+        with pytest.raises(ValueError, match="no longer position-addressable"):
+            t.changes_between(("binlog.000001", 10), None)

@@ -179,6 +179,37 @@ class ChangelogMorTable:
         kept = base.join(touched, self.key_cols, "left_anti")
         return kept.unionByName(live)
 
+    def changes_between(self, lo: tuple | None, hi: tuple | None) -> DataFrame:
+        """Change-data-feed read: the raw change rows in position range
+        (lo, hi] — Delta-CDF-style incremental consumption for
+        downstream subscribers (e.g. a ContinuousAggregate maintaining
+        a view off this table). ``lo=None`` starts at the log head;
+        ``hi=None`` is unbounded. Positions below the compaction
+        watermark are refused like ``as_of`` — compaction cadence is
+        the CDF retention knob too."""
+        from xxt_cdc_spark.model.positions import position_in_range
+
+        wm = self._watermark()
+        if lo is not None and wm is not None and (
+            (wm[self.order_cols[0]], wm[self.order_cols[1]]) > tuple(lo)
+        ):
+            raise ValueError(
+                f"changes_between lower bound {lo} predates the compaction "
+                f"watermark {wm} — that history is folded into the base and "
+                "no longer position-addressable"
+            )
+        log = self.log()
+        if lo is None and hi is None:
+            return log
+        return log.filter(
+            position_in_range(
+                tuple(lo) if lo is not None else ("", -1),
+                tuple(hi) if hi is not None else None,
+                file_col=self.order_cols[0],
+                offset_col=self.order_cols[1],
+            )
+        )
+
     def as_of(self, file_val, offset_val) -> DataFrame:
         """Time travel: the table state AS OF a binlog position — the
         compacted base merged with the LWW collapse of log rows in
