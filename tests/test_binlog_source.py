@@ -333,3 +333,20 @@ class TestPipelineOverBinlogTransport:
         # so downstream LWW absorbs them; the excluded table is gone
         ids = sorted(k for _, k in seen)
         assert set(ids) == set(range(10))
+
+
+class TestCompleteEnd:
+    def test_torn_record_longer_than_probe_window_withheld(self, tmp_path):
+        """A torn tail record larger than the 64 KB probe must still be
+        withheld — the back-scan widens until it finds the last real
+        newline (or the file start)."""
+        fp = tmp_path / "binlog.000001"
+        good = b'{"k":1}\n{"k":2}\n'
+        torn = b'{"big":"' + b"x" * (200 << 10)  # 200 KB, no newline
+        fp.write_bytes(good + torn)
+        assert _complete_end(str(fp)) == len(good)
+
+    def test_whole_file_is_one_torn_record(self, tmp_path):
+        fp = tmp_path / "binlog.000001"
+        fp.write_bytes(b"no-newline-" * (20 << 10))
+        assert _complete_end(str(fp)) == 0

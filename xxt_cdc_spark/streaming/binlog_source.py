@@ -74,21 +74,25 @@ def _binlog_files(path: str) -> list[str]:
 def _complete_end(fp: str) -> int:
     """Byte size of the complete-record prefix: a torn tail line (writer
     crash mid-append) is excluded until its newline lands — readers only
-    ever see whole records."""
+    ever see whole records. The back-scan widens geometrically so even a
+    torn record longer than the initial probe window is withheld."""
     try:
         size = os.path.getsize(fp)
     except FileNotFoundError:
         return 0
     if size == 0:
         return 0
+    back = min(size, 1 << 16)
     with open(fp, "rb") as f:
-        back = min(size, 1 << 16)
-        f.seek(size - back)
-        tail = f.read(back)
-    last_nl = tail.rfind(b"\n")
-    if last_nl < 0:
-        return 0 if back == size else size  # torn-from-start vs unknowable: conservative
-    return size - back + last_nl + 1
+        while True:
+            f.seek(size - back)
+            tail = f.read(back)
+            last_nl = tail.rfind(b"\n")
+            if last_nl >= 0:
+                return size - back + last_nl + 1
+            if back == size:
+                return 0  # no newline anywhere: the whole file is one torn record
+            back = min(size, back * 4)
 
 
 def _snap_forward(fp: str, pos: int) -> int:
