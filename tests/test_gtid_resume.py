@@ -146,3 +146,48 @@ class TestGtidStreamE2E:
         )
         q.awaitTermination(120)
         assert sorted(seen) == list(range(23, 31))
+
+
+class TestGtidGateFuzz:
+    def test_compiled_gate_matches_python_containment(self, spark):
+        """Fuzz the SQL compilation: for randomized executed sets
+        (multiple UUIDs, gaps, singletons, adjacent-merge cases) and
+        randomized event GTIDs, the JVM BETWEEN gate must agree with
+        the pure-Python interval algebra row for row. One seeded batch
+        per round drives Spark once (per-example hypothesis rounds are
+        too slow for JVM calls)."""
+        import random
+
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            uuids = [U1, U2, "cccccccc-dddd-eeee-ffff-000000000000"]
+            parts = []
+            for u in uuids:
+                ivs = []
+                lo = 1
+                for _ in range(rng.randint(1, 4)):
+                    lo += rng.randint(0, 40)
+                    hi = lo + rng.randint(0, 30)
+                    ivs.append(f"{lo}-{hi}" if hi > lo else str(lo))
+                    lo = hi + 2  # leave gaps
+                parts.append(f"{u}:{':'.join(ivs)}")
+            executed = GTIDSet.parse(",".join(parts[: rng.randint(1, 3)]))
+
+            rows = []
+            for i in range(300):
+                u = rng.choice(uuids + ["not-in-set-uuid"])
+                txid = rng.randint(1, 200)
+                rows.append((i, f"{u}:{txid}"))
+            rows.append((9000, None))  # NULL gtid row must be kept
+            df = spark.createDataFrame(rows, "rid long, gtid string")
+
+            kept_spark = {
+                r.rid
+                for r in df.filter(gtid_not_executed(executed)).collect()
+            }
+            kept_py = {
+                rid
+                for rid, g in rows
+                if g is None or not executed.contains(GTIDSet.parse(g))
+            }
+            assert kept_spark == kept_py, f"seed {seed} diverged"
