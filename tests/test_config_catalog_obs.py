@@ -188,3 +188,53 @@ class TestManagementHTTP:
             lg.stop()
         assert seen and "CDC performance" in seen[0] and "42" in seen[0]
         assert "42" in lg.tick()
+
+
+class TestSourcePositions:
+    def test_snapshot_captures_transport_offsets(self, spark, tmp_path):
+        """The metrics snapshot must carry the last batch's per-source
+        transport positions (S9 for the live stream) — for the binlog
+        source these are the {file, pos} offsets the checkpoint owns."""
+        import json as _json
+
+        from xxt_cdc_spark.obs.metrics import snapshot_from_query
+        from xxt_cdc_spark.streaming.binlog_source import (
+            BinlogLogWriter,
+            read_binlog_stream,
+        )
+
+        log = str(tmp_path / "log")
+        w = BinlogLogWriter(log)
+        w.append(
+            [
+                {
+                    "db": "d", "table": "t", "op": "I", "ts": None, "gtid": None,
+                    "key": _json.dumps({"id": i}), "before": None,
+                    "after": _json.dumps({"id": i}),
+                }
+                for i in range(10)
+            ]
+        )
+        q = (
+            read_binlog_stream(spark, log)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        snap = snapshot_from_query(q)
+        assert snap.source_positions, "no source positions captured"
+        end = snap.source_positions[0]["end_offset"]
+        if isinstance(end, str):
+            # Python data sources serialize offsets as a dict repr
+            import ast
+
+            try:
+                pos = _json.loads(end)
+            except _json.JSONDecodeError:
+                pos = ast.literal_eval(end)
+        else:
+            pos = end
+        assert pos["file"] == "binlog.000001" and pos["pos"] > 0
+        assert "source_positions" in snap.as_dict()

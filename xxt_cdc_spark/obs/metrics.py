@@ -33,6 +33,9 @@ class MetricsSnapshot:
     started_at: float = field(default_factory=time.time)
     per_table: dict[str, int] = field(default_factory=dict)
     batch_durations_ms: list[float] = field(default_factory=list)
+    # last observed transport positions per source (S9 for the live
+    # stream): description + start/end offsets from the progress JSON
+    source_positions: list[dict] = field(default_factory=list)
 
     def latency_percentiles(self) -> dict[str, float | None]:
         """P50/P95/P99 of micro-batch apply duration — the engine's
@@ -76,6 +79,7 @@ class MetricsSnapshot:
             "error_rate": self.error_rate,
             "uptime_s": self.uptime_s,
             "per_table": dict(self.per_table),
+            "source_positions": list(self.source_positions),
         }
 
 
@@ -111,6 +115,15 @@ def snapshot_from_query(query) -> MetricsSnapshot:
         snap.last_batch_duration_ms = dur
         if rows:
             snap.batch_durations_ms.append(dur)
+        snap.source_positions = [
+            {
+                "description": s.get("description"),
+                "start_offset": s.get("startOffset"),
+                "end_offset": s.get("endOffset"),
+                "latest_offset": s.get("latestOffset"),
+            }
+            for s in (p.get("sources") or [])
+        ]
     return snap
 
 
