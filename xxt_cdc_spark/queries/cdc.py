@@ -21,6 +21,10 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
                                files, source-assigned positions)
 - cdc_gtid_resume_cut        → S2 GTID-mode resume gate (interval
                                containment compiled to JVM BETWEENs)
+- cdc_incremental_agg        → materialized-view-over-CDC: aggregate
+                               maintained from ±image deltas
+- cdc_mor_asof               → merge-on-read time travel (state as of
+                               a position ≡ replay cut)
 """
 
 from __future__ import annotations
