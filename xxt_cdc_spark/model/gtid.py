@@ -106,17 +106,23 @@ def gtid_not_executed(executed: GTIDSet, gtid_col: str = "gtid"):
     The executed set is small (a few intervals per source UUID), so it
     unrolls to literal BETWEEN clauses — no UDF, no broadcast join.
     Rows with a NULL gtid are kept (non-transactional events must not
-    be silently dropped by a GTID gate).
+    be silently dropped by a GTID gate), and so are rows whose
+    transaction part doesn't parse as a plain integer (range form
+    'uuid:1-5' or a multi-interval set): an unparseable position must
+    fail open to "not executed", never silently drop — a NULL from the
+    cast would otherwise poison the whole predicate.
     """
     from pyspark.sql import functions as F
 
     col = F.col(gtid_col)
     uuid = F.lower(F.split(col, ":").getItem(0))
-    txid = F.split(col, ":").getItem(1).cast("long")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+    # cast of a non-integer txid THROWS, killing the whole query
+    txid = F.split(col, ":").getItem(1).try_cast("long")
     contained = F.lit(False)
     for u, ivs in executed.by_uuid:
         in_u = F.lit(False)
         for a, b in ivs:
             in_u = in_u | txid.between(F.lit(a), F.lit(b))
         contained = F.when(uuid == F.lit(u), in_u).otherwise(contained)
-    return col.isNull() | ~contained
+    return col.isNull() | txid.isNull() | ~contained

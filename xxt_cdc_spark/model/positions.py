@@ -33,10 +33,18 @@ class BinlogPosition:
         raise ValueError(f"unparseable binlog position: {s!r}")
 
 
+def _suffix_num(filename: str) -> int | None:
+    """Numeric rotation suffix, or None. File order must be numeric:
+    MySQL widens the suffix past its zero-padding ('binlog.1000000'
+    follows 'binlog.999999'), where lexicographic compare inverts."""
+    tail = filename.rsplit(".", 1)[-1]
+    return int(tail) if tail.isdigit() else None
+
+
 @functools.total_ordering
 @dataclass(frozen=True)
 class FilePosition(BinlogPosition):
-    """(binlog file, byte offset); ordered by (file, offset)."""
+    """(binlog file, byte offset); ordered by (numeric file suffix, offset)."""
 
     filename: str
     offset: int
@@ -47,6 +55,9 @@ class FilePosition(BinlogPosition):
     def __lt__(self, other: "FilePosition") -> bool:
         if not isinstance(other, FilePosition):
             return NotImplemented
+        a, b = _suffix_num(self.filename), _suffix_num(other.filename)
+        if a is not None and b is not None:
+            return (a, self.offset) < (b, other.offset)
         return (self.filename, self.offset) < (other.filename, other.offset)
 
 
@@ -86,7 +97,18 @@ def position_after(
         start_pos = (start_pos.filename, start_pos.offset)
     if isinstance(start_pos, (tuple, list)):
         fname, off = start_pos
-        return (F.col(file_col) > F.lit(fname)) | (
+        num = _suffix_num(fname)
+        if num is not None:
+            # JVM-side numeric suffix: survives MySQL widening the
+            # rotation suffix past its zero-padding, where string
+            # compare would order binlog.1000000 before binlog.999999
+            suff = F.regexp_extract(F.col(file_col), r"([0-9]+)$", 1)
+            file_gt = F.when(suff != "", suff.cast("long") > F.lit(num)).otherwise(
+                F.col(file_col) > F.lit(fname)
+            )
+        else:
+            file_gt = F.col(file_col) > F.lit(fname)
+        return file_gt | (
             (F.col(file_col) == F.lit(fname)) & (F.col(offset_col) > F.lit(off))
         )
     return F.col(offset_col) > F.lit(start_pos)

@@ -176,7 +176,11 @@ class ContinuousAggregate:
             self.state.init(collapsed.select(*payload).limit(0))
 
         vdir = self._vdir(batch_id)
-        if not os.path.isdir(vdir):
+        # replay-skip must gate on the _SUCCESS marker, not the directory:
+        # a crash DURING the parquet write leaves a partial dir (only
+        # _temporary, no _SUCCESS), and skipping the recompute then would
+        # commit a corrupt version — overwrite mode makes the redo safe
+        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
             # old images: bucket-pruned lookup of ONLY the touched keys
             keys = collapsed.select(*self.key_cols)
             touched = sorted(

@@ -235,9 +235,23 @@ class JdbcUpsertWriter:
             return self._acquire_with_retry(), False
         with _POOL_LOCK:
             conn = _CONN_POOL.get(self.pool_key)
-            if conn is None:
-                conn = self._acquire_with_retry()
-                _CONN_POOL[self.pool_key] = conn
+        if conn is None:
+            # connect OUTSIDE the lock: _acquire_with_retry sleeps its
+            # backoff, and holding _POOL_LOCK through that would stall
+            # every other writer task's acquire/evict for the full
+            # backoff. Double-checked put; the race loser closes its
+            # spare connection.
+            conn = self._acquire_with_retry()
+            with _POOL_LOCK:
+                existing = _CONN_POOL.get(self.pool_key)
+                if existing is None:
+                    _CONN_POOL[self.pool_key] = conn
+            if existing is not None:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                conn = existing
         return conn, True
 
     def _acquire_with_retry(self):

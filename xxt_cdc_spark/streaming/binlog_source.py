@@ -61,14 +61,21 @@ from xxt_cdc_spark.model.gtid import GTIDSet
 FILE_PREFIX = "binlog."
 
 
+def _file_num(name: str) -> int:
+    """Numeric rotation suffix. All file-order comparisons go through
+    this: lexicographic compare breaks once the suffix outgrows its
+    zero-padding ('binlog.1000000' < 'binlog.999999' as strings), and
+    MySQL widens the suffix exactly that way."""
+    return int(name.rsplit(".", 1)[-1])
+
+
 def _binlog_files(path: str) -> list[str]:
-    """Rotated files in position order (zero-padded suffix ⇒ lexicographic
-    == numeric order, same as MySQL's binlog index)."""
+    """Rotated files in position (numeric-suffix) order."""
     try:
         names = [n for n in os.listdir(path) if n.startswith(FILE_PREFIX)]
     except FileNotFoundError:
         return []
-    return sorted(n for n in names if n.rsplit(".", 1)[-1].isdigit())
+    return sorted((n for n in names if n.rsplit(".", 1)[-1].isdigit()), key=_file_num)
 
 
 def _complete_end(fp: str) -> int:
@@ -152,6 +159,11 @@ def _read_range(part: BinlogRange):
             ("after", pa.string()),
         ]
     )
+    if part.start >= part.end:
+        # no-op range (empty advance): don't touch the file — it may not
+        # exist yet (fresh dir: initialOffset fabricates binlog.000001)
+        # or may have been purged
+        return
     fp = os.path.join(part.path, part.filename)
     cols: list[list] = [[] for _ in range(10)]
 
@@ -199,13 +211,21 @@ def _read_range(part: BinlogRange):
 
 def _plan(path: str, start: dict, end: dict, chunk_bytes: int) -> list[BinlogRange]:
     files = _binlog_files(path)
+    ends = end.get("ends") or {}
     out: list[BinlogRange] = []
     for name in files:
-        if name < start["file"] or name > end["file"]:
+        if _file_num(name) < _file_num(start["file"]) or _file_num(name) > _file_num(end["file"]):
             continue
         fp = os.path.join(path, name)
         lo = start["pos"] if name == start["file"] else 0
-        hi = end["pos"] if name == end["file"] else _complete_end(fp)
+        if name == end["file"]:
+            hi = end["pos"]
+        else:
+            # intermediate files: use the end pinned at advance time so a
+            # replayed batch is byte-identical even if a torn tail has
+            # since completed; fall back to the live scan only for
+            # offsets written before ends were recorded
+            hi = ends.get(name, _complete_end(fp))
         while lo < hi:
             mid = _snap_forward(fp, min(lo + chunk_bytes, hi)) if chunk_bytes else hi
             mid = min(max(mid, lo + 1), hi) if mid <= lo else min(mid, hi)
@@ -276,8 +296,9 @@ class BinlogStreamReader(DataSourceStreamReader):
         budget = self.max_bytes
         files = _binlog_files(self.path)
         f, p = start["file"], start["pos"]
-        if files and f < files[0]:  # purged prefix: resume at earliest retained
-            f, p = files[0], 0
+        if files and _file_num(f) < _file_num(files[0]):
+            f, p = files[0], 0  # purged prefix: resume at earliest retained
+        ends: dict[str, int] = {}
         while budget > 0:
             fp = os.path.join(self.path, f)
             end = _complete_end(fp)
@@ -286,12 +307,18 @@ class BinlogStreamReader(DataSourceStreamReader):
                 nxt = max(nxt, _snap_forward(fp, p + 1)) if nxt <= p else nxt
                 budget -= nxt - p
                 p = min(nxt, end)
-            later = [n for n in files if n > f]
+            later = [n for n in files if _file_num(n) > _file_num(f)]
             if p >= end and later and budget > 0:
-                f, p = later[0], 0  # ROTATE: rollover keeps the composite order monotone
+                # ROTATE: rollover keeps the composite order monotone. Pin
+                # the consumed end so a replayed plan of this batch stays
+                # byte-identical even if the file's torn tail completes.
+                ends[f] = end
+                f, p = later[0], 0
             else:
                 break
         self._last_end = {"file": f, "pos": p}
+        if ends:
+            self._last_end["ends"] = ends
         return self._last_end
 
     def partitions(self, start: dict, end: dict):
@@ -307,8 +334,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         # retention is the log owner's concern (MySQL expire_logs_days);
         # remember the committed frontier so a restarted latestOffset
         # can't re-shrink the plan window
-        if self._last_end is None or (end["file"], end["pos"]) > (
-            self._last_end["file"],
+        if self._last_end is None or (_file_num(end["file"]), end["pos"]) > (
+            _file_num(self._last_end["file"]),
             self._last_end["pos"],
         ):
             self._last_end = end
