@@ -506,35 +506,58 @@ def cdc_binlog_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     record) — the oracle replays the same history on the changefeed's
     logical clock, so a hash-match proves the transport's clock induces
     the same total order (append order) as the logical one, across the
-    file rotation, with none of the payload damaged by the wire format.
+    file rotations, with none of the payload damaged by the wire format.
+
+    The log itself is written DISTRIBUTED: the changefeed is
+    range-partitioned on its logical clock and each partition appends
+    its slice as one rotated file (partition i → binlog.<i+1>), so the
+    per-file offset order within ascending file numbers reproduces the
+    logical order with no driver materialization — rotation falls out
+    of the partitioning instead of being staged row-by-row.
     """
+    import os
     import shutil
     import tempfile
 
-    from xxt_cdc_spark.streaming.binlog_source import BinlogLogWriter, register
+    from xxt_cdc_spark.streaming.binlog_source import register
 
     cf = orders_changefeed(spark, sf_dir)
     env = to_envelope(cf)
-    rows = env.orderBy("pos_offset").collect()  # append in logical order
-    recs = [
-        {
-            "db": r.db,
-            "table": r.table,
-            "op": r.op,
-            "ts": r.ts,
-            "gtid": r.gtid,
-            "key": r.key,
-            "before": r.before,
-            "after": r.after,
-        }
-        for r in rows
-    ]
     tmp = tempfile.mkdtemp(prefix="binlog_q_")
+    n_files = 8  # rotated files = range partitions
+
+    def _write_files(batches):
+        import json as _json
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fp = os.path.join(tmp, f"binlog.{pid + 1:06d}")
+        n = 0
+        # "w", not append: a speculative/retried task rewrites its whole
+        # file, keeping the write idempotent
+        with open(fp, "w", encoding="utf-8") as f:
+            for pdf in batches:
+                for rec in pdf.to_dict("records"):
+                    rec.pop("pos_offset", None)
+                    ts = rec.get("ts")
+                    rec["ts"] = None if pd.isna(ts) else pd.Timestamp(ts).isoformat()
+                    rec = {k: (None if (v is None or v != v) else v) for k, v in rec.items()}
+                    f.write(_json.dumps(rec, separators=(",", ":")) + "\n")
+                    n += 1
+        yield pd.DataFrame({"rows_written": [n]})
+
     try:
-        w = BinlogLogWriter(tmp)
-        w.append(recs[: len(recs) // 2])
-        w.rotate()  # offsets reset; composite order must still hold
-        w.append(recs[len(recs) // 2 :])
+        (
+            env.select(
+                "pos_offset", "db", "table", "op", "ts", "gtid", "key", "before", "after"
+            )
+            .repartitionByRange(n_files, "pos_offset")
+            .sortWithinPartitions("pos_offset")
+            .mapInPandas(_write_files, "rows_written long")
+            .collect()  # O(n_files) driver rows — bounded metadata only
+        )
         register(spark)
         env2 = spark.read.format("xxt_binlog").option("path", tmp).load()
         orders_schema = normalize_timestamps(
