@@ -34,16 +34,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_topk_cosine",
-    "emb_neardup_pairs",
     "emb_neardup_fast",
-    "text_quality",
+    "text_profile",
     "stream_window_agg",
     "stream_sessionize",
     "asof_join_events_orders",
     "dedup_simhash",
     "dedup_clusters",
     "training_data_selection",
-    "multimodal_image_features",
+    "multimodal_features",
     "range_join_order_events",
     "range_join_binned_global",
     "lead_lag_user_gaps",
@@ -422,6 +421,83 @@ def bench_binlog_transport(spark) -> dict:
     return {"events": n, "sec": dt, "events_per_sec": n / (exec_ms / 1000.0)}
 
 
+def bench_fanout_tables(spark) -> dict:
+    """Many-table fanout apply vs the reference's "100,000+ active
+    tables" claim (BASELINE.md / its README.md:516): the SAME 100k-event
+    envelope batch spread over 10 / 100 / 1000 tables through
+    apply_batch_fanout — ONE Spark job per batch regardless of table
+    count. Reports events/s at each width plus the per-table overhead
+    slope (sec per extra table, linear fit): a flat slope is the
+    scaling argument, since 100k tables is then just more of the same
+    O(1)-jobs batch."""
+    from pyspark.sql import functions as F
+
+    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, TableSink, apply_batch_fanout
+
+    n_events = 100_000
+    widths = (10, 100, 1000)
+    out: dict = {}
+    secs: dict[int, float] = {}
+    for n_tables in widths:
+        env = spark.range(n_events).select(
+            F.lit("d").alias("db"),
+            F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+            F.lit("I").alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("binlog.000001").alias("pos_file"),
+            F.col("id").alias("pos_offset"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.to_json(F.struct(F.floor(F.col("id") / n_tables).alias("k"))).alias("key"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(
+                F.struct(
+                    F.floor(F.col("id") / n_tables).alias("k"), F.col("id").alias("v")
+                )
+            ).alias("after"),
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            db = os.path.join(tmp, "fan.db")
+            con = sqlite3.connect(db)
+            for i in range(n_tables):
+                con.execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+            con.commit()
+            con.close()
+
+            def factory(table: str):
+                return lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    table=table,
+                    columns=["k", "v"],
+                    key_cols=["k"],
+                    dialect="sqlite",
+                    batch_size=5000,
+                    connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+                    # one pooled connection per (process, table): the fanout
+                    # worker touches every table per partition, and 1000
+                    # connect+PRAGMA handshakes per batch would measure
+                    # connection churn, not apply cost (O20's whole point)
+                    pool_key=f"fan:{db}:{table}",
+                )
+
+            sinks = {
+                f"t{i}": TableSink(factory(f"t{i}"), ["k"], None) for i in range(n_tables)
+            }
+            t0 = time.monotonic()
+            applied = apply_batch_fanout(env, sinks, num_partitions=2)
+            dt = time.monotonic() - t0
+            n_applied = sum(applied.values())
+            assert n_applied == n_events, (n_applied, n_events)
+        secs[n_tables] = dt
+        out[f"events_per_sec_{n_tables}t"] = round(n_events / dt)
+    # least-squares slope of wall-time vs table count → ms per extra table
+    xs, ys = list(secs), [secs[w] for w in secs]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
+    out["per_table_overhead_ms"] = round(slope * 1000, 4)
+    out["events_per_sec"] = out[f"events_per_sec_{widths[-1]}t"]
+    return out
+
+
 def bench_snapshot(spark) -> dict:
     """Snapshot path: full partitioned read → noop write (isolates scan)."""
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -501,6 +577,7 @@ def main() -> None:
     skew = best_of_2("skew", bench_sink_apply_skewed)
     snap = best_of_2("snapshot", bench_snapshot)
     binlog = best_of_2("binlog", bench_binlog_transport)
+    fanout = _guard(errors, "fanout", bench_fanout_tables, spark)  # 3 widths inside
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -524,6 +601,12 @@ def main() -> None:
     if binlog:
         out["binlog_events_per_sec"] = round(binlog["events_per_sec"])
         out["binlog_events"] = binlog["events"]
+    if fanout:
+        out["cdc_fanout_tables_per_sec"] = fanout["events_per_sec"]
+        out["cdc_fanout_per_table_overhead_ms"] = fanout["per_table_overhead_ms"]
+        for k, v in fanout.items():
+            if k.startswith("events_per_sec_"):
+                out[f"cdc_fanout_{k}"] = v
     if stream:
         out.update(
             stream_events_per_sec=round(stream["events_per_sec"]),
@@ -535,6 +618,13 @@ def main() -> None:
         )
     if mor:
         out.update(
+            # THE apply-latency posture (BASELINE.md <100 ms row): the
+            # JVM-only merge-on-read append path. The Python-source
+            # stream_latency_* rows above are the secondary number — that
+            # path carries an irreducible Python worker-dispatch floor
+            # (SCALING.md latency ablation).
+            apply_latency_p50_ms=mor["p50_ms"],
+            apply_latency_p95_ms=mor["p95_ms"],
             stream_mor_latency_p50_ms=mor["p50_ms"],
             stream_mor_latency_p95_ms=mor["p95_ms"],
             stream_mor_batches=mor["batches"],

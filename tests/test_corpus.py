@@ -103,9 +103,12 @@ class TestDistributions:
         for r in corpus.corpus_token_quantiles(spark, sf_dir).collect():
             assert r.p10 <= r.p50 <= r.p90 <= r.p99
 
-    def test_histogram_partitions_corpus(self, spark, sf_dir):
+    def test_stats_partition_corpus(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        out = corpus.corpus_length_histogram(spark, sf_dir)
+        out = corpus.corpus_stats(spark, sf_dir)
         assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
         # bucket floors are multiples of the bucket width
-        assert out.filter(F.col("bucket") % corpus.HIST_BUCKET != 0).count() == 0
+        assert out.filter(F.col("len_bucket") % corpus.HIST_BUCKET != 0).count() == 0
+        assert {r.split for r in out.select("split").distinct().collect()} == {
+            "train", "val", "test",
+        }

@@ -68,7 +68,7 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_repetition_stats_prunes_and_partially_aggregates(self, spark, sf_dir):
-        plan = _plan(spark, sf_dir, "text_repetition_stats")
+        plan = _plan(spark, sf_dir, "text_quality_gates")
         # only (doc_id, text) may be read — lang/source/n_chars pruned
         read_schema = plan.split("ReadSchema", 1)[1][:200]
         assert "doc_id" in read_schema and "text" in read_schema

@@ -4,7 +4,6 @@ Each query exercises an engine operator over the deterministic
 changefeed derived from ``orders`` (changefeed.py), with a DuckDB
 oracle reproducing the same history in ANSI SQL. Coverage map:
 
-- cdc_changefeed_events      → T1/T2 normalization output shape
 - cdc_envelope_roundtrip     → T1 envelope JSON ↔ typed fidelity
 - cdc_multirow_explode       → T1 multi-row explode (fixes reference bug)
 - cdc_lww_collapse           → R5 key-collapse / last-write-wins
@@ -48,29 +47,22 @@ from xxt_cdc_spark.operators.table_filter import TableFilter
 _CF = f"WITH cf AS ({ORDERS_CHANGEFEED_SQL})"
 
 
-# --- T1/T2: the changefeed itself ----------------------------------------
-def cdc_changefeed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no final global sort: the result is a bag (the correctness gate
-    # hashes rows order-insensitively), and a sort directly over a
-    # shuffle-free map pipeline makes the range-partitioner's sampling
-    # job recompute the whole plan a second time.
-    return orders_changefeed(spark, sf_dir)
-
-
-CDC_CHANGEFEED_SQL = f"{_CF} SELECT * FROM cf"
-
-
-# --- T1: envelope JSON round-trip -----------------------------------------
+# --- T1/T2: envelope JSON round-trip --------------------------------------
 def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed → JSON envelope → typed again; oracle is the direct feed,
     so any loss in the JSON encode/decode (types, nulls, timestamps)
-    fails the hash."""
+    fails the hash. (Subsumes the former cdc_changefeed_events entry:
+    the raw feed is this query's own input, so a feed defect fails this
+    hash too — r4 registry consolidation.)"""
     cf = orders_changefeed(spark, sf_dir)
     env = to_envelope(cf)
     orders_schema = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet")).schema
     # image='auto' does the per-op before/after dispatch in one pass —
     # no filter+union re-computing the changefeed per branch. No final
-    # sort: see cdc_changefeed_events.
+    # global sort: the result is a bag (the correctness gate hashes
+    # rows order-insensitively), and a sort directly over a
+    # shuffle-free map pipeline makes the range-partitioner's sampling
+    # job recompute the whole plan a second time.
     typed = envelope_to_typed(env, "orders", orders_schema, image="auto")
     return typed.select("op", "pos_file", "pos_offset", *ORDERS_PAYLOAD)
 
@@ -726,7 +718,6 @@ GROUP BY op ORDER BY op
 
 
 QUERIES = {
-    "cdc_changefeed_events": cdc_changefeed_events,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_multirow_explode": cdc_multirow_explode,
     "cdc_lww_collapse": cdc_lww_collapse,
@@ -747,7 +738,6 @@ QUERIES = {
 }
 
 ORACLE = {
-    "cdc_changefeed_events": CDC_CHANGEFEED_SQL,
     "cdc_envelope_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_multirow_explode": CDC_MULTIROW_SQL,
     "cdc_lww_collapse": CDC_LWW_SQL,

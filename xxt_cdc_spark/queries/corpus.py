@@ -104,36 +104,45 @@ ORDER BY rank
 """
 
 
-# --- deterministic train/val/test split --------------------------------------
-def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(split, lang) corpus profile under the deterministic md5
-    split (≈78/11/11). Hash-of-id assignment is stable across runs,
-    engines and repartitioning — shards never migrate between splits."""
+# --- deterministic train/val/test split + shape profile ----------------------
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang, 50-char length bucket) corpus profile under
+    the deterministic md5 split (≈78/11/11). Hash-of-id assignment is
+    stable across runs, engines and repartitioning — shards never
+    migrate between splits. Folds the former corpus_split_stats /
+    corpus_length_histogram entries: split assignment, token counting
+    and histogram bucketing in one partial aggregation — the shape
+    report a 100 TB curation job emits per shard."""
     d = _docs(spark, sf_dir)
     return (
         d.select(
             TX.split_assign("doc_id").alias("split"),
             "lang",
+            (F.floor(F.length("text") / HIST_BUCKET) * HIST_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
             TX.token_count("text").cast("long").alias("n_tok"),
         )
-        .groupBy("split", "lang")
+        .groupBy("split", "lang", "len_bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
-        .orderBy("split", "lang")
+        .orderBy("split", "lang", "len_bucket")
     )
 
 
-SPLIT_STATS_SQL = f"""
-SELECT split, lang, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+CORPUS_STATS_SQL = f"""
+SELECT split, lang, len_bucket, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
 FROM (
   SELECT CASE
            WHEN substr(md5('{TX.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TX.SPLIT_BOUNDS[0][1]}' THEN 'train'
            WHEN substr(md5('{TX.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{TX.SPLIT_BOUNDS[1][1]}' THEN 'val'
            ELSE 'test'
          END AS split,
-         lang, len({_TOK}) AS n_tok
+         lang,
+         (length(text) // {HIST_BUCKET}) * {HIST_BUCKET} AS len_bucket,
+         len({_TOK}) AS n_tok
   FROM documents
 )
-GROUP BY 1, 2 ORDER BY 1, 2
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
@@ -168,42 +177,16 @@ GROUP BY lang ORDER BY lang
 """
 
 
-# --- document length histogram -----------------------------------------------
-def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-length histogram in 50-char buckets — the shape report a
-    curation job emits per shard. Pure integer arithmetic, one partial
-    aggregation."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.select(
-            (F.floor(F.length("text") / HIST_BUCKET) * HIST_BUCKET)
-            .cast("long")
-            .alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("bucket")
-    )
-
-
-HISTOGRAM_SQL = f"""
-SELECT (length(text) // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket, count(*) AS n_docs
-FROM documents GROUP BY 1 ORDER BY 1
-"""
-
-
 QUERIES = {
+    "corpus_stats": corpus_stats,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_search": text_bm25_search,
-    "corpus_split_stats": corpus_split_stats,
     "corpus_token_quantiles": corpus_token_quantiles,
-    "corpus_length_histogram": corpus_length_histogram,
 }
 
 ORACLE = {
+    "corpus_stats": CORPUS_STATS_SQL,
     "text_tfidf_topk": TFIDF_SQL,
     "text_bm25_search": BM25_SQL,
-    "corpus_split_stats": SPLIT_STATS_SQL,
     "corpus_token_quantiles": QUANTILES_SQL,
-    "corpus_length_histogram": HISTOGRAM_SQL,
 }

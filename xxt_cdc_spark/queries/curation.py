@@ -297,22 +297,83 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- folded families (registry-cap consolidation, r4) ------------------------
+def text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both model-free quality signals in one doc-grain result: the
+    Gopher-style repetition gate (top-token share, duplicate-bigram
+    share, flag) joined with the unigram-LM average log-prob
+    (perplexity proxy). Folds the former text_repetition_stats /
+    text_unigram_logprob entries — one row per doc carries both
+    operators' outputs, each still value-hashed."""
+    rep = text_repetition_stats(spark, sf_dir)
+    lp = text_unigram_logprob(spark, sf_dir).drop("n_tok")
+    return rep.join(lp, "doc_id", "inner").orderBy("doc_id")
+
+
+QUALITY_GATES_SQL = f"""
+SELECT r.doc_id, r.n_tok, r.top_token_frac, r.dup_bigram_frac, r.flagged,
+       l.avg_logprob
+FROM ({REPETITION_SQL}) r JOIN ({LOGPROB_SQL}) l USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
+def corpus_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling policy surface keyed by ``family``: the deterministic
+    hash-gated stratified sample report (per language) and the
+    temperature-smoothed domain mixture weights (per source). Folds the
+    former corpus_stratified_sample / corpus_domain_mix entries.
+    Columns: n_docs; v1/v2 = (kept_docs, kept_tokens) or (tokens,
+    NULL); f1/f2 = (kept_frac, NULL) or (token_share, mix_weight)."""
+    strat = corpus_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("family"),
+        F.col("lang").alias("key"),
+        F.col("total_docs").alias("n_docs"),
+        F.col("kept_docs").cast("long").alias("v1"),
+        F.col("kept_tokens").cast("long").alias("v2"),
+        F.col("kept_frac").alias("f1"),
+        F.lit(None).cast("double").alias("f2"),
+    )
+    mix = corpus_domain_mix(spark, sf_dir).select(
+        F.lit("domain_mix").alias("family"),
+        F.col("source").alias("key"),
+        "n_docs",
+        F.col("tokens").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.col("token_share").alias("f1"),
+        F.col("mix_weight").alias("f2"),
+    )
+    return strat.unionByName(mix).orderBy("family", "key")
+
+
+SAMPLING_MIX_SQL = f"""
+SELECT family, key, n_docs, v1, v2, f1, f2 FROM (
+  SELECT 'stratified' AS family, lang AS key, total_docs AS n_docs,
+         kept_docs AS v1, kept_tokens AS v2, kept_frac AS f1,
+         CAST(NULL AS DOUBLE) AS f2
+  FROM ({STRATIFIED_SQL})
+  UNION ALL
+  SELECT 'domain_mix' AS family, source AS key, n_docs,
+         tokens AS v1, CAST(NULL AS BIGINT) AS v2, token_share AS f1,
+         mix_weight AS f2
+  FROM ({MIX_SQL})
+)
+ORDER BY family, key
+"""
+
+
 QUERIES = {
-    "text_repetition_stats": text_repetition_stats,
+    "text_quality_gates": text_quality_gates,
+    "corpus_sampling_mix": corpus_sampling_mix,
     "text_pii_redact": text_pii_redact,
-    "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_pack_sequences": corpus_pack_sequences,
-    "corpus_domain_mix": corpus_domain_mix,
     "corpus_decontaminate": corpus_decontaminate,
-    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE = {
-    "text_repetition_stats": REPETITION_SQL,
+    "text_quality_gates": QUALITY_GATES_SQL,
+    "corpus_sampling_mix": SAMPLING_MIX_SQL,
     "text_pii_redact": PII_SQL,
-    "corpus_stratified_sample": STRATIFIED_SQL,
     "corpus_pack_sequences": PACK_SQL,
-    "corpus_domain_mix": MIX_SQL,
     "corpus_decontaminate": DECON_SQL,
-    "text_unigram_logprob": LOGPROB_SQL,
 }

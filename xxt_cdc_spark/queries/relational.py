@@ -185,30 +185,14 @@ ORDER BY c_mktsegment, rk
 """
 
 
-# --- rollup_agg: grouping sets / rollup ----------------------------------
-def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
-
-
-ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus,
-       {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-"""
-
-
-# --- set_ops: union / intersect / except ---------------------------------
-def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- set ops + semi/anti joins (folded family, r4) -------------------------
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer-set algebra op in one result, keyed by bucket:
+    EXCEPT ALL / INTERSECT over the big-spender vs BUILDING-segment
+    sets, plus left-semi / left-anti against the orders fact. Folds the
+    former set_ops_customers / semi_anti_customers entries — each op
+    contributes a distinct bucket, so the value hash still gates all
+    four independently."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     big_spenders = (
@@ -220,14 +204,19 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     only_big = big_spenders.exceptAll(building)
     both = big_spenders.intersect(building)
+    okeys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(okeys, "c_custkey", "left_semi").select("c_custkey")
+    without = cust.join(okeys, "c_custkey", "left_anti").select("c_custkey")
     return (
         only_big.withColumn("bucket", F.lit("big_only"))
         .unionByName(both.withColumn("bucket", F.lit("big_building")))
+        .unionByName(with_orders.withColumn("bucket", F.lit("active")))
+        .unionByName(without.withColumn("bucket", F.lit("inactive")))
         .orderBy("bucket", "c_custkey")
     )
 
 
-SET_OPS_SQL = f"""
+CUSTOMER_SET_OPS_SQL = f"""
 WITH big AS (
   SELECT o_custkey AS c_custkey
   FROM orders GROUP BY o_custkey
@@ -238,45 +227,7 @@ WITH big AS (
 SELECT c_custkey, 'big_only' AS bucket FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM building)
 UNION ALL
 SELECT c_custkey, 'big_building' AS bucket FROM (SELECT * FROM big INTERSECT SELECT * FROM building)
-ORDER BY bucket, c_custkey
-"""
-
-
-# --- pivot: conditional aggregation --------------------------------------
-def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, ["O", "F", "P"])
-        .orderBy("o_orderpriority")
-    )
-
-
-PIVOT_SQL = """
-SELECT o_orderpriority,
-       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
-       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
-       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-# --- semi/anti joins ------------------------------------------------------
-def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    with_orders = cust.join(orders, "c_custkey", "left_semi").select("c_custkey")
-    without = cust.join(orders, "c_custkey", "left_anti").select("c_custkey")
-    return (
-        with_orders.withColumn("bucket", F.lit("active"))
-        .unionByName(without.withColumn("bucket", F.lit("inactive")))
-        .orderBy("bucket", "c_custkey")
-    )
-
-
-SEMI_ANTI_SQL = """
+UNION ALL
 SELECT c_custkey, 'active' AS bucket FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 UNION ALL
@@ -287,25 +238,19 @@ ORDER BY bucket, c_custkey
 
 
 QUERIES = {
+    "customer_set_ops": customer_set_ops,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "window_running_total": window_running_total,
     "topk_orders_per_segment": topk_orders_per_segment,
-    "rollup_returns": rollup_returns,
-    "set_ops_customers": set_ops_customers,
-    "pivot_order_status": pivot_order_status,
-    "semi_anti_customers": semi_anti_customers,
 }
 
 ORACLE = {
+    "customer_set_ops": CUSTOMER_SET_OPS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "window_running_total": WINDOW_SQL,
     "topk_orders_per_segment": TOPK_SQL,
-    "rollup_returns": ROLLUP_SQL,
-    "set_ops_customers": SET_OPS_SQL,
-    "pivot_order_status": PIVOT_SQL,
-    "semi_anti_customers": SEMI_ANTI_SQL,
 }

@@ -11,8 +11,9 @@ across engines; the rank construction is bit-identical by design).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from xxt_cdc_spark.queries._util import sql_dsum
+from xxt_cdc_spark.queries._util import dsum, sql_dsum
 from xxt_cdc_spark.session import load_tables
 
 
@@ -74,17 +75,79 @@ def urgent_but_never_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, SUBQ_MIX)
 
 
-# --- CUBE grouping sets --------------------------------------------------------
-CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, {qty} AS sum_qty, COUNT(*) AS n
+# --- grouping analytics: ROLLUP + CUBE + GROUPING SETS (folded family, r4) ---
+# cube + explicit grouping sets with grouping markers, SQL side; the
+# GROUPING() casts keep Spark (INT) and DuckDB (BIGINT) comparable
+_CUBE_GSETS_SPARK = """
+SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+       CAST(NULL AS INT) AS g_flag, CAST(NULL AS INT) AS g_status,
+       COUNT(*) AS n_rows, {qty} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+UNION ALL
+SELECT 'gsets' AS mode, l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_rows, {qty} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 """.format(qty=sql_dsum("l_quantity"))
 
 
-def cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, CUBE_SQL)
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole grouping-analytics family keyed by ``mode``: ROLLUP
+    through the DataFrame API (``df.rollup`` — kept deliberately so the
+    non-SQL surface stays covered), CUBE and explicit GROUPING SETS
+    with GROUPING() markers through spark.sql. Folds the former
+    rollup_returns / cube_returns / grouping_sets_returns entries; each
+    mode's rows hash independently via the discriminator."""
+    load_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(None).cast("int").alias("g_flag"),
+            F.lit(None).cast("int").alias("g_status"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+    return (
+        spark.sql(_CUBE_GSETS_SPARK)
+        .unionByName(rollup)
+        .orderBy(
+            "mode",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+GROUPING_ANALYTICS_ORACLE = """
+SELECT mode, l_returnflag, l_linestatus, g_flag, g_status, n_rows, sum_qty FROM (
+  SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+         CAST(NULL AS INT) AS g_flag, CAST(NULL AS INT) AS g_status,
+         COUNT(*) AS n_rows, {qty} AS sum_qty
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+  UNION ALL
+  SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+         CAST(NULL AS INT), CAST(NULL AS INT), COUNT(*), {qty}
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)
+  UNION ALL
+  SELECT 'gsets' AS mode, l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT), CAST(GROUPING(l_linestatus) AS INT),
+         COUNT(*), {qty}
+  FROM lineitem
+  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+)
+ORDER BY mode, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""".format(qty=sql_dsum("l_quantity"))
 
 
 # --- string function family ------------------------------------------------------
@@ -162,18 +225,44 @@ def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, MEDIAN_SQL)
 
 
-# --- distinct aggregation ----------------------------------------------------------------
+# --- per-priority profile: pivot + distinct aggregation (folded family, r4) --
 DISTINCT_AGG = """
 SELECT o_orderpriority,
        COUNT(DISTINCT o_custkey) AS n_customers,
        COUNT(DISTINCT o_orderstatus) AS n_statuses,
        COUNT(*) AS n_orders
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+FROM orders GROUP BY o_orderpriority
 """
 
 
-def distinct_agg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, DISTINCT_AGG)
+def orders_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority profile joining the DataFrame-API pivot (status
+    counts as columns, the conditional-aggregation surface) with the
+    distinct-aggregation family. Folds the former pivot_order_status /
+    distinct_agg_by_priority entries — one row per priority carries
+    both operators' outputs, each still value-hashed."""
+    load_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+    dist = spark.sql(DISTINCT_AGG)
+    return piv.join(dist, "o_orderpriority").orderBy("o_orderpriority")
+
+
+ORDERS_PRIORITY_PROFILE_SQL = """
+SELECT o_orderpriority,
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+       COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P",
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
 
 
 # --- conditional expressions --------------------------------------------------------------
@@ -318,28 +407,6 @@ ORDER BY iv.o_orderkey
 """
 
 
-# --- explicit GROUPING SETS with grouping markers ---------------------------
-GROUPING_SETS_SQL = """
-SELECT l_returnflag, l_linestatus,
-       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
-       COUNT(*) AS n_rows, {qty} AS sum_qty
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-""".format(qty=sql_dsum("l_quantity"))
-
-# DuckDB returns BIGINT for GROUPING(); Spark returns INT/ BIGINT per version —
-# cast both sides to INT for a stable compare
-GROUPING_SETS_SPARK = GROUPING_SETS_SQL.replace(
-    "GROUPING(l_returnflag) AS", "CAST(GROUPING(l_returnflag) AS INT) AS"
-).replace("GROUPING(l_linestatus) AS", "CAST(GROUPING(l_linestatus) AS INT) AS")
-GROUPING_SETS_ORACLE = GROUPING_SETS_SPARK
-
-
-def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, GROUPING_SETS_SPARK)
-
-
 # --- ntile quartiles over order value ---------------------------------------
 NTILE_SQL = """
 WITH tiled AS (
@@ -357,36 +424,36 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, NTILE_SQL)
 
 
+# folded/new entries lead so the driver's 50-entry sweep certifies them
+# in their first round on the registry
 QUERIES = {
+    "grouping_analytics": grouping_analytics,
+    "orders_priority_profile": orders_priority_profile,
     "lead_lag_user_gaps": lead_lag_user_gaps,
     "range_join_order_events": range_join_order_events,
     "range_join_binned_global": range_join_binned_global,
-    "grouping_sets_returns": grouping_sets_returns,
     "ntile_order_quartiles": ntile_order_quartiles,
     "outer_join_spend": outer_join_spend,
     "correlated_above_brand_avg": correlated_above_brand_avg,
     "urgent_but_never_failed": urgent_but_never_failed,
-    "cube_returns": cube_returns,
     "string_function_family": string_function_family,
     "date_function_family": date_function_family,
     "median_price_by_status": median_price_by_status,
-    "distinct_agg_by_priority": distinct_agg_by_priority,
     "conditional_exprs": conditional_exprs,
 }
 
 ORACLE = {
+    "grouping_analytics": GROUPING_ANALYTICS_ORACLE,
+    "orders_priority_profile": ORDERS_PRIORITY_PROFILE_SQL,
     "lead_lag_user_gaps": LEAD_LAG_ORACLE,
     "range_join_order_events": RANGE_JOIN_ORACLE,
     "range_join_binned_global": RANGE_JOIN_BINNED_ORACLE,
-    "grouping_sets_returns": GROUPING_SETS_ORACLE,
     "ntile_order_quartiles": NTILE_SQL,
     "outer_join_spend": OUTER_JOIN_ORACLE,
     "correlated_above_brand_avg": CORR_SUBQ,
     "urgent_but_never_failed": SUBQ_MIX,
-    "cube_returns": CUBE_SQL,
     "string_function_family": STRING_FUNCS_ORACLE,
     "date_function_family": DATE_FUNCS_ORACLE,
     "median_price_by_status": MEDIAN_SQL,
-    "distinct_agg_by_priority": DISTINCT_AGG,
     "conditional_exprs": COND_EXPR_ORACLE,
 }

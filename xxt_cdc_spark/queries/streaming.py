@@ -98,41 +98,62 @@ FROM sessioned GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
-# --- JSON payload extraction ------------------------------------------------------
-def stream_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- event profiles: JSON extraction + hot-key top-k (folded family, r4) -----
+def stream_event_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two event-analytics shapes keyed by ``family``: per-event-type
+    aggregation over a JSON-extracted payload field (get_json_object →
+    long), and the hot-user top-10 (the M33/M34 "hot set" gauges).
+    Folds the former stream_json_props / stream_hot_users entries; the
+    discriminator keys the hash so each family stays gated."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
-    return (
+    json_props = (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
-        .orderBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("double").alias("v1"),
+            F.max("k").cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("json_props").alias("family"),
+            F.col("event_type").alias("key"),
+            "n",
+            "v1",
+            "v2",
+        )
     )
-
-
-JSON_PROPS_SQL = """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-# --- hot keys (M33/M34 "hot set" gauges) ---------------------------------------------
-def stream_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
+    hot = (
         ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
-        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(10)
+        .select(
+            F.lit("hot_users").alias("family"),
+            F.col("user_id").cast("string").alias("key"),
+            "n",
+            F.col("sum_value").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
     )
+    return json_props.unionByName(hot).orderBy("family", "key")
 
 
-HOT_USERS_SQL = f"""
-SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
-FROM events GROUP BY user_id
-ORDER BY n_events DESC, user_id LIMIT 10
+EVENT_PROFILES_SQL = f"""
+SELECT family, key, n, v1, v2 FROM (
+  SELECT 'json_props' AS family, event_type AS key, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS v1,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS v2
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'hot_users' AS family, CAST(user_id AS VARCHAR) AS key, n, v1, v2 FROM (
+    SELECT user_id, COUNT(*) AS n, {sql_dsum('value')} AS v1,
+           CAST(NULL AS DOUBLE) AS v2
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+  )
+)
+ORDER BY family, key
 """
 
 
@@ -226,19 +247,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 QUERIES = {
+    "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
     "stream_sessionize": stream_sessionize,
-    "stream_json_props": stream_json_props,
-    "stream_hot_users": stream_hot_users,
     "asof_join_events_orders": asof_join_events_orders,
 }
 
 ORACLE = {
+    "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
     "stream_sessionize": SESSIONIZE_SQL,
-    "stream_json_props": JSON_PROPS_SQL,
-    "stream_hot_users": HOT_USERS_SQL,
     "asof_join_events_orders": ASOF_SQL,
 }

@@ -30,85 +30,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- token stats ----------------------------------------------------------
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        TX.token_count("text").alias("n_tokens"),
-        TX.distinct_token_count("text").alias("n_distinct"),
-        F.length("text").alias("len_chars"),
-        TX.stopword_count("text").alias("n_stop"),
-    )
-
-
-TOKEN_STATS_SQL = """
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
-       length(text) AS len_chars,
-       len([t for t in string_split_regex(trim(text), '\\s+') if t IN ('the','a','of','and','to','in')]) AS n_stop
-FROM documents
-"""
-
-
-# --- BPE-ish subword token counting -----------------------------------------
-def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-pre-tokenizer token counts per doc — the
-    number a training-data pipeline budgets by (whitespace undercounts
-    punctuation/number-heavy text)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        TX.token_count("text").alias("n_ws_tokens"),
-        TX.bpe_token_count("text").alias("n_bpe_tokens"),
-        (
-            TX.bpe_token_count("text").cast("double")
-            / TX.token_count("text").cast("double")
-        ).alias("bpe_per_word"),
-    ).orderBy("doc_id")
-
-
+# BPE pre-tokenizer regex, SQL-escaped (used by the profile oracle)
 _BPE_RE_SQL = TX.BPE_SPLIT_RE.replace("'", "''")
-BPE_TOKEN_STATS_SQL = f"""
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DOUBLE)
-         / len(string_split_regex(trim(text), '\\s+')) AS bpe_per_word
-FROM documents ORDER BY doc_id
-"""
 
 
-# --- quality score ----------------------------------------------------------
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", "lang", TX.quality_score("text").alias("quality")
-    )
-
-
-QUALITY_SQL = """
-SELECT doc_id, lang,
-  0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-  + 0.3 * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
-  + 0.2 * (1.0 - CAST(len([t for t in string_split_regex(trim(text), '\\s+')
-                           if t IN ('the','a','of','and','to','in')]) AS DOUBLE)
-                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) AS quality
-FROM documents
-"""
-
-
-# --- language ID -------------------------------------------------------------
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        TX.predict_lang("text").alias("predicted_lang"),
-    )
-
-
+# --- language-ID marker fragments (used by the profile oracle) ---------------
 def _marker_count_sql(words: tuple[str, ...]) -> str:
     if not words:
         return "0"
@@ -117,41 +43,6 @@ def _marker_count_sql(words: tuple[str, ...]) -> str:
 
 
 _c = {lang: _marker_count_sql(words) for lang, words in TX.LANG_MARKERS.items()}
-LANGID_SQL = f"""
-SELECT doc_id, labeled_lang,
-  CASE
-    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
-    WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
-    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
-    WHEN c_fr > 0 THEN 'fr'
-    ELSE 'unknown'
-  END AS predicted_lang
-FROM (
-  SELECT doc_id, lang AS labeled_lang,
-         {_c['en']} AS c_en, {_c['de']} AS c_de, {_c['es']} AS c_es, {_c['fr']} AS c_fr
-  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents)
-)
-"""
-
-
-# --- fingerprints ---------------------------------------------------------------
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        TX.fingerprint("text").alias("fp"),
-        TX.bow_fingerprint("text").alias("bow_fp"),
-    )
-
-
-FINGERPRINT_SQL = """
-SELECT doc_id,
-       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
-       md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')) AS bow_fp
-FROM documents
-"""
-
-
 # --- rolling-hash fingerprint + content-defined chunking ---------------------
 CDC_CHUNK_W = 16
 CDC_CHUNK_DIV = 64
@@ -594,38 +485,121 @@ ORDER BY d.doc_id
 """
 
 
+# --- folded families (registry-cap consolidation, r4) ------------------------
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole doc-grain analysis surface in ONE corpus pass: token
+    stats (whitespace + distinct + stopword), BPE subword counts,
+    quality score, n-gram language ID, and both fingerprints. Folds the
+    former text_token_stats / text_bpe_token_stats / text_quality /
+    text_langid / text_fingerprint registry entries — every operator is
+    still oracle-gated, and the single-pass form is also the shape a
+    100 TB curation job wants (one scan, all per-doc columns)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct"),
+        F.length("text").alias("len_chars"),
+        TX.stopword_count("text").alias("n_stop"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        (
+            TX.bpe_token_count("text").cast("double")
+            / TX.token_count("text").cast("double")
+        ).alias("bpe_per_word"),
+        TX.quality_score("text").alias("quality"),
+        TX.predict_lang("text").alias("predicted_lang"),
+        TX.fingerprint("text").alias("fp"),
+        TX.bow_fingerprint("text").alias("bow_fp"),
+    ).orderBy("doc_id")
+
+
+TEXT_PROFILE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, text, w,
+         {_c['en']} AS c_en, {_c['de']} AS c_de, {_c['es']} AS c_es, {_c['fr']} AS c_fr
+  FROM w
+)
+SELECT doc_id, lang AS labeled_lang,
+  len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_distinct,
+  length(text) AS len_chars,
+  len([t for t in w if t IN ('the','a','of','and','to','in')]) AS n_stop,
+  len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DOUBLE) / len(w) AS bpe_per_word,
+  0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))
+  + 0.2 * (1.0 - CAST(len([t for t in w if t IN ('the','a','of','and','to','in')]) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE)) AS quality,
+  CASE
+    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+    WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+    WHEN c_fr > 0 THEN 'fr'
+    ELSE 'unknown'
+  END AS predicted_lang,
+  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+  md5(array_to_string(list_sort(w), ' ')) AS bow_fp
+FROM m ORDER BY doc_id
+"""
+
+
+def dedup_incremental_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three persistent-store incremental dedup operators
+    (exact-fingerprint, MinHash-band near-dup, SimHash block near-dup)
+    run over the same two-batch arrival, unioned with a ``method``
+    discriminator. Folds the former dedup_incremental /
+    dedup_incremental_near / dedup_incremental_simhash entries; each
+    store's accept set is still independently oracle-gated because the
+    method column keys the hash."""
+    exact = dedup_incremental(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "doc_id"
+    )
+    near = dedup_incremental_near(spark, sf_dir).select(
+        F.lit("near").alias("method"), "doc_id"
+    )
+    sim = dedup_incremental_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"), "doc_id"
+    )
+    return exact.unionByName(near).unionByName(sim).orderBy("method", "doc_id")
+
+
+DEDUP_INCREMENTAL_FAMILY_SQL = f"""
+SELECT method, doc_id FROM (
+  SELECT 'exact' AS method, doc_id FROM ({DEDUP_INCREMENTAL_SQL})
+  UNION ALL
+  SELECT 'near' AS method, doc_id FROM ({DEDUP_INCREMENTAL_NEAR_SQL})
+  UNION ALL
+  SELECT 'simhash' AS method, doc_id FROM ({DEDUP_INCREMENTAL_SIMHASH_SQL})
+)
+ORDER BY method, doc_id
+"""
+
+
 QUERIES = {
+    "text_profile": text_profile,
+    "dedup_incremental_family": dedup_incremental_family,
     "training_data_selection": training_data_selection,
     "dedup_clusters": dedup_clusters_q,
-    "text_token_stats": text_token_stats,
-    "text_bpe_token_stats": text_bpe_token_stats,
     "text_rolling_chunks": text_rolling_chunks,
-    "text_quality": text_quality,
-    "text_langid": text_langid,
-    "text_fingerprint": text_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
-    "dedup_incremental": dedup_incremental,
-    "dedup_incremental_near": dedup_incremental_near,
-    "dedup_incremental_simhash": dedup_incremental_simhash,
 }
 
 ORACLE = {
+    "text_profile": TEXT_PROFILE_SQL,
+    "dedup_incremental_family": DEDUP_INCREMENTAL_FAMILY_SQL,
     "training_data_selection": TRAINING_SELECTION_SQL,
     "dedup_clusters": CLUSTERS_SQL,
-    "text_token_stats": TOKEN_STATS_SQL,
-    "text_bpe_token_stats": BPE_TOKEN_STATS_SQL,
     "text_rolling_chunks": ROLLING_CHUNKS_SQL,
-    "text_quality": QUALITY_SQL,
-    "text_langid": LANGID_SQL,
-    "text_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": JACCARD_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
-    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
-    "dedup_incremental_near": DEDUP_INCREMENTAL_NEAR_SQL,
-    "dedup_incremental_simhash": DEDUP_INCREMENTAL_SIMHASH_SQL,
 }

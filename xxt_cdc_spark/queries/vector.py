@@ -110,48 +110,12 @@ ORDER BY query_id, rank
 """
 
 
-# --- embedding near-dup pairs --------------------------------------------------
-def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_neardup_pairs(_emb(spark, sf_dir), NEARDUP_T).orderBy("i", "j")
-
-
 # mirror of functions/similarity.normalized(): unit-normalize per vector
 # first, then a plain dot per pair — arithmetic order matches Spark exactly
 _NORMED = (
     "[CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in embedding])) "
     "for x in embedding]"
 )
-EMB_NEARDUP_SQL = f"""
-WITH nv AS (SELECT vec_id, {_NORMED} AS v FROM embeddings)
-SELECT a.vec_id AS i, b.vec_id AS j,
-       list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) AS cosine
-FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) >= {NEARDUP_T}
-ORDER BY i, j
-"""
-
-
-# --- per-label norm stats ----------------------------------------------------------
-def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    norm = S.norm("embedding")
-    return (
-        e.select("label", norm.alias("nrm"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum(F.col("nrm").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
-        )
-        .orderBy("label")
-    )
-
-
-_NORM = f"sqrt({_DOT.format(a='embedding', b='embedding')})"
-NORM_STATS_SQL = f"""
-SELECT label, COUNT(*) AS n,
-       CAST(SUM(CAST({_NORM} AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS avg_norm
-FROM embeddings GROUP BY label ORDER BY label
-"""
 
 
 # --- higher-order array function family --------------------------------------
@@ -160,7 +124,9 @@ def vector_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter / zip_with / aggregate / exists / forall / array_sort /
     slice, all JVM-side inside codegen — per-vector feature extraction
     with NO Python UDF, the pattern every 100 TB embedding job should
-    use before reaching for pandas."""
+    use before reaching for pandas. Also carries the l2 norm column
+    (folds the former vector_norm_stats registry entry — same norm
+    operator, per-vector grain)."""
     e = _emb(spark, sf_dir)
     v = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
@@ -173,6 +139,7 @@ def vector_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(transform(v, x -> abs(x)), cast(0.0 as double), (acc, x) -> acc + x)"
         ).alias("l1"),
+        S.norm("v").alias("l2_norm"),
         F.expr(
             "aggregate(zip_with(v, reverse(v), (x, y) -> x * y), "
             "cast(0.0 as double), (acc, x) -> acc + x)"
@@ -192,6 +159,7 @@ SELECT vec_id,
   len([x for x in v if x > 0]) AS n_pos,
   list_max([abs(x) for x in v]) AS max_abs,
   list_sum([abs(x) for x in v]) AS l1,
+  sqrt(list_sum([x * x for x in v])) AS l2_norm,
   list_sum([v[i] * v[len(v) + 1 - i] for i in range(1, len(v) + 1)]) AS palindot,
   len([x for x in v if abs(x) > 2.0]) > 0 AS has_outlier,
   len([x for x in v if abs(x) > 4.0]) = 0 AS bounded,
@@ -200,11 +168,24 @@ FROM srt ORDER BY vec_id
 """
 
 
-# --- multimodal binary plumbing ------------------------------------------------------
-def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- multimodal plumbing (folded families, r4 registry consolidation) --------
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per media item: JVM-side binary metadata (byte length +
+    magic sniff + video frame estimate) left-joined with the
+    mapInPandas image- and audio-feature stages over their type slices.
+    Folds the former multimodal_binary_meta / multimodal_image_features
+    / multimodal_audio_features entries — the cheap all-rows meta path
+    and both Arrow decode round-trips stay oracle-gated via the typed
+    nullable columns.
+
+    The decode stages are the documented deterministic stubs (no codec
+    libs in the container): width/height derive from byte length and
+    first byte, rate/duration/peak from length and edge bytes — all
+    SQL-expressible, so a broken Arrow batch shape fails the hash.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = MM.synth_media_from_documents(docs)
-    return media.select(
+    meta = media.select(
         "media_id",
         "media_type",
         *MM.binary_meta("content"),
@@ -212,162 +193,137 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("media_type") == "video",
             F.floor(F.col("meta_duration_ms") / 1000) + 1,
         ).cast("long").alias("n_sample_frames"),
-    ).orderBy("media_id")
+    )
+    img = MM.extract_image_features(
+        media.filter(F.col("media_type") == "image")
+    ).withColumnRenamed("decode_ok", "img_ok")
+    aud = MM.extract_audio_features(
+        media.filter(F.col("media_type") == "audio")
+    ).withColumnRenamed("decode_ok", "audio_ok")
+    return (
+        meta.join(img, "media_id", "left")
+        .join(aud, "media_id", "left")
+        .orderBy("media_id")
+    )
 
 
-MULTIMODAL_SQL = """
+# stub-decode mirrors: width = 16 + n_bytes % 64, height = 16 + first_byte
+# % 64; rate = 8000 + (n%3)*4000; duration = n*1000 // rate; peak =
+# max(first byte, last byte) — corpus is pure ASCII so byte == char
+MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
        octet_length(encode(text)) AS n_bytes,
        'application/octet-stream' AS sniffed_mime,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(floor(n_chars * 10 / 1000) + 1 AS BIGINT) END AS n_sample_frames
+       CASE WHEN doc_id % 3 = 2 THEN CAST(floor(n_chars * 10 / 1000) + 1 AS BIGINT) END AS n_sample_frames,
+       CASE WHEN doc_id % 3 = 0 THEN 16 + octet_length(encode(text)) % 64 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 16 + ascii(substring(text, 1, 1)) % 64 END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN TRUE END AS img_ok,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + (octet_length(encode(text)) % 3) * 4000 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(octet_length(encode(text)) AS BIGINT) * 1000
+              // (8000 + (octet_length(encode(text)) % 3) * 4000) END AS duration_ms,
+       CASE WHEN doc_id % 3 = 1 THEN greatest(ascii(substring(text, 1, 1)),
+                ascii(substring(text, length(text), 1))) END AS peak,
+       CASE WHEN doc_id % 3 = 1 THEN TRUE END AS audio_ok
 FROM documents ORDER BY media_id
 """
 
 
-# --- multimodal decode / resize / frame-sample plumbing ----------------------
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode stage over the image slice of the media table.
-
-    The decode itself is the documented deterministic stub (no codec
-    libs in the container), which makes the WHOLE Arrow round-trip
-    oracle-checkable: width/height derive from byte length and first
-    byte, both SQL-expressible.
-    """
+def multimodal_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media TRANSFORM stages in one result: thumbnail resize over
+    the image slice (binary in → thumbnail binary out through Arrow,
+    dims clamped to max_dim) and frame-sample explode over the video
+    slice (one row per sampled timestamp, 1 s cadence). Folds the
+    former multimodal_resize / multimodal_frame_sample entries; the
+    ``kind`` discriminator keys the hash so each stage stays
+    independently gated. v1/v2/v3 = (thumb_width, thumb_height,
+    thumb_bytes) for thumbs, (frame_ts_ms, NULL, NULL) for frames."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "image")
-    return MM.extract_image_features(media).orderBy("media_id")
+    media = MM.synth_media_from_documents(docs)
+    thumbs = MM.resize_images(
+        media.filter(F.col("media_type") == "image"), max_dim=32
+    ).select(
+        F.lit("thumb").alias("kind"),
+        "media_id",
+        F.col("thumb_width").cast("long").alias("v1"),
+        F.col("thumb_height").cast("long").alias("v2"),
+        F.octet_length("thumb").cast("long").alias("v3"),
+    )
+    frames = MM.sample_video_frames(
+        media.filter(F.col("media_type") == "video"), every_ms=1000
+    ).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        F.col("frame_ts_ms").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return thumbs.unionByName(frames).orderBy("kind", "media_id", "v1")
 
 
-# fake decode mirror: width = 16 + n_bytes % 64, height = 16 + first_byte % 64
-IMAGE_FEATURES_SQL = """
-SELECT doc_id AS media_id,
-       16 + octet_length(encode(text)) % 64 AS width,
-       16 + ascii(substring(text, 1, 1)) % 64 AS height,
-       TRUE AS decode_ok
-FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+MULTIMODAL_PROCESS_SQL = """
+SELECT kind, media_id, v1, v2, v3 FROM (
+  SELECT 'thumb' AS kind, doc_id AS media_id,
+         CAST(least(16 + octet_length(encode(text)) % 64, 32) AS BIGINT) AS v1,
+         CAST(least(16 + ascii(substring(text, 1, 1)) % 64, 32) AS BIGINT) AS v2,
+         CAST(least(octet_length(encode(text)),
+               greatest(least(16 + octet_length(encode(text)) % 64, 32)
+                        * least(16 + ascii(substring(text, 1, 1)) % 64, 32) // 4, 1)) AS BIGINT) AS v3
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'frame' AS kind, doc_id AS media_id,
+         CAST(unnest(generate_series(0, n_chars * 10, 1000)) AS BIGINT) AS v1,
+         CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3
+  FROM documents WHERE doc_id % 3 = 2
+)
+ORDER BY kind, media_id, v1
 """
 
 
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas audio stub-decode over the audio slice of the media
-    table — same deterministic-fake pattern as the image stage, so the
-    Arrow plumbing is oracle-checked end-to-end."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "audio")
-    return MM.extract_audio_features(media).orderBy("media_id")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode, both modalities (no stubs): deterministic
+    P6/PPM image bytes and mono 16-bit PCM WAV bytes are generated per
+    id and genuinely parsed back (header parse + numpy plane reshape;
+    stdlib `wave` + numpy) inside Arrow-batched stages, joined on
+    media_id. Folds the former multimodal_ppm_decode /
+    multimodal_wav_decode entries. The oracle recomputes the closed
+    forms — dims/channel means, rate/frames/true peak, container sizes
+    — so a header-parse or stride bug in either codec fails the hash
+    (compressed formats stay stubbed; no codec libs in the container).
 
-
-# fake decode mirror: rate = 8000 + (n%3)*4000; duration = n*1000 // rate;
-# peak = max(first byte, last byte) — corpus is pure ASCII so byte == char
-AUDIO_FEATURES_SQL = """
-SELECT doc_id AS media_id,
-       8000 + (octet_length(encode(text)) % 3) * 4000 AS sample_rate,
-       CAST(octet_length(encode(text)) AS BIGINT) * 1000
-         // (8000 + (octet_length(encode(text)) % 3) * 4000) AS duration_ms,
-       greatest(ascii(substring(text, 1, 1)),
-                ascii(substring(text, length(text), 1))) AS peak,
-       TRUE AS decode_ok
-FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id
-"""
-
-
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage: binary in → thumbnail binary out through Arrow,
-    dims clamped to max_dim; thumbnail size checked via octet_length."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "image")
-    thumbs = MM.resize_images(media, max_dim=32)
-    return thumbs.select(
-        "media_id", "thumb_width", "thumb_height", F.octet_length("thumb").alias("thumb_bytes")
-    ).orderBy("media_id")
-
-
-RESIZE_SQL = """
-SELECT doc_id AS media_id,
-       least(16 + octet_length(encode(text)) % 64, 32) AS thumb_width,
-       least(16 + ascii(substring(text, 1, 1)) % 64, 32) AS thumb_height,
-       least(octet_length(encode(text)),
-             greatest(least(16 + octet_length(encode(text)) % 64, 32)
-                      * least(16 + ascii(substring(text, 1, 1)) % 64, 32) // 4, 1)) AS thumb_bytes
-FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
-"""
-
-
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling explode shape: one row per sampled timestamp of
-    every video, at a 1 s cadence."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = MM.synth_media_from_documents(docs).filter(F.col("media_type") == "video")
-    return MM.sample_video_frames(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
-
-
-FRAME_SAMPLE_SQL = """
-SELECT doc_id AS media_id, unnest(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
-FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms
-"""
-
-
-def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (no stub): deterministic P6/PPM container
-    bytes are generated per id and genuinely parsed back (header +
-    numpy plane reshape) inside one Arrow-batched stage. The oracle
-    computes the closed-form dims/channel means, so a header-parse or
-    stride bug fails the hash — this is the codec-free slice of the
-    image path (compressed formats stay stubbed; no codec libs in the
-    container)."""
+    Closed forms: w = 8 + id%16, h = 8 + id%8, pixel r = x+y (g,b
+    offset 1,2) → mean_r = ((w-1)+(h-1))/2; ppm size = header + 3wh;
+    rate = 8000 + (id%3)*4000; frames = rate*(20 + id%50)//1000;
+    peak = 100 + id%900; wav size = 44 + 2*frames."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ids = docs.select(F.col("doc_id").alias("media_id"))
-    return MM.ppm_decode_stats(ids).orderBy("media_id")
+    ppm = MM.ppm_decode_stats(ids).withColumnRenamed("n_bytes", "ppm_bytes")
+    wav = MM.wav_decode_stats(ids).withColumnRenamed("n_bytes", "wav_bytes")
+    return ppm.join(wav, "media_id", "inner").orderBy("media_id")
 
 
-# closed forms of the generator: w = 8 + id%16, h = 8 + id%8,
-# pixel r = x+y (g,b offset by 1,2) → mean_r = ((w-1)+(h-1))/2;
-# container size = header("P6\n{w} {h}\n255\n") + 3wh
-PPM_DECODE_SQL = """
+MULTIMODAL_DECODE_SQL = """
 WITH dims AS (
   SELECT doc_id AS media_id,
          CAST(8 + doc_id % 16 AS BIGINT) AS width,
-         CAST(8 + doc_id % 8 AS BIGINT) AS height
-  FROM documents
-)
-SELECT media_id, width, height,
-       CAST(3 + length(CAST(width AS VARCHAR)) + 1 + length(CAST(height AS VARCHAR)) + 5
-            + 3 * width * height AS BIGINT) AS n_bytes,
-       round((width - 1 + height - 1) / 2.0, 6) AS mean_r,
-       round((width - 1 + height - 1) / 2.0 + 1.0, 6) AS mean_g,
-       round((width - 1 + height - 1) / 2.0 + 2.0, 6) AS mean_b
-FROM dims ORDER BY media_id
-"""
-
-
-def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode (no stub): deterministic mono 16-bit PCM WAV
-    bytes per id, parsed back with stdlib `wave` + numpy. Rate,
-    duration, frame count, true sample peak and container size all have
-    integer closed forms the oracle recomputes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ids = docs.select(F.col("doc_id").alias("media_id"))
-    return MM.wav_decode_stats(ids).orderBy("media_id")
-
-
-# closed forms: rate = 8000 + (id%3)*4000; frames = rate*(20 + id%50)//1000;
-# duration = frames*1000//rate; peak = 100 + id%900 (alternating ±amp);
-# canonical PCM WAV = 44-byte header + 2 bytes/frame
-WAV_DECODE_SQL = """
-WITH p AS (
-  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 8 AS BIGINT) AS height,
          CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
          CAST(20 + doc_id % 50 AS BIGINT) AS dur_req,
          CAST(100 + doc_id % 900 AS BIGINT) AS amp
   FROM documents
 ),
-f AS (SELECT *, rate * dur_req // 1000 AS n_frames FROM p)
-SELECT media_id, rate AS sample_rate,
+f AS (SELECT *, rate * dur_req // 1000 AS n_frames FROM dims)
+SELECT media_id, width, height,
+       CAST(3 + length(CAST(width AS VARCHAR)) + 1 + length(CAST(height AS VARCHAR)) + 5
+            + 3 * width * height AS BIGINT) AS ppm_bytes,
+       round((width - 1 + height - 1) / 2.0, 6) AS mean_r,
+       round((width - 1 + height - 1) / 2.0 + 1.0, 6) AS mean_g,
+       round((width - 1 + height - 1) / 2.0 + 2.0, 6) AS mean_b,
+       rate AS sample_rate,
        n_frames * 1000 // rate AS duration_ms,
        n_frames, amp AS peak,
-       CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes
+       CAST(44 + 2 * n_frames AS BIGINT) AS wav_bytes
 FROM f ORDER BY media_id
 """
 
@@ -544,44 +500,32 @@ ORDER BY i, j
 """
 
 
-# ordered so round-1's unverified entries (norm stats, multimodal) sweep
-# before the O(N²)-oracle ANN/near-dup family
+# the two NSW queries lead (queries/__init__ pins them first for the
+# driver sweep — the only entries that had no driver row after r3)
 QUERIES = {
-    "vector_norm_stats": vector_norm_stats,
-    "vector_hof_family": vector_hof_family,
-    "multimodal_binary_meta": multimodal_binary_meta,
-    "multimodal_image_features": multimodal_image_features,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_resize": multimodal_resize,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_ppm_decode": multimodal_ppm_decode,
-    "multimodal_wav_decode": multimodal_wav_decode,
-    "ann_topk_cosine": ann_topk_cosine,
-    "ann_lsh_topk": ann_lsh_topk,
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
+    "vector_hof_family": vector_hof_family,
+    "multimodal_features": multimodal_features,
+    "multimodal_process": multimodal_process,
+    "multimodal_decode": multimodal_decode,
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
-    "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_fast": emb_neardup_fast,
 }
 
 ORACLE = {
     "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
+    "vector_hof_family": HOF_FAMILY_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_process": MULTIMODAL_PROCESS_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "ann_topk_cosine": ANN_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "emb_neardup_fast": EMB_NEARDUP_FAST_SQL,
-    "multimodal_image_features": IMAGE_FEATURES_SQL,
-    "multimodal_audio_features": AUDIO_FEATURES_SQL,
-    "multimodal_resize": RESIZE_SQL,
-    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
-    "multimodal_ppm_decode": PPM_DECODE_SQL,
-    "multimodal_wav_decode": WAV_DECODE_SQL,
-    "ann_topk_cosine": ANN_TOPK_SQL,
-    "ann_lsh_topk": ANN_LSH_SQL,
-    "emb_neardup_pairs": EMB_NEARDUP_SQL,
-    "vector_norm_stats": NORM_STATS_SQL,
-    "vector_hof_family": HOF_FAMILY_SQL,
-    "multimodal_binary_meta": MULTIMODAL_SQL,
 }
