@@ -24,6 +24,23 @@ VARIANTS = {
     "retain2": {"spark.sql.streaming.minBatchesToRetain": "2"},
     # no dedicated no-data batches interleaving with the measured ones
     "nodata_off": {"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+    # the checkpoint manager goes through FileContext/AbstractFileSystem,
+    # where scheme file resolves to ChecksumFs-wrapped LocalFs regardless
+    # of fs.file.impl — offset/commit-log writes still pay .crc shadow
+    # writes unless the AbstractFileSystem binding is ALSO raw
+    "rawfc": {
+        "spark.hadoop.fs.AbstractFileSystem.file.impl": "org.apache.hadoop.fs.local.RawLocalFs"
+    },
+    "rawfc_all": {
+        "spark.hadoop.fs.AbstractFileSystem.file.impl": "org.apache.hadoop.fs.local.RawLocalFs",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    },
+    "rawfc_max": {
+        "spark.hadoop.fs.AbstractFileSystem.file.impl": "org.apache.hadoop.fs.local.RawLocalFs",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+        "spark.sql.streaming.minBatchesToRetain": "2",
+        "spark.sql.parquet.compression.codec": "uncompressed",
+    },
     "all": {
         "spark.sql.parquet.compression.codec": "uncompressed",
         "spark.sql.streaming.minBatchesToRetain": "2",
