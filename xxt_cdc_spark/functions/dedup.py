@@ -79,15 +79,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard. Columns: i, j, jaccard (i < j).
 
-    ``df_cap``: optional document-frequency cut for candidate
-    generation — shingles appearing in more than ``df_cap`` docs are
-    too common to discriminate and only inflate the candidate join
-    (the classic stop-shingle problem; on a skewed corpus the hot
-    shingle IS the shuffle skew). Candidates then come from *rare*
-    shared shingles only, while the Jaccard itself is still computed
-    over the full shingle sets, exactly. A qualifying pair is missed
-    only if it shares no rare shingle at all — at threshold ≥ 0.5 the
-    pair shares half its shingles, so this is vanishingly unlikely.
+    ``df_cap``: optional stop-shingle document-frequency cut —
+    shingles appearing in more than ``df_cap`` docs are too common to
+    discriminate and their self-join fanout grows QUADRATICALLY with
+    corpus scale (the hot shingle IS the shuffle skew; measured at
+    sf1, 87% of pair-weight sat in DF>50 shingles). With the cap, the
+    Jaccard is computed over the rare-shingle sets only — the IR
+    stop-word-removal posture — which keeps the single-pass join shape
+    (a candidate-only cap with exact verification re-joins every
+    candidate pair against the full shingle frame and measured 10x
+    slower). Deterministic: both this and the DuckDB oracle drop the
+    same shingles, so results are identical by construction; pick
+    ``df_cap`` above the corpus's max DF to make it a provable no-op
+    (how the oracle gate runs it).
     """
     # the shingle frame feeds 3-5 subtrees (both join sides, sizes,
     # candidate generation); cache it instead of re-running the
@@ -104,38 +108,28 @@ def jaccard_pairs(
         .select(id_col, "shingle", F.xxhash64("shingle").alias("sh64"))
         .persist()
     )
-    sizes = shingle_sizes(sh, id_col)
-    if df_cap is None:
-        # single-pass: shared counts straight off the shingle self-join
-        a = sh.select(F.col(id_col).alias("i"), "sh64")
-        b = sh.select(F.col(id_col).alias("j"), "sh64")
-        shared = (
-            a.join(b, "sh64")
-            .filter(F.col("i") < F.col("j"))
-            .groupBy("i", "j")
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
-    else:
-        # two-phase: rare-shingle candidates, then exact verification
+    if df_cap is not None:
+        # stop-shingle filter: drop DF > cap rows BEFORE the self-join
+        # AND from the size denominators (Jaccard over rare shingles);
+        # the DF agg, the semi-join and the self-join all shuffle on
+        # sh64, so the exchange is planned once and reused
         rare = (
             sh.groupBy("sh64")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap)
             .select("sh64")
         )
-        joinable = sh.join(rare, "sh64")
-        a = joinable.select(F.col(id_col).alias("i"), "sh64")
-        b = joinable.select(F.col(id_col).alias("j"), "sh64")
-        cand = a.join(b, "sh64").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
-        fa = sh.select(F.col(id_col).alias("i"), "sh64")
-        fb = sh.select(F.col(id_col).alias("j"), F.col("sh64").alias("sh64_j"))
-        shared = (
-            cand.join(fa, "i")
-            .join(fb, "j")
-            .filter(F.col("sh64") == F.col("sh64_j"))
-            .groupBy("i", "j")
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
+        sh = sh.join(rare, "sh64").persist()
+    sizes = shingle_sizes(sh, id_col)
+    # single-pass: shared counts straight off the shingle self-join
+    a = sh.select(F.col(id_col).alias("i"), "sh64")
+    b = sh.select(F.col(id_col).alias("j"), "sh64")
+    shared = (
+        a.join(b, "sh64")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
     na = sizes.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("ni"))
     nb = sizes.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("nj"))
     jac = (

@@ -19,6 +19,14 @@ SHINGLE_N = 3
 NUM_HASHES = 6
 ROWS_PER_BAND = 2
 JACCARD_T = 0.5
+# candidate-generation document-frequency cut for the n-gram Jaccard
+# query: shingles in more docs than this are stop-shingles whose
+# self-join fanout grows quadratically with corpus scale (measured at
+# sf1: 87% of pair-weight sits in DF>50 shingles; slope 11.1x for 10x
+# data without the cap, see SCALING.md). At the oracle scale factors
+# the max DF is 25 (sf0.1) / 7 (sf0.01), so the cap never binds there
+# and results are byte-identical to the exact all-pairs form.
+JACCARD_DF_CAP = 50
 # 64-bit signatures (SCALING.md: 2^32 half-key buckets — the 32-bit
 # half-keys saturated at ~2^16 buckets, too few for a huge corpus)
 SIMHASH_BITS = 64
@@ -146,18 +154,28 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return D.jaccard_pairs(d, "text", "doc_id", SHINGLE_N, JACCARD_T).orderBy("i", "j")
+    return D.jaccard_pairs(
+        d, "text", "doc_id", SHINGLE_N, JACCARD_T, df_cap=JACCARD_DF_CAP
+    ).orderBy("i", "j")
 
 
+# the oracle mirrors the stop-shingle semantics exactly: shingles with
+# DF > cap are dropped from both the pair join and the size
+# denominators — both engines drop the same shingles, so results are
+# identical by construction (and the cap provably never binds at the
+# oracle scale factors: max DF 25 at sf0.1, 7 at sf0.01)
 JACCARD_SQL = f"""
 WITH {_SHINGLES_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+rsizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i, j, CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
-FROM pairs JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+FROM pairs JOIN rsizes na ON na.doc_id = i JOIN rsizes nb ON nb.doc_id = j
 WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_T}
 ORDER BY i, j
 """
