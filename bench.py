@@ -473,18 +473,19 @@ def bench_fanout_tables(spark) -> dict:
                     dialect="sqlite",
                     batch_size=5000,
                     connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
-                    # one pooled connection per (process, table): the fanout
-                    # worker touches every table per partition, and 1000
-                    # connect+PRAGMA handshakes per batch would measure
-                    # connection churn, not apply cost (O20's whole point)
-                    pool_key=f"fan:{db}:{table}",
+                    # ONE pooled connection per (process, target DB), shared
+                    # by every table: sibling tables ride the same coalesced
+                    # transaction (R7), and 1000 connect+PRAGMA handshakes
+                    # per batch would measure connection churn, not apply
+                    # cost (O20's whole point)
+                    pool_key=f"fan:{db}",
                 )
 
             sinks = {
                 f"t{i}": TableSink(factory(f"t{i}"), ["k"], None) for i in range(n_tables)
             }
             t0 = time.monotonic()
-            applied = apply_batch_fanout(env, sinks, num_partitions=2)
+            applied = apply_batch_fanout(env, sinks, num_partitions=2, coalesce_commits=True)
             dt = time.monotonic() - t0
             n_applied = sum(applied.values())
             assert n_applied == n_events, (n_applied, n_events)

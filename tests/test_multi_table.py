@@ -268,3 +268,137 @@ class TestMultiTableOverBinlogTransport:
         assert con.execute("SELECT count(*) FROM items").fetchone()[0] == 19
         assert con.execute("SELECT qty FROM items WHERE a = 1 AND b = 1").fetchone()[0] == 99.0
         con.close()
+
+
+class TestCoalescedCommits:
+    """R7 commit coalescing at table granularity: deferred-commit
+    writers ride one transaction per (partition, connection),
+    committed once via commit_pooled — measured 3.0 → 0.14 ms/table
+    on the 1000-table fanout (the per-table COMMIT was 95% of cost)."""
+
+    def test_defer_commit_requires_pool(self):
+        with pytest.raises(ValueError, match="pool_key"):
+            JdbcUpsertWriter(
+                connect_fn=lambda: None, table="t", columns=["k"], key_cols=["k"],
+                dialect="sqlite", defer_commit=True,
+            )
+
+    def test_deferred_rows_invisible_until_commit_pooled(self, tmp_path):
+        from xxt_cdc_spark.sinks.upsert import _CONN_POOL, commit_pooled
+
+        db = str(tmp_path / "defer.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE a (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.execute("CREATE TABLE b (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.commit()
+        con.close()
+
+        key = f"defer:{db}"
+        try:
+            for table in ("a", "b"):
+                w = JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=30),
+                    table=table, columns=["k", "v"], key_cols=["k"],
+                    dialect="sqlite", pool_key=key, defer_commit=True,
+                )
+                w.apply_rows([{"op": "I", "k": i, "v": i} for i in range(5)])
+
+            # both tables' statements sit in ONE open transaction:
+            # a second connection sees neither
+            peek = sqlite3.connect(db)
+            assert peek.execute("SELECT count(*) FROM a").fetchone()[0] == 0
+            assert peek.execute("SELECT count(*) FROM b").fetchone()[0] == 0
+
+            commit_pooled({key})
+            assert peek.execute("SELECT count(*) FROM a").fetchone()[0] == 5
+            assert peek.execute("SELECT count(*) FROM b").fetchone()[0] == 5
+            peek.close()
+        finally:
+            conn = _CONN_POOL.pop(key, None)
+            if conn is not None:
+                conn.close()
+
+    def test_deferred_failure_rolls_back_sibling_tables(self, tmp_path):
+        """A failure on table b tosses table a's uncommitted statements
+        too (partition-transaction atomicity); the writer evicts the
+        wedged connection so nothing ever becomes visible."""
+        from xxt_cdc_spark.sinks.upsert import _CONN_POOL, commit_pooled
+
+        db = str(tmp_path / "atomic.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE a (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.commit()
+        con.close()
+
+        key = f"atomic:{db}"
+        try:
+            wa = JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=30),
+                table="a", columns=["k", "v"], key_cols=["k"],
+                dialect="sqlite", pool_key=key, defer_commit=True,
+            )
+            wa.apply_rows([{"op": "I", "k": i, "v": i} for i in range(5)])
+            wmissing = JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=30),
+                table="no_such_table", columns=["k", "v"], key_cols=["k"],
+                dialect="sqlite", pool_key=key, defer_commit=True,
+            )
+            with pytest.raises(Exception):
+                wmissing.apply_rows([{"op": "I", "k": 1, "v": 1}])
+            assert key not in _CONN_POOL  # wedged connection evicted
+            commit_pooled({key})  # no-op: nothing left to commit
+            peek = sqlite3.connect(db)
+            assert peek.execute("SELECT count(*) FROM a").fetchone()[0] == 0
+            peek.close()
+        finally:
+            conn = _CONN_POOL.pop(key, None)
+            if conn is not None:
+                conn.close()
+
+    def test_coalesced_fanout_converges(self, spark, sf_dir, target_db):
+        """apply_batch_fanout(coalesce_commits=True) with one shared
+        pool per DB produces the same converged state as the
+        per-table-commit default."""
+        from xxt_cdc_spark.sinks.upsert import apply_batch_fanout
+
+        orders_cast = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*LINEITEM_PAYLOAD)
+        env = to_envelope(orders_changefeed(spark, sf_dir)).unionByName(
+            to_envelope(
+                lineitem_changefeed(spark, sf_dir),
+                table="lineitem",
+                key_cols=["l_orderkey", "l_linenumber"],
+                payload_cols=LINEITEM_PAYLOAD,
+                ts_col=None,
+            )
+        )
+
+        def pooled_sink(table, columns, keys):
+            return TableSink(
+                writer_factory=lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(target_db, timeout=60),
+                    table=table, columns=columns, key_cols=keys, dialect="sqlite",
+                    connection_init=["PRAGMA journal_mode=WAL", "PRAGMA busy_timeout=60000"],
+                    pool_key=f"coalesce:{target_db}",
+                ),
+                key_cols=keys,
+                schema=None,
+            )
+
+        sinks = {
+            "orders": pooled_sink("orders", ORDERS_PAYLOAD, ["o_orderkey"]),
+            "lineitem": pooled_sink("lineitem", LINEITEM_PAYLOAD, ["l_orderkey", "l_linenumber"]),
+        }
+        applied = apply_batch_fanout(env, sinks, 4, coalesce_commits=True)
+        assert set(applied) == {"orders", "lineitem"}
+
+        con = sqlite3.connect(target_db)
+        exp_orders = apply_changes(
+            orders_cast, orders_changefeed(spark, sf_dir), ["o_orderkey"], ["pos_offset"]
+        ).count()
+        assert con.execute("SELECT count(*) FROM orders").fetchone()[0] == exp_orders
+        exp_li = apply_changes(
+            li, lineitem_changefeed(spark, sf_dir), ["l_orderkey", "l_linenumber"], ["pos_offset"]
+        ).count()
+        assert con.execute("SELECT count(*) FROM lineitem").fetchone()[0] == exp_li
+        con.close()
