@@ -30,10 +30,45 @@ def _write_envelope_chunks(spark, sf_dir, out_dir: str, n_chunks: int = 3) -> in
     return len(rows)
 
 
+def _write_binlog_chunks(spark, sf_dir, log_dir: str, n_chunks: int = 3) -> int:
+    """Same changefeed, written through the native binlog transport —
+    one log file per chunk (rotate() between chunks), so the e2e also
+    exercises source-owned offsets and mid-stream rotation."""
+    from xxt_cdc_spark.streaming.binlog_source import BinlogLogWriter
+
+    env = to_envelope(orders_changefeed(spark, sf_dir)).orderBy("pos_offset")
+    recs = [
+        {k: r[k] for k in ("db", "table", "op", "ts", "gtid", "key", "before", "after")}
+        for r in env.collect()
+    ]
+    w = BinlogLogWriter(log_dir)
+    chunk = (len(recs) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        if i:
+            w.rotate()
+        w.append(recs[i * chunk : (i + 1) * chunk])
+    return len(recs)
+
+
+def _make_source(spark, transport: str, src_dir: str):
+    if transport == "binlog":
+        from xxt_cdc_spark.streaming.binlog_source import read_binlog_stream
+
+        return read_binlog_stream(spark, src_dir)
+    return read_envelope_stream(spark, src_dir, max_files_per_trigger=1)
+
+
+import pytest  # noqa: E402
+
+
 class TestStreamingPipeline:
-    def test_stream_applies_and_converges(self, spark, sf_dir, tmp_path):
+    @pytest.mark.parametrize("transport", ["file", "binlog"])
+    def test_stream_applies_and_converges(self, spark, sf_dir, tmp_path, transport):
         src_dir = str(tmp_path / "envelopes")
-        total = _write_envelope_chunks(spark, sf_dir, src_dir)
+        if transport == "binlog":
+            total = _write_binlog_chunks(spark, sf_dir, src_dir)
+        else:
+            total = _write_envelope_chunks(spark, sf_dir, src_dir)
 
         applied_batches: list[int] = []
         state_holder = {"state": spark.read.parquet(f"{sf_dir}/orders.parquet")}
@@ -55,7 +90,7 @@ class TestStreamingPipeline:
 
         pipe = CDCStreamPipeline(
             spark=spark,
-            source=read_envelope_stream(spark, src_dir, max_files_per_trigger=1),
+            source=_make_source(spark, transport, src_dir),
             apply_fn=apply_fn,
             checkpoint_dir=str(tmp_path / "ckpt"),
             table_filter=TableFilter(include_tables=["orders"]),

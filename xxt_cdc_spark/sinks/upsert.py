@@ -418,6 +418,7 @@ def apply_batch_multi(
     sinks: dict[str, TableSink],
     num_partitions: int = 8,
     fanout_threshold: int = 16,
+    coalesce_commits: bool = False,
 ) -> dict[str, int]:
     """foreachBatch body for a MULTI-TABLE envelope stream (the
     reference replicates up to 100k tables through one pipeline).
@@ -445,7 +446,7 @@ def apply_batch_multi(
     present = [r["table"] for r in env_df.select("table").distinct().collect()]
     tables = [t for t in present if t in sinks]
     if len(tables) > fanout_threshold:
-        return apply_batch_fanout(env_df, sinks, num_partitions)
+        return apply_batch_fanout(env_df, sinks, num_partitions, coalesce_commits)
 
     applied: dict[str, int] = {}
     for table in tables:
