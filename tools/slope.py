@@ -48,6 +48,11 @@ def main() -> None:
         from xxt_cdc_spark.queries import QUERIES
 
         for _ in range(n_runs):
+            # cold cache per run (dedup queries persist() intermediate
+            # frames; CacheManager plan-match would let run 2 skip the
+            # scan+shingle stages entirely, understating the slope),
+            # warm JVM/JIT — the honest steady-state plan cost
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.monotonic() - t0, 3))

@@ -165,6 +165,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 6,
     rows_per_band: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band_index, band_key) —
     the LSH trick that avoids the O(n²) comparison.
@@ -172,6 +173,18 @@ def lsh_candidate_pairs(
     Bands come from ONE posexplode pass, not a per-band union — a union
     of b projections would re-run the whole signature computation b
     times (and the self-join would double that again).
+
+    ``bucket_cap``: drop (band, key) buckets holding more than this
+    many docs before the self-join — the standard production-LSH
+    hot-bucket cut. A bucket of size s contributes s²/2 candidate
+    pairs, so a templated/boilerplate cluster turns the banded join
+    quadratic again (measured at sf10: 71% of candidate pair-weight
+    sat in buckets > 50 docs; max bucket 635). Members of an
+    over-cap bucket usually still share a *smaller* bucket in another
+    band — recall loss is confined to giant near-identical clusters,
+    which exact-hash dedup catches first anyway. Deterministic, so the
+    DuckDB oracle mirrors it; pick the cap above the gate-scale max
+    bucket (3 at sf0.01) to make it a provable no-op there.
     """
     band_keys = [
         F.concat_ws(
@@ -182,6 +195,16 @@ def lsh_candidate_pairs(
     bands = sig.select(
         F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band_index", "band_key")
     )
+    if bucket_cap is not None:
+        ok = (
+            bands.groupBy("band_index", "band_key")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+        # the size agg, the semi-join and the self-join all shuffle on
+        # the same (band_index, band_key), so this adds no new exchange
+        bands = bands.join(ok, ["band_index", "band_key"])
     a = bands.select(F.col(id_col).alias("i"), "band_index", "band_key")
     b = bands.select(F.col(id_col).alias("j"), "band_index", "band_key")
     return (
@@ -200,6 +223,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only.
@@ -221,7 +245,7 @@ def minhash_dedup_pairs(
             for s in range(num_hashes)
         ]
     ).persist()
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band, bucket_cap)
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("i"), "sh64")
     b = sh.select(F.col(id_col).alias("j"), "sh64")
@@ -435,6 +459,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -454,7 +479,7 @@ def simhash_pairs(
     # the signature feeds four join branches (a/b sides × two halves);
     # cache the per-doc frame so the token-hash votes run once
     sig = simhash_longs(df, text_col, id_col, bits).persist()
-    return simhash_pairs_from_longs(sig, id_col, bits, max_hamming)
+    return simhash_pairs_from_longs(sig, id_col, bits, max_hamming, bucket_cap)
 
 
 def simhash_longs(
@@ -487,26 +512,48 @@ def simhash_pairs_from_longs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from a precomputed (id, s) long-signature frame —
     the join/verify half of ``simhash_pairs``, reusable against stored
-    signatures (IncrementalSimHashDeduper)."""
+    signatures (IncrementalSimHashDeduper).
+
+    ``bucket_cap``: drop half-key buckets holding more than this many
+    docs from the corresponding join branch — the same hot-bucket cut
+    as ``lsh_candidate_pairs``: a giant near-identical cluster makes
+    every one of its half-keys a quadratic join key. Deterministic and
+    oracle-mirrorable; sized to never bind at the gate scale factors.
+    """
     half = bits // 2
     mask = (1 << half) - 1
     a = sig.select(F.col(id_col).alias("i"), F.col("s").alias("si"))
     b = sig.select(F.col(id_col).alias("j"), F.col("s").alias("sj"))
-    first_half = a.withColumn("k", F.shiftright("si", half)).join(
-        b.withColumn("k", F.shiftright("sj", half)), "k"
-    )
+    fa = a.withColumn("k", F.shiftright("si", half))
+    fb = b.withColumn("k", F.shiftright("sj", half))
+    if bucket_cap is not None:
+        fh_ok = (
+            sig.groupBy(F.shiftright("s", half).alias("k"))
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+        fa = fa.join(fh_ok, "k")
+    first_half = fa.join(fb, "k")
     # disjoint branches instead of union+distinct: a pair equal on BOTH
     # halves would surface twice, so the second branch admits only pairs
     # whose first halves differ — same candidate set, and the (large)
     # candidate frame never pays a dedup shuffle
-    second_half = (
-        a.withColumn("k", F.col("si").bitwiseAND(F.lit(mask)))
-        .join(b.withColumn("k", F.col("sj").bitwiseAND(F.lit(mask))), "k")
-        .filter(F.shiftright("si", half) != F.shiftright("sj", half))
-    )
+    sa = a.withColumn("k", F.col("si").bitwiseAND(F.lit(mask)))
+    sb = b.withColumn("k", F.col("sj").bitwiseAND(F.lit(mask)))
+    if bucket_cap is not None:
+        sh_ok = (
+            sig.groupBy(F.col("s").bitwiseAND(F.lit(mask)).alias("k"))
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+        sa = sa.join(sh_ok, "k")
+    second_half = sa.join(sb, "k").filter(F.shiftright("si", half) != F.shiftright("sj", half))
     cand = (
         first_half.select("i", "j", "si", "sj")
         .unionByName(second_half.select("i", "j", "si", "sj"))

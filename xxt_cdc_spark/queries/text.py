@@ -27,6 +27,17 @@ JACCARD_T = 0.5
 # the max DF is 25 (sf0.1) / 7 (sf0.01), so the cap never binds there
 # and results are byte-identical to the exact all-pairs form.
 JACCARD_DF_CAP = 50
+# LSH hot-bucket cut for dedup_minhash_lsh: band buckets larger than
+# this are dropped before the candidate self-join (s²/2 pairs per
+# bucket — measured at sf10, 71% of candidate pair-weight sat in
+# DF>50 buckets, max bucket 635; slope 19x for 10x data without the
+# cap). Max bucket at the oracle gate SFs is 3 (sf0.01) / 10 (sf0.1),
+# so the cap provably never binds there.
+LSH_BUCKET_CAP = 50
+# same cut for the simhash half-key join branches (64-bit simhash →
+# 32-bit half keys: random collisions are n²/2³² and negligible, but a
+# replicated near-identical cluster makes its half-keys quadratic)
+SIMHASH_BUCKET_CAP = 50
 # 64-bit signatures (SCALING.md: 2^32 half-key buckets — the 32-bit
 # half-keys saturated at ~2^16 buckets, too few for a huge corpus)
 SIMHASH_BITS = 64
@@ -185,7 +196,8 @@ ORDER BY i, j
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return D.minhash_dedup_pairs(
-        d, "text", "doc_id", NUM_HASHES, ROWS_PER_BAND, SHINGLE_N, JACCARD_T
+        d, "text", "doc_id", NUM_HASHES, ROWS_PER_BAND, SHINGLE_N, JACCARD_T,
+        bucket_cap=LSH_BUCKET_CAP,
     ).orderBy("i", "j")
 
 
@@ -199,7 +211,12 @@ _band_selects = "\nUNION ALL\n".join(
 MINHASH_SQL = f"""
 WITH {_SHINGLES_SQL},
 sig AS (SELECT doc_id, {_sig_cols} FROM sh GROUP BY doc_id),
-bands AS ({_band_selects}),
+bands0 AS ({_band_selects}),
+okb AS (
+  SELECT band_index, band_key FROM bands0
+  GROUP BY 1, 2 HAVING count(*) <= {LSH_BUCKET_CAP}
+),
+bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band_index, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM bands a JOIN bands b ON a.band_index = b.band_index AND a.band_key = b.band_key
@@ -317,7 +334,9 @@ ORDER BY doc_id
 # --- SimHash ------------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return D.simhash_pairs(d, "text", "doc_id", SIMHASH_BITS, MAX_HAMMING).orderBy("i", "j")
+    return D.simhash_pairs(
+        d, "text", "doc_id", SIMHASH_BITS, MAX_HAMMING, bucket_cap=SIMHASH_BUCKET_CAP
+    ).orderBy("i", "j")
 
 
 _votes_sql = ", ".join(
@@ -343,11 +362,22 @@ WITH votes AS (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
 ),
 sig AS (SELECT doc_id, {_sig_sql} AS simhash FROM votes),
+fh_ok AS (
+  SELECT substr(simhash, 1, {_half}) AS k FROM sig
+  GROUP BY 1 HAVING count(*) <= {SIMHASH_BUCKET_CAP}
+),
+sh_ok AS (
+  SELECT substr(simhash, {_half + 1}, {_half}) AS k FROM sig
+  GROUP BY 1 HAVING count(*) <= {SIMHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.simhash AS sig_i, b.simhash AS sig_j
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-  WHERE substr(a.simhash, 1, {_half}) = substr(b.simhash, 1, {_half})
-     OR substr(a.simhash, {_half + 1}, {_half}) = substr(b.simhash, {_half + 1}, {_half})
+  WHERE (substr(a.simhash, 1, {_half}) = substr(b.simhash, 1, {_half})
+         AND substr(a.simhash, 1, {_half}) IN (SELECT k FROM fh_ok))
+     OR (substr(a.simhash, {_half + 1}, {_half}) = substr(b.simhash, {_half + 1}, {_half})
+         AND substr(a.simhash, {_half + 1}, {_half}) IN (SELECT k FROM sh_ok)
+         AND substr(a.simhash, 1, {_half}) <> substr(b.simhash, 1, {_half}))
 )
 SELECT i, j, {_hamming_sql} AS hamming
 FROM cand
