@@ -435,7 +435,10 @@ def bench_fanout_tables(spark) -> dict:
     from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, TableSink, apply_batch_fanout
 
     n_events = 100_000
-    widths = (10, 10, 100, 1000)  # first 10t pass is untimed warmup
+    # first 10t pass is untimed warmup; 10000t is one table per 10
+    # events — 1/10th of the way to the reference's 100k claim, and
+    # post-coalescing it runs within ~2.5 s of the 1000t point
+    widths = (10, 10, 100, 1000, 10000)
     out: dict = {}
     secs: dict[int, float] = {}
     warmed = False
