@@ -160,9 +160,33 @@ class TestSimilarityFastPath:
         assert "MapInPandas" not in plan
         default = sorted((r.i, r.j, r.cosine) for r in S.cosine_neardup_pairs(emb, 0.45).collect())
         assert sorted((r.i, r.j, r.cosine) for r in guarded.collect()) == default
-        # the fast variant guards the same way
-        fast_guarded = S.cosine_neardup_pairs_fast(emb, 0.45, max_broadcast_rows=10)
-        assert "MapInPandas" not in fast_guarded._jdf.queryExecution().executedPlan().toString()
+        # the fast variant guards by switching to the BUCKETED kernel
+        # (per-centroid applyInPandas groups — no driver-collected
+        # broadcast matrix), and says so out loud
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            fast_guarded = S.cosine_neardup_pairs_fast(emb, 0.45, max_broadcast_rows=10)
+        assert any("bucketed" in str(c.message) for c in caught)
+        plan = fast_guarded._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan  # broadcast-matrix kernel absent
+        assert "FlatMapGroupsInPandas" in plan  # bucketed kernel present
+
+    def test_bucketed_neardup_recall_and_precision(self, spark, sf_dir):
+        """The bucketed kernel's pairs are a subset of the exact pairs
+        (precision 1 up to BLAS ulp) with high recall on this corpus;
+        recall < 1 is the documented trade."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {(r.i, r.j) for r in S.cosine_neardup_pairs(emb, 0.45).collect()}
+        bucketed_rows = S.cosine_neardup_pairs_bucketed(
+            emb, 0.45, n_centroids=8, n_assign=3
+        ).collect()
+        bucketed = {(r.i, r.j) for r in bucketed_rows}
+        assert bucketed <= exact  # no false pairs (ulp-safe on this data)
+        assert all(r.cosine >= 0.45 for r in bucketed_rows)
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.8, f"recall {recall:.2f} ({len(bucketed)}/{len(exact)})"
 
     def test_ivf_fixed_centroids_matches_kmeans_plumbing(self, spark, sf_dir):
         """Fixed-seed IVF: deterministic, returns exactly k ranked rows

@@ -457,18 +457,37 @@ def cosine_neardup_pairs_fast(
     This is the designed Pandas-UDF slow path (Arrow batches + BLAS):
     ~50-100× the interpreted-fold plan. Summation order inside BLAS
     differs from a sequential fold, so results can differ from the
-    exact variant by ~1 ulp — hence registered as a rows-only check,
-    with the exact variant (cosine_neardup_pairs) as the oracle
-    baseline. At 100 TB the broadcast side becomes an LSH/IVF bucket
-    instead of the full matrix.
+    exact variant by ~1 ulp — hence the registered query rounds to 9
+    decimals on both sides, with the exact variant
+    (cosine_neardup_pairs) as the oracle baseline.
+
+    Above ``max_broadcast_rows`` the broadcast matrix would no longer
+    fit (and an exact fallback is O(N²) by definition), so the call
+    switches to the bucketed kernel
+    (``cosine_neardup_pairs_bucketed``) — same BLAS math within
+    IVF-style centroid buckets, recall < 1 by construction. The switch
+    is surfaced with a warning, never silent; callers needing exact
+    results at any size use cosine_neardup_pairs(strategy='fold').
     """
     import numpy as np
     import pandas as pd
 
     # same adaptive guard as cosine_neardup_pairs: never collect an
     # unbounded corpus to the driver
-    if corpus.count() > max_broadcast_rows:
-        return cosine_neardup_pairs(corpus, threshold, id_col, vec_col, strategy="fold")
+    n = corpus.count()
+    if n > max_broadcast_rows:
+        import warnings
+
+        warnings.warn(
+            f"corpus has {n} > {max_broadcast_rows} vectors: switching to the "
+            "bucketed (approximate, recall<1) near-dup kernel",
+            stacklevel=2,
+        )
+        # ~20k vectors per centroid bucket keeps each group's chunked
+        # matmul in-memory while the bucket count scales with the data
+        return cosine_neardup_pairs_bucketed(
+            corpus, threshold, id_col, vec_col, n_centroids=max(64, n // 20_000)
+        )
 
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()  # query-side matrix (small, broadcast)
@@ -484,15 +503,94 @@ def cosine_neardup_pairs_fast(
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
             bm = np.array(list(pdf[vec_col]), dtype=np.float64)
             bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ all_mat.T  # (block, N)
-            bi, aj = np.nonzero(sims >= threshold)
-            i_ids, j_ids = block_ids[bi], all_ids[aj]
-            keep = i_ids < j_ids
-            yield pd.DataFrame(
-                {"i": i_ids[keep], "j": j_ids[keep], "cosine": sims[bi, aj][keep]}
-            )
+            # chunk the rows so the sims slab stays ~80 MB regardless of
+            # Arrow batch size × corpus width (an unchunked block @ N
+            # product is what OOM-killed workers at 2M vectors)
+            step = max(1, 10_000_000 // max(len(all_ids), 1))
+            for s in range(0, len(block_ids), step):
+                sims = bm[s : s + step] @ all_mat.T  # (chunk, N)
+                bi, aj = np.nonzero(sims >= threshold)
+                i_ids, j_ids = block_ids[s + bi], all_ids[aj]
+                keep = i_ids < j_ids
+                yield pd.DataFrame(
+                    {"i": i_ids[keep], "j": j_ids[keep], "cosine": sims[bi, aj][keep]}
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(block, "i long, j long, cosine double")
+
+
+def cosine_neardup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_assign: int = 3,
+) -> DataFrame:
+    """Scalable near-dup pairs: IVF-style centroid buckets, BLAS matmul
+    WITHIN each bucket — the 100 TB form of the broadcast kernel, where
+    "the broadcast matrix becomes a bucket".
+
+    Every vector is assigned to its ``n_assign`` nearest of
+    ``n_centroids`` fixed centroids (the lowest-id corpus vectors —
+    same deterministic posture as ``ivf_topk(centroids='fixed')``);
+    candidate pairs are vectors sharing at least one centroid, verified
+    by exact cosine inside a per-centroid ``applyInPandas`` group with
+    a chunked matmul. Near-identical vectors have near-identical
+    centroid distances, so their top-``n_assign`` centroid sets
+    overlap with high probability — recall < 1 by construction
+    (boundary pairs whose assignments diverge), measured in
+    tests/test_functions.py rather than assumed. Cost is
+    Σ_buckets sz² instead of N²; bucket count should scale with the
+    corpus (callers pass ``n_centroids ∝ N``) to hold sz roughly
+    constant. A pair sharing both centroids is computed twice with
+    bit-identical results; the groupBy(max) collapses it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cen_df = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).cast("int").alias("centroid"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(cen_df)).withColumn(
+        "csim", dot("cv", "cvec") / (norm("cv") * norm("cvec"))
+    )
+    w = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid"))
+    assigned = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= n_assign)
+        .select("item_id", "cv", "centroid")
+    )
+
+    def bucket_pairs(key, pdf):
+        ids = pdf["item_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["cv"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        out_i, out_j, out_c = [], [], []
+        step = max(1, 10_000_000 // max(len(ids), 1))
+        for s in range(0, len(ids), step):
+            sims = mat[s : s + step] @ mat.T
+            bi, bj = np.nonzero(sims >= threshold)
+            i_ids, j_ids = ids[s + bi], ids[bj]
+            keep = i_ids < j_ids
+            out_i.append(i_ids[keep])
+            out_j.append(j_ids[keep])
+            out_c.append(sims[bi, bj][keep])
+        return pd.DataFrame(
+            {
+                "i": np.concatenate(out_i) if out_i else np.array([], dtype=np.int64),
+                "j": np.concatenate(out_j) if out_j else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    pairs = assigned.groupBy("centroid").applyInPandas(
+        bucket_pairs, "i long, j long, cosine double"
+    )
+    return pairs.groupBy("i", "j").agg(F.max("cosine").alias("cosine"))
 
 
 def cosine_neardup_pairs(
