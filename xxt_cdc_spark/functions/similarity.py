@@ -545,6 +545,15 @@ def cosine_neardup_pairs_bucketed(
     corpus (callers pass ``n_centroids ∝ N``) to hold sz roughly
     constant. A pair sharing both centroids is computed twice with
     bit-identical results; the groupBy(max) collapses it.
+
+    Scale edge, stated plainly: centroid ASSIGNMENT is a broadcast
+    crossJoin costing O(N·C) dot products, so with C ∝ N it is the
+    first stage to saturate (≈ N²/20k). Fine through ~10⁷ vectors on
+    one box (measured: 2M in 83 s end-to-end); beyond that, route
+    through a two-level centroid tree or reuse a pre-trained coarse
+    quantizer (ivf_topk's kmeans mode) instead of growing C linearly —
+    the per-bucket kernel itself is indifferent to how vectors were
+    bucketed.
     """
     import numpy as np
     import pandas as pd
