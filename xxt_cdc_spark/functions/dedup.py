@@ -103,23 +103,25 @@ def jaccard_pairs(
     # ~20-40 bytes, so hashing cuts shuffle volume ~3× (a phantom
     # shared-count needs two distinct shingles of the SAME doc pair to
     # collide in 64 bits — ~1e-9 across the whole corpus)
-    sh = (
-        shingles(df, text_col, id_col, n)
-        .select(id_col, "shingle", F.xxhash64("shingle").alias("sh64"))
-        .persist()
+    sh = shingles(df, text_col, id_col, n).select(
+        id_col, "shingle", F.xxhash64("shingle").alias("sh64")
     )
     if df_cap is not None:
         # stop-shingle filter: drop DF > cap rows BEFORE the self-join
         # AND from the size denominators (Jaccard over rare shingles);
         # the DF agg, the semi-join and the self-join all shuffle on
-        # sh64, so the exchange is planned once and reused
+        # sh64, so the raw-shingle exchange is planned once and reused
+        # — which is why only the FILTERED frame is persisted (caching
+        # the pre-filter frame too would double the query's largest
+        # intermediate in executor storage for no extra reuse)
         rare = (
             sh.groupBy("sh64")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap)
             .select("sh64")
         )
-        sh = sh.join(rare, "sh64").persist()
+        sh = sh.join(rare, "sh64")
+    sh = sh.persist()
     sizes = shingle_sizes(sh, id_col)
     # single-pass: shared counts straight off the shingle self-join
     a = sh.select(F.col(id_col).alias("i"), "sh64")

@@ -144,7 +144,9 @@ def _ivf_assign(
     (per-partition graph index) route through this."""
     if centroids == "fixed":
         cen_df = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(
-            F.col(id_col).cast("int").alias("centroid"),
+            # long, not int: seed-vector ids >= 2^31 would overflow
+            # (same bug class as the bucketed near-dup kernel's label)
+            F.col(id_col).cast("long").alias("centroid"),
             F.col(vec_col).alias("cvec"),
         )
         c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
@@ -561,7 +563,10 @@ def cosine_neardup_pairs_bucketed(
     cen_df = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
-        .select(F.col(id_col).cast("int").alias("centroid"), F.col(vec_col).alias("cvec"))
+        # keep the centroid label long: ids >= 2^31 would overflow an
+        # int cast (ANSI: job death; legacy: silent bucket aliasing) on
+        # exactly the large-corpus path this kernel exists for
+        .select(F.col(id_col).cast("long").alias("centroid"), F.col(vec_col).alias("cvec"))
     )
     c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
     scored = c.crossJoin(F.broadcast(cen_df)).withColumn(

@@ -519,10 +519,10 @@ def cdc_binlog_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = 8  # rotated files = range partitions
 
     def _write_files(batches):
-        import json as _json
-
         import pandas as pd
         from pyspark import TaskContext
+
+        from xxt_cdc_spark.streaming.binlog_source import encode_record
 
         pid = TaskContext.get().partitionId()
         fp = os.path.join(tmp, f"binlog.{pid + 1:06d}")
@@ -533,10 +533,10 @@ def cdc_binlog_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 for rec in pdf.to_dict("records"):
                     rec.pop("pos_offset", None)
-                    ts = rec.get("ts")
-                    rec["ts"] = None if pd.isna(ts) else pd.Timestamp(ts).isoformat()
-                    rec = {k: (None if (v is None or v != v) else v) for k, v in rec.items()}
-                    f.write(_json.dumps(rec, separators=(",", ":")) + "\n")
+                    # one canonical wire encoding (see encode_record):
+                    # the transport reader must never meet a format this
+                    # writer and BinlogLogWriter disagree on
+                    f.write(encode_record(rec) + "\n")
                     n += 1
         yield pd.DataFrame({"rows_written": [n]})
 

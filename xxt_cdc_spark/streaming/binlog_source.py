@@ -416,6 +416,23 @@ def read_binlog_stream(
 
 
 # --- the "master" side: an append/rotate log writer for tests & demos ----
+def encode_record(rec: dict) -> str:
+    """THE wire encoding for one binlog record — a compact JSON line.
+
+    Every producer of log bytes (BinlogLogWriter here, the distributed
+    fixture writer in queries/cdc.py) must encode through this one
+    function so the on-disk format the reader parses cannot silently
+    fork between writers: timestamps (datetime or pandas Timestamp)
+    render as isoformat, NaN/NaT scrub to JSON null.
+    """
+    rec = dict(rec)
+    ts = rec.get("ts")
+    if ts is not None and not isinstance(ts, str):
+        rec["ts"] = None if ts != ts else ts.isoformat()  # NaT != NaT
+    rec = {k: (None if (v is None or v != v) else v) for k, v in rec.items()}
+    return json.dumps(rec, separators=(",", ":"))
+
+
 class BinlogLogWriter:
     """Appends change records as JSON lines; ``rotate()`` starts the
     next file (offsets reset to 0, like a real ROTATE event)."""
@@ -434,11 +451,7 @@ class BinlogLogWriter:
         the write — what a master reports as its current position."""
         buf = io.StringIO()
         for r in records:
-            r = dict(r)
-            ts = r.get("ts")
-            if isinstance(ts, datetime):
-                r["ts"] = ts.isoformat()
-            buf.write(json.dumps(r, separators=(",", ":")) + "\n")
+            buf.write(encode_record(r) + "\n")
         with open(self._fp(), "a", encoding="utf-8") as f:
             f.write(buf.getvalue())
             f.flush()
