@@ -14,7 +14,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle partitions and executor heap are the TWO confs that must
+# track data volume: 32 partitions / 8g heap is right for the sf0.1
+# gate (≈1 core per partition, no spill), but a fixed count under 100×
+# the data means 100× the per-partition bytes. Measured at sf100
+# (600M lineitem): with the gate config, q5 took 148 s and
+# dedup_minhash_lsh died with UNABLE_TO_ACQUIRE_MEMORY; with
+# 256 partitions + SPARK_DRIVER_MEMORY=64g, q5 ran 44 s and minhash
+# 158 s (3.0× slope). AQE coalesces an over-provisioned count away on
+# small inputs but never splits an undersized one up, so err high.
+# Size ∝ data via SPARK_GRAFT_SHUFFLE_PARTITIONS / SPARK_DRIVER_MEMORY;
+# cluster deployments set both per job.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32"))
+)
 
 
 def get_spark(
