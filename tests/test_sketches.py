@@ -1,0 +1,148 @@
+"""Sketch kernels: HLL + count-min accuracy, merge algebra, and the
+native DataSketches production path.
+
+The oracle parity of the two registered queries is covered by
+tests/test_oracle_parity.py like every other registry entry; this file
+gates the properties an oracle hash can't express — error bounds at
+adversarial cardinalities, merge associativity under arbitrary
+partitionings, the CM overestimate-only guarantee, and the
+losslessness of the native HLL union rollup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.functions import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 20k distinct ids — well past linear-counting range at p=9, so the
+    # raw HLL estimator (not the small-range correction) is exercised.
+    return spark.range(0, 20_000).select(F.col("id").cast("long"))
+
+
+class TestHLL:
+    def test_estimate_within_error(self, spark, ids):
+        est = SK.hll_distinct(ids, "id").collect()[0]["ndv_est"]
+        # 512 registers -> ~4.6% standard error; gate at 3 sigma.
+        assert abs(est - 20_000) / 20_000 < 0.14
+
+    def test_duplicates_do_not_move_estimate(self, spark, ids):
+        dup = ids.unionAll(ids).unionAll(ids.limit(1000))
+        a = SK.hll_distinct(ids, "id").collect()[0]["ndv_est"]
+        b = SK.hll_distinct(dup, "id").collect()[0]["ndv_est"]
+        assert a == b
+
+    def test_linear_counting_small_range(self, spark):
+        small = spark.range(0, 40)
+        est = SK.hll_distinct(small, "id").collect()[0]["ndv_est"]
+        # linear counting is tight at ndv << m
+        assert abs(est - 40) / 40 < 0.15
+
+    def test_merge_equals_whole(self, spark, ids):
+        """Registers of disjoint halves merged == registers of the whole
+        (and therefore identical estimates) — the rollup property."""
+        lo = ids.filter(F.col("id") < 7_000)
+        hi = ids.filter(F.col("id") >= 7_000)
+        merged = SK.hll_merge([SK.hll_registers(lo, "id"), SK.hll_registers(hi, "id")])
+        whole = SK.hll_registers(ids, "id")
+        sym = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+        assert sym == 0
+
+    def test_merge_overlapping_parts(self, spark, ids):
+        """Merge is idempotent over overlap: parts that share ids give
+        the same summary as the whole (max is idempotent)."""
+        a = ids.filter(F.col("id") < 15_000)
+        b = ids.filter(F.col("id") >= 5_000)  # 10k overlap
+        merged = SK.hll_merge([SK.hll_registers(a, "id"), SK.hll_registers(b, "id")])
+        whole = SK.hll_registers(ids, "id")
+        assert merged.exceptAll(whole).count() + whole.exceptAll(merged).count() == 0
+
+    def test_partitioning_invariance(self, spark, ids):
+        one = SK.hll_distinct(ids.coalesce(1), "id").collect()[0]["ndv_est"]
+        many = SK.hll_distinct(ids.repartition(16), "id").collect()[0]["ndv_est"]
+        assert one == many
+
+    def test_grouped_registers_bounded(self, spark, ids):
+        g = ids.withColumn("g", (F.col("id") % 3).cast("int"))
+        reg = SK.hll_registers(g, "id", ["g"])
+        per = reg.groupBy("g").count().collect()
+        assert all(r["count"] <= 512 for r in per)
+
+
+class TestNativeHLL:
+    def test_native_accuracy(self, spark, ids):
+        est = SK.hll_native_by(ids, "id").collect()[0]["ndv_est"]
+        assert abs(est - 20_000) / 20_000 < 0.05  # lgk=12 -> ~1.6% rse
+
+    def test_native_rollup_lossless(self, spark, ids):
+        """Union of per-partition DataSketches at equal lgk equals the
+        whole-scan sketch estimate exactly — partial sketches roll up
+        without accuracy loss."""
+        parts = ids.withColumn("p", (F.col("id") % 7).cast("int"))
+        rolled = SK.hll_native_rollup(parts, "id", "p").collect()[0]["ndv_est"]
+        whole = SK.hll_native_by(ids, "id").collect()[0]["ndv_est"]
+        assert rolled == whole
+
+
+class TestCountMin:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # zipf-ish: key k appears ~ (200 - k) times for k in [0, 200)
+        return spark.range(0, 200).select(
+            F.explode(F.sequence(F.lit(0), F.lit(200) - F.col("id"))).alias("_"),
+            F.col("id").alias("k"),
+        ).select("k")
+
+    def test_overestimate_only(self, spark, skewed):
+        counters = SK.cm_counters(skewed, "k")
+        probes = spark.range(0, 200).select(F.col("id").alias("k"))
+        est = SK.cm_estimate(counters, probes, "k")
+        truth = skewed.groupBy("k").agg(F.count("*").alias("t"))
+        bad = est.join(truth, "k").filter(F.col("cm_est") < F.col("t")).count()
+        assert bad == 0  # CM never underestimates
+
+    def test_error_bound(self, spark, skewed):
+        n = skewed.count()
+        counters = SK.cm_counters(skewed, "k")
+        probes = spark.range(0, 200).select(F.col("id").alias("k"))
+        est = SK.cm_estimate(counters, probes, "k")
+        truth = skewed.groupBy("k").agg(F.count("*").alias("t"))
+        worst = (
+            est.join(truth, "k")
+            .select(F.max(F.col("cm_est") - F.col("t")).alias("m"))
+            .collect()[0]["m"]
+        )
+        # eps = e/w; allow 3x slack over the expectation bound
+        assert worst <= 3 * (2.718281828 / SK.CM_W) * n
+
+    def test_merge_equals_whole(self, spark, skewed):
+        lo = skewed.filter(F.col("k") < 100)
+        hi = skewed.filter(F.col("k") >= 100)
+        merged = SK.cm_merge([SK.cm_counters(lo, "k"), SK.cm_counters(hi, "k")])
+        whole = SK.cm_counters(skewed, "k")
+        assert merged.exceptAll(whole).count() + whole.exceptAll(merged).count() == 0
+
+    def test_absent_key_estimates_small(self, spark, skewed):
+        counters = SK.cm_counters(skewed, "k")
+        probes = spark.range(10_000, 10_005).select(F.col("id").alias("k"))
+        rows = SK.cm_estimate(counters, probes, "k").collect()
+        n = skewed.count()
+        # absent keys only see collision mass: bounded by the same eps*N
+        assert all(r["cm_est"] <= 3 * (2.718281828 / SK.CM_W) * n for r in rows)
+
+
+class TestPlanShape:
+    def test_registers_single_shuffle(self, spark, ids):
+        plan = SK.hll_registers(ids, "id")._jdf.queryExecution().executedPlan().toString()
+        # one hash-aggregate pair around one exchange; no join, no sort
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+
+    def test_counters_single_shuffle(self, spark, ids):
+        plan = SK.cm_counters(ids, "id")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan

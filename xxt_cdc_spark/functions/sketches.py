@@ -1,0 +1,241 @@
+"""Mergeable sketch summaries: HyperLogLog and count-min kernels.
+
+Why sketches are a first-class 100 TB operator: exact distinct counts
+and exact per-key frequencies over a petabyte-scale corpus require a
+full shuffle of the key domain; a sketch replaces that with a
+fixed-size, MERGEABLE summary that aggregates map-side and composes
+across partitions, days, and tables (the same rollup algebra as
+`operators/incremental_agg.py` — new data folds into the old summary
+without rescanning history). Reference parity target: the reference
+engine ships no sketch operators (its metrics are exact counters,
+`reporter/EnhancedMetricsCollector.scala`); this module is part of the
+beyond-parity training-data surface.
+
+Two implementations, deliberately:
+
+- **Portable deterministic kernels** (`hll_registers`/`hll_estimate`,
+  `cm_counters`/`cm_estimate`): hash = the first 15 hex chars of
+  md5(salt‖value) parsed as a 60-bit integer — bit-identical in Spark
+  (`conv(substring(md5(..),1,15),16,10)`) and DuckDB
+  (`CAST('0x'||substring(md5(..),1,15) AS BIGINT)`), so the driver's
+  value-hash oracle gates the full estimator, not just row counts.
+  All arithmetic that crosses an aggregation is integer/decimal-exact
+  (register harmonic sums are summed as `2^(60-rho)` bigints in
+  DECIMAL(38,0)), so results are independent of partitioning and
+  summation order.
+- **Native DataSketches path** (`hll_native_by`, `hll_native_rollup`):
+  Spark's built-in `hll_sketch_agg`/`hll_union_agg` (Apache
+  DataSketches HLL) — the production path when cross-engine
+  reproducibility is not required; binary sketches persist and merge
+  across jobs. Accuracy/merge-losslessness is pytest-gated
+  (tests/test_sketches.py) rather than oracle-gated because the
+  estimate is DataSketches-implementation-specific.
+
+Scale shape: `hll_registers` is one hash-aggregate producing ≤ m rows
+per group (m = 2^p registers); `cm_counters` one hash-aggregate
+producing ≤ d·w rows per group. Both benefit from map-side partial
+aggregation (the register/counter domain is tiny, so partials collapse
+before the exchange) — the corpus is read once and the shuffle carries
+only sketch-sized data. Merging unions summary rows and re-reduces:
+max for HLL registers, sum for CM counters — associative and
+commutative, so any rollup tree over partitions/days/tables yields the
+identical summary.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- portable 60-bit hash ----------------------------------------------------
+
+HLL_SALT = "hll1|"
+HLL_P = 9  # 2^9 = 512 registers: ±~4.6% standard error
+_W_BITS = 60 - HLL_P  # bits available for the rho pattern
+_TWO60 = 1 << 60
+
+
+def h60(col: Column, salt: str) -> Column:
+    """60-bit non-negative hash from the md5 hex prefix — the same
+    value DuckDB computes from `CAST('0x'||substring(md5(..),1,15) AS
+    BIGINT)`, which is what makes the sketch oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+# --- HyperLogLog (Flajolet et al. 2007) --------------------------------------
+
+
+def alpha_mm(p: int) -> float:
+    """alpha_m * m^2 — the HLL bias-correction constant for m = 2^p."""
+    m = 1 << p
+    return (0.7213 / (1 + 1.079 / m)) * m * m
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = HLL_P,
+    salt: str = HLL_SALT,
+) -> DataFrame:
+    """Per-group HLL register table: (group…, bucket, rho).
+
+    bucket = low p hash bits; rho = 1 + trailing zeros of the high
+    bits (trailing via the portable `bit_count(~w & (w-1))` identity —
+    neither engine has a ctz builtin). Empty registers are implicit
+    (absent rows ≡ rho 0), so a group's summary is at most m rows.
+    One hash-aggregate; partials collapse map-side because the
+    (group, bucket) domain is m per group.
+    """
+    m = 1 << p
+    h = h60(F.col(value_col), salt)
+    w = F.shiftright(h, p)
+    tz = F.bit_count(F.bitwise_not(w).bitwiseAND(w - F.lit(1)))
+    rho = F.when(w == 0, F.lit(60 - p + 1)).otherwise(tz + F.lit(1))
+    keyed = df.select(
+        *[F.col(c) for c in group_cols],
+        (h % F.lit(m)).alias("bucket"),
+        rho.alias("_rho"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(F.max("_rho").alias("rho"))
+
+
+def hll_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge register tables (same p/salt): union + per-bucket max.
+    Associative/commutative — any rollup tree gives the same summary,
+    which is the property that lets per-partition/per-day sketches
+    fold without rescanning history."""
+    u = reduce(DataFrame.unionByName, parts)
+    return u.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str] = (), p: int = HLL_P
+) -> DataFrame:
+    """Distinct-count estimate from a register table: (group…, ndv_est).
+
+    The harmonic sum Σ 2^-M_j is computed exactly: each present
+    register contributes the integer 2^(60-rho) and each empty one
+    2^60, summed in DECIMAL(38,0) (max m·2^60 ≈ 5.9e20 « 1e38) — no
+    float-order sensitivity crosses the aggregation. Small-range
+    correction (linear counting) applies below 2.5m when empty
+    registers remain, per the original paper.
+    """
+    m = 1 << p
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_present"),
+        F.sum(F.expr("cast(shiftleft(1L, 60 - rho) as decimal(38,0))")).alias("_s"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    s_total = F.col("_s") + zeros.cast("decimal(38,0)") * F.lit(_TWO60).cast(
+        "decimal(38,0)"
+    )
+    raw = F.lit(float(alpha_mm(p) * _TWO60)) / s_total.cast("double")
+    est = F.when(
+        (zeros > 0) & (raw <= 2.5 * m), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("ndv_est"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = HLL_P,
+) -> DataFrame:
+    """One-shot grouped approximate NDV through the portable kernel."""
+    return hll_estimate(hll_registers(df, value_col, group_cols, p), group_cols, p)
+
+
+# --- native DataSketches path (production) -----------------------------------
+
+
+def hll_native_by(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), lgk: int = 12
+) -> DataFrame:
+    """Grouped approximate NDV via Spark's built-in Apache DataSketches
+    HLL (binary, persistable, mergeable across jobs)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col, lgk)).alias("ndv_est")
+    )
+
+
+def hll_native_rollup(
+    df: DataFrame, value_col: str, part_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-partition sketches unioned into one estimate WITHOUT
+    rescanning rows — `hll_union_agg` over per-part `hll_sketch_agg`.
+    Union at equal lgk is lossless, so this equals the whole-scan
+    estimate exactly (pytest-gated)."""
+    per_part = df.groupBy(part_col).agg(F.hll_sketch_agg(value_col, lgk).alias("sk"))
+    return per_part.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_est"))
+
+
+# --- count-min (Cormode & Muthukrishnan 2005) --------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 256  # counters per row
+CM_SALT = "cm"
+
+
+def cm_counters(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Per-group count-min counter table: (group…, j, i, cnt) — row j,
+    column i = Σ 1 over keys with hash_j(key) ≡ i. d·w integer cells
+    per group; exact integers, so merge (sum) and estimates are
+    order-free. The d-way row fanout happens BEFORE the aggregate, but
+    partials collapse to d·w cells map-side, so the exchange carries
+    sketch-sized data regardless of input rows."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    keyed = df.select(*[F.col(c) for c in group_cols], F.col(key_col).alias("_k"), rows)
+    return (
+        keyed.select(*group_cols, "j", _cm_cell("_k", w).alias("i"))
+        .groupBy(*group_cols, "j", "i")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cm_cell(key_col: str, w: int) -> Column:
+    """Row-j counter index for a key: 60-bit md5 hash of 'cm<j>|<key>'
+    mod w — the j-indexed salt keeps the d hash rows independent while
+    staying expressible identically in DuckDB SQL."""
+    seed = F.concat(
+        F.lit(CM_SALT), F.col("j").cast("string"), F.lit("|"), F.col(key_col).cast("string")
+    )
+    return F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long") % F.lit(w)
+
+
+def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge counter tables: union + per-cell sum (the CM sketch is a
+    linear projection, so addition composes exactly)."""
+    u = reduce(DataFrame.unionByName, parts)
+    return u.groupBy(*group_cols, "j", "i").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Point-frequency estimates for the probe keys: est(key) =
+    min_j cnt[j][h_j(key)] — an upper bound on the true count, within
+    ε·N with probability 1-δ (ε = e/w, δ = e^-d). The probe side
+    fans out to d rows per key and joins the counter table on (j, i);
+    the counter side is broadcast-sized (≤ d·w rows)."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    pk = probes.select(F.col(key_col), rows)
+    pk = pk.select(key_col, "j", _cm_cell(key_col, w).alias("i"))
+    joined = pk.join(F.broadcast(counters), ["j", "i"], "left").na.fill({"cnt": 0})
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))

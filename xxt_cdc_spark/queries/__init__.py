@@ -25,6 +25,7 @@ from xxt_cdc_spark.queries import (
     curation,
     relational,
     relational2,
+    sketches,
     streaming,
     text,
     vector,
@@ -62,13 +63,14 @@ ORACLE: dict[str, str] = {}
 # per round (the cap observed in r1-r3). Rotate each round so every
 # family's evidence stays ≤1 round old: r3 swept cdc/text/relational2/
 # streaming-head (CORRECTNESS_r03 50/50 green), so r4 leads with the
-# families r3 cut off — vector (with the two never-swept NSW ANN
-# queries pinned first), corpus, curation, relational, and the
-# streaming tail; cdc/text/relational2 hold green r3 rows.
+# families r3 cut off — the never-driver-swept queries pinned first
+# (NSW ANN pair + the new r4 sketch family), then vector, corpus,
+# curation, relational, and the streaming tail; cdc/text/relational2
+# hold green r3 rows.
 _FIRST = ("ann_nsw_topk", "ann_ivf_nsw_topk")
 for _name in _FIRST:
     QUERIES[_name] = _pinned(vector.QUERIES[_name])
     ORACLE[_name] = vector.ORACLE[_name]
-for mod in (vector, corpus, curation, relational, streaming, text, relational2, cdc):
+for mod in (sketches, vector, corpus, curation, relational, streaming, text, relational2, cdc):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items() if name not in _FIRST})
     ORACLE.update({name: sql for name, sql in mod.ORACLE.items() if name not in _FIRST})
