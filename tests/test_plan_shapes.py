@@ -119,3 +119,12 @@ class TestPlanShapes:
         plan = naive._sc._jvm.PythonSQLUtils.explainString(
             naive._jdf.queryExecution(), "formatted")
         assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+    def test_stream_interval_join_is_equi_hash_join(self, spark, sf_dir):
+        """The stream-stream interval join's batch twin must key on
+        user_id (hash or sort-merge join) with the time range as a
+        residual predicate — never a nested loop over the pair space."""
+        plan = _plan(spark, sf_dir, "stream_interval_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -67,10 +67,11 @@ ORACLE: dict[str, str] = {}
 # (NSW ANN pair + the new r4 sketch family), then vector, corpus,
 # curation, relational, and the streaming tail; cdc/text/relational2
 # hold green r3 rows.
-_FIRST = ("ann_nsw_topk", "ann_ivf_nsw_topk")
-for _name in _FIRST:
-    QUERIES[_name] = _pinned(vector.QUERIES[_name])
-    ORACLE[_name] = vector.ORACLE[_name]
+_HEAD = {"ann_nsw_topk": vector, "ann_ivf_nsw_topk": vector, "stream_interval_join": streaming}
+_FIRST = tuple(_HEAD)
+for _name, _mod in _HEAD.items():
+    QUERIES[_name] = _pinned(_mod.QUERIES[_name])
+    ORACLE[_name] = _mod.ORACLE[_name]
 for mod in (sketches, vector, corpus, curation, relational, streaming, text, relational2, cdc):
     QUERIES.update({name: _pinned(fn) for name, fn in mod.QUERIES.items() if name not in _FIRST})
     ORACLE.update({name: sql for name, sql in mod.ORACLE.items() if name not in _FIRST})

@@ -246,7 +246,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- stream-stream interval join (batch twin) --------------------------------
+ATTRIB_WINDOW_S = 86_400  # attribute purchases to clicks within 24 h
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution through the SAME `interval_join`
+    wrapper the streaming path uses (streaming/stream_join.py): each
+    purchase matched to every click by the same user in the prior 24 h.
+    Registered in batch form so the join semantics get a value-hash
+    oracle; the streaming execution (multi-batch, watermark eviction,
+    outer gating) is pinned in tests/test_stream_join.py. The two
+    sides are separate scans — exactly the two-source shape of the
+    streaming deployment, and it sidesteps self-join ambiguity."""
+    from xxt_cdc_spark.streaming.stream_join import interval_join
+
+    clicks = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"))
+    )
+    j = interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts", 0, ATTRIB_WINDOW_S
+    )
+    return j.select("user_id", "click_id", "purchase_id").orderBy("click_id", "purchase_id")
+
+
+INTERVAL_JOIN_SQL = f"""
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_S} SECOND
+ORDER BY click_id, purchase_id
+"""
+
+
 QUERIES = {
+    "stream_interval_join": stream_interval_join,
     "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
@@ -255,6 +297,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_interval_join": INTERVAL_JOIN_SQL,
     "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
