@@ -49,6 +49,9 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_bm25_search",
     "vector_hof_family",
+    "sketch_hll_rollup",
+    "sketch_cm_heavy",
+    "stream_interval_join",
     # dedup_incremental_simhash is deliberately NOT a headline entry:
     # it replays a 5-batch incremental pipeline (persistent store,
     # per-batch jobs), so its wall-clock measures batch-loop overhead,

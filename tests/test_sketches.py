@@ -146,3 +146,85 @@ class TestPlanShape:
         plan = SK.cm_counters(ids, "id")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "Join" not in plan
+
+
+class TestHLLSetAlgebra:
+    def test_union_and_intersection(self, spark):
+        # |A|=12k, |B|=12k, overlap 6k -> union 18k, intersect 6k
+        a = spark.range(0, 12_000)
+        b = spark.range(6_000, 18_000)
+        row = SK.hll_set_estimates(a, b, "id").collect()[0]
+        assert abs(row["ndv_union"] - 18_000) / 18_000 < 0.14
+        assert abs(row["ndv_intersect"] - 6_000) < 0.14 * 18_000  # union-absolute error
+        assert abs(row["ndv_a"] - 12_000) / 12_000 < 0.14
+
+    def test_disjoint_clamps_nonnegative(self, spark):
+        a = spark.range(0, 5_000)
+        b = spark.range(100_000, 105_000)
+        row = SK.hll_set_estimates(a, b, "id").collect()[0]
+        assert row["ndv_intersect"] >= 0.0
+        assert row["ndv_intersect"] < 0.14 * 10_000
+
+    def test_union_equals_merged_input(self, spark):
+        """ndv_union must equal the one-shot estimate of A ∪ B rows —
+        the register merge is lossless."""
+        a = spark.range(0, 12_000)
+        b = spark.range(6_000, 18_000)
+        row = SK.hll_set_estimates(a, b, "id").collect()[0]
+        direct = SK.hll_distinct(a.unionAll(b), "id").collect()[0]["ndv_est"]
+        assert row["ndv_union"] == direct
+
+
+class TestHeavyHitters:
+    def test_exact_vs_groupby(self, spark):
+        """CM-pruned heavy hitters must equal the plain groupBy answer
+        on a skewed domain where most keys are below threshold."""
+        data = spark.range(0, 3_000).select(
+            (F.when(F.col("id") % 3 == 0, F.col("id") % 7)  # 7 hot keys
+              .otherwise(F.col("id") + 100)).alias("k"))
+        got = SK.cm_heavy_hitters(data, "k", 50)
+        want = data.groupBy("k").agg(F.count("*").alias("n")).filter(F.col("n") >= 50)
+        assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+        assert want.count() > 0
+
+    def test_no_hitters_empty(self, spark):
+        data = spark.range(0, 1_000).select(F.col("id").alias("k"))  # all unique
+        assert SK.cm_heavy_hitters(data, "k", 2).count() == 0
+
+
+class TestIncrementalHLL:
+    def test_chunked_equals_one_shot(self, spark, ids, tmp_path):
+        inc = SK.IncrementalHLL(spark, str(tmp_path / "hll_state"))
+        for i in range(4):
+            inc.update(ids.filter(F.col("id") % 4 == i), "id")
+        whole = SK.hll_registers(ids, "id")
+        got = inc.registers()
+        assert got.exceptAll(whole).count() + whole.exceptAll(got).count() == 0
+        est = inc.estimate().collect()[0]["ndv_est"]
+        one_shot = SK.hll_distinct(ids, "id").collect()[0]["ndv_est"]
+        assert est == one_shot
+
+    def test_replay_idempotent(self, spark, ids, tmp_path):
+        """Max-merge is idempotent: re-applying a batch cannot move the
+        state — exactly-once under foreachBatch replay for free."""
+        inc = SK.IncrementalHLL(spark, str(tmp_path / "hll_replay"))
+        b0 = ids.filter(F.col("id") < 10_000)
+        b1 = ids.filter(F.col("id") >= 10_000)
+        inc.update(b0, "id")
+        inc.update(b1, "id")
+        before = inc.estimate().collect()[0]["ndv_est"]
+        inc.update(b1, "id")  # crash-replay of the last batch
+        after = inc.estimate().collect()[0]["ndv_est"]
+        assert before == after
+
+    def test_grouped_state(self, spark, ids, tmp_path):
+        g = ids.withColumn("g", (F.col("id") % 2).cast("int"))
+        inc = SK.IncrementalHLL(spark, str(tmp_path / "hll_grp"), group_cols=["g"])
+        inc.update(g.filter(F.col("id") < 8_000), "id")
+        inc.update(g.filter(F.col("id") >= 8_000), "id")
+        got = {r["g"]: r["ndv_est"] for r in inc.estimate().collect()}
+        want = {
+            r["g"]: r["ndv_est"]
+            for r in SK.hll_distinct(g, "id", ["g"]).collect()
+        }
+        assert got == want

@@ -152,6 +152,35 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, value_col, group_cols, p), group_cols, p)
 
 
+def hll_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Theta-sketch-style set algebra at HLL cost: one row with
+    ``ndv_a``, ``ndv_b``, ``ndv_union`` (from the MERGED registers —
+    HLL union is lossless) and ``ndv_intersect`` via inclusion-
+    exclusion (|A∩B| = |A|+|B|-|A∪B|, clamped at 0 — the intersection
+    carries the union's ABSOLUTE error, so it is reliable when the
+    overlap is not tiny relative to the union; callers comparing
+    corpus snapshots should read it as 'overlap mass', not an exact
+    count). Each input is scanned once; everything downstream is
+    register-sized."""
+    ra = hll_registers(df_a, value_col, (), p)
+    rb = hll_registers(df_b, value_col, (), p)
+    ea = hll_estimate(ra, (), p).select(F.col("ndv_est").alias("ndv_a"))
+    eb = hll_estimate(rb, (), p).select(F.col("ndv_est").alias("ndv_b"))
+    eu = hll_estimate(hll_merge([ra, rb]), (), p).select(
+        F.col("ndv_est").alias("ndv_union")
+    )
+    out = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0.0), F.round(F.col("ndv_a") + F.col("ndv_b") - F.col("ndv_union"), 6)
+    )
+    return out.select("ndv_a", "ndv_b", "ndv_union", inter.alias("ndv_intersect"))
+
+
 # --- native DataSketches path (production) -----------------------------------
 
 
@@ -174,6 +203,57 @@ def hll_native_rollup(
     estimate exactly (pytest-gated)."""
     per_part = df.groupBy(part_col).agg(F.hll_sketch_agg(value_col, lgk).alias("sk"))
     return per_part.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_est"))
+
+
+class IncrementalHLL:
+    """Persistent distinct-count state over a stream: per-batch HLL
+    registers max-merged into a bucket-pruned parquet state table
+    (`sinks/parquet_state.py::apply_merge`).
+
+    This is the sketch counterpart of `operators/incremental_agg.py`:
+    "distinct users ever seen" (per group) maintained at O(2^p) state
+    per group with no key set retained — the only thing that survives
+    batches is the register table. Because max-merge is IDEMPOTENT,
+    a replayed micro-batch cannot move the state, so the store is
+    exactly-once under foreachBatch replay with no versioned-commit
+    protocol (contrast ContinuousAggregate, whose additive merge needs
+    one). Scale shape: each update is one batch-sized hash-aggregate
+    producing ≤ m rows per group, then a state merge that reads and
+    rewrites only touched buckets."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        group_cols: Sequence[str] = (),
+        p: int = HLL_P,
+        n_buckets: int = 8,
+    ) -> None:
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        self.group_cols = list(group_cols)
+        self.p = p
+        # the state table's own partition column is named "bucket", so
+        # the HLL register index is stored as "reg"
+        self.table = ParquetStateTable(
+            spark, root, key_cols=[*self.group_cols, "reg"], n_buckets=n_buckets
+        )
+
+    def update(self, batch_df: DataFrame, value_col: str) -> None:
+        regs = hll_registers(batch_df, value_col, self.group_cols, self.p)
+        regs = regs.withColumnRenamed("bucket", "reg")
+        if not self.table.exists():
+            self.table.init(regs)
+        else:
+            self.table.apply_merge(regs, ["rho"], how="max")
+
+    def registers(self) -> DataFrame:
+        return self.table.read().select(
+            *self.group_cols, F.col("reg").alias("bucket"), "rho"
+        )
+
+    def estimate(self) -> DataFrame:
+        return hll_estimate(self.registers(), self.group_cols, self.p)
 
 
 # --- count-min (Cormode & Muthukrishnan 2005) --------------------------------
@@ -220,6 +300,40 @@ def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> Data
     linear projection, so addition composes exactly)."""
     u = reduce(DataFrame.unionByName, parts)
     return u.groupBy(*group_cols, "j", "i").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """EXACT heavy hitters (count ≥ threshold) with a sketch-pruned
+    plan: (key, n) for every key whose true frequency clears the
+    threshold.
+
+    Losslessness: CM never underestimates, so the candidate set
+    {key : cm_est(key) ≥ threshold} is a SUPERSET of the true heavy
+    hitters; the exact count pass over candidate rows then yields
+    exactly the true answer — same candidates-then-verify shape as the
+    SimHash pigeonhole index (functions/dedup.py). The scale win: the
+    exact aggregation's hash maps and shuffle carry only rows whose
+    key survived the sketch filter (heavy keys are few by definition —
+    at most N/threshold of them), instead of the full long-tail key
+    domain. Sketch + distinct-key probes are the only full-scan
+    passes, and both collapse map-side."""
+    counters = cm_counters(df, key_col, (), d, w)
+    keys = df.select(key_col).distinct()
+    cands = cm_estimate(counters, keys, key_col, d, w).filter(
+        F.col("cm_est") >= threshold
+    )
+    pruned = df.join(F.broadcast(cands.select(key_col)), key_col, "left_semi")
+    return (
+        pruned.groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
 
 
 def cm_estimate(

@@ -149,12 +149,100 @@ ORDER BY custkey
 """
 
 
+# --- sketch-pruned exact heavy hitters ---------------------------------------
+HH_THRESHOLD = 16
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥16 orders, computed EXACTLY through the
+    CM-pruned plan (candidate superset from the sketch, exact count
+    only over surviving rows — functions/sketches.py
+    ``cm_heavy_hitters``). The oracle is a plain GROUP BY/HAVING:
+    hash-matching it proves the sketch pruning is lossless, which is
+    the whole point of the operator."""
+    orders = _orders(spark, sf_dir).withColumn(
+        "o_custkey", F.col("o_custkey").cast("long")
+    )
+    return (
+        SK.cm_heavy_hitters(orders, "o_custkey", HH_THRESHOLD)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    )
+
+
+SKETCH_HH_SQL = f"""
+SELECT CAST(o_custkey AS BIGINT) AS custkey, count(*) AS n
+FROM orders GROUP BY 1 HAVING count(*) >= {HH_THRESHOLD}
+ORDER BY custkey
+"""
+
+
+# --- incremental HLL maintenance ---------------------------------------------
+def sketch_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order status maintained INCREMENTALLY:
+    orders replay in four key chunks, each batch's registers max-merged
+    into a persistent bucket-pruned state table (IncrementalHLL), with
+    the last chunk replayed once more to exercise the idempotent-merge
+    exactly-once property. The oracle computes the one-shot register
+    algebra in SQL — a hash-match proves four merges (plus a replay)
+    land on exactly the from-scratch sketch and estimate."""
+    import tempfile
+
+    orders = _orders(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hll_inc_q_")
+    inc = SK.IncrementalHLL(spark, f"{tmp}/state", group_cols=["o_orderstatus"])
+    chunks = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    for c in chunks:
+        inc.update(c, "o_custkey")
+    inc.update(chunks[3], "o_custkey")  # foreachBatch crash-replay
+    return (
+        inc.estimate()
+        .select(F.col("o_orderstatus").alias("grp"), "ndv_est")
+        .orderBy("grp")
+    )
+
+
+_HLL_STATUS_REG = """
+h AS (
+  SELECT o_orderstatus AS grp,
+         CAST(('0x' || substring(md5('hll1|' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders),
+reg AS (
+  SELECT grp, h % 512 AS bucket,
+         max(CASE WHEN (h >> 9) = 0 THEN 52
+             ELSE bit_count((~(h >> 9)) & ((h >> 9) - 1)) + 1 END) AS rho
+  FROM h GROUP BY 1, 2)
+"""
+
+SKETCH_INC_HLL_SQL = f"""
+WITH {_HLL_STATUS_REG},
+acc AS (
+  SELECT grp, count(*) AS npresent,
+         sum(CAST((CAST(1 AS BIGINT) << (60 - rho)) AS HUGEINT)) AS s
+  FROM reg GROUP BY 1),
+fin AS (
+  SELECT grp, (512 - npresent) AS zeros,
+         CAST(s + CAST(512 - npresent AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT) AS DOUBLE) AS sd
+  FROM acc)
+SELECT grp,
+       round(CASE WHEN zeros > 0 AND ({_ALPHA_LIT} / sd) <= 1280.0
+                  THEN 512.0 * ln(512.0 / zeros)
+                  ELSE {_ALPHA_LIT} / sd END, 6) AS ndv_est
+FROM fin
+ORDER BY grp
+"""
+
+
 QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_cm_heavy": sketch_cm_heavy,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
+    "sketch_incremental_hll": sketch_incremental_hll,
 }
 
 ORACLE = {
     "sketch_hll_rollup": SKETCH_HLL_SQL,
     "sketch_cm_heavy": SKETCH_CM_SQL,
+    "sketch_heavy_hitters": SKETCH_HH_SQL,
+    "sketch_incremental_hll": SKETCH_INC_HLL_SQL,
 }

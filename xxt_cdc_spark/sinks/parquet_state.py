@@ -203,10 +203,23 @@ class ParquetStateTable:
         checkpoint, which guarantees each micro-batch's delta is
         produced once.
         """
+        return self.apply_merge(delta, value_cols, how="sum")
+
+    def apply_merge(self, delta: DataFrame, value_cols: list[str], how: str = "sum") -> dict:
+        """Per-key accumulator merge with a chosen combine function:
+        ``sum`` (additive rollup — see apply_additive), ``max`` or
+        ``min`` (lattice merges). The lattice merges are IDEMPOTENT —
+        replaying a batch cannot move the state — which is what makes a
+        persistent sketch store (HLL registers merge by max,
+        functions/sketches.py) exactly-once under foreachBatch replay
+        with no extra commit protocol."""
+        if how not in ("sum", "max", "min"):
+            raise ValueError(f"unsupported merge: {how!r}")
         if not self.exists():
             raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
+        agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[how]
         delta = delta.groupBy(*self.key_cols).agg(
-            *[F.sum(c).alias(c) for c in value_cols]
+            *[agg_fn(c).alias(c) for c in value_cols]
         )
         with_bucket = delta.withColumn(_BUCKET, self._bucket_col()).localCheckpoint()
         touched = sorted(r[_BUCKET] for r in with_bucket.select(_BUCKET).distinct().collect())
@@ -223,9 +236,17 @@ class ParquetStateTable:
             if c in self.key_cols:
                 continue
             if c in value_cols:
-                merged_cols.append(
-                    (F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
-                )
+                if how == "sum":
+                    combined = F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.coalesce(
+                        F.col(f"d.{c}"), F.lit(0)
+                    )
+                elif how == "max":
+                    # greatest/least ignore NULLs, so a key on only one
+                    # side keeps that side's value
+                    combined = F.greatest(F.col(f"s.{c}"), F.col(f"d.{c}"))
+                else:
+                    combined = F.least(F.col(f"s.{c}"), F.col(f"d.{c}"))
+                merged_cols.append(combined.alias(c))
             else:
                 # non-accumulator payload exists only on the state side;
                 # null for freshly-inserted keys
