@@ -228,3 +228,35 @@ class TestIncrementalHLL:
             for r in SK.hll_distinct(g, "id", ["g"]).collect()
         }
         assert got == want
+
+
+class TestStreamingHLL:
+    def test_foreachbatch_distinct_users(self, spark, tmp_path):
+        """End-to-end streaming composition: a file stream drained with
+        availableNow folds each micro-batch's registers into the
+        persistent store via foreachBatch; the final estimate equals
+        the batch one-shot over all data."""
+        src = str(tmp_path / "src")
+        for i in range(3):
+            spark.range(i * 5_000, (i + 1) * 5_000).select(
+                F.col("id").alias("user_id")
+            ).coalesce(1).write.mode("append").parquet(src)
+        inc = SK.IncrementalHLL(spark, str(tmp_path / "state"))
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch: inc.update(df, "user_id")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        est = inc.estimate().collect()[0]["ndv_est"]
+        whole = spark.range(0, 15_000).select(F.col("id").alias("user_id"))
+        assert est == SK.hll_distinct(whole, "user_id").collect()[0]["ndv_est"]
