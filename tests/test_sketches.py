@@ -260,3 +260,68 @@ class TestStreamingHLL:
         est = inc.estimate().collect()[0]["ndv_est"]
         whole = spark.range(0, 15_000).select(F.col("id").alias("user_id"))
         assert est == SK.hll_distinct(whole, "user_id").collect()[0]["ndv_est"]
+
+
+class TestReviewRegressions:
+    """Fixes from the round-4 code review, pinned."""
+
+    def test_hll_empty_input_estimates_zero(self, spark):
+        est = SK.hll_distinct(
+            spark.createDataFrame([], "id long"), "id"
+        ).collect()[0]["ndv_est"]
+        assert est == 0.0
+
+    def test_hll_nulls_ignored_like_count_distinct(self, spark):
+        import pyspark.sql.functions as PF
+
+        with_nulls = spark.range(0, 1_000).select(
+            PF.when(PF.col("id") % 10 == 0, None).otherwise(PF.col("id")).alias("v")
+        )
+        got = SK.hll_distinct(with_nulls, "v").collect()[0]["ndv_est"]
+        clean = SK.hll_distinct(with_nulls.filter(PF.col("v").isNotNull()), "v")
+        assert got == clean.collect()[0]["ndv_est"]
+
+    def test_heavy_hitters_null_key_counted(self, spark):
+        data = spark.range(0, 20).select(
+            F.when(F.col("id") < 5, F.lit(1)).otherwise(F.lit(None)).alias("k")
+        )
+        rows = {(r["k"], r["n"]) for r in SK.cm_heavy_hitters(data, "k", 3).collect()}
+        assert (1, 5) in rows and (None, 15) in rows  # GROUP BY semantics
+
+    def test_heavy_hitters_pruning_effective(self, spark):
+        """Auto-sized width must keep the candidate set near the true
+        hitters, not the whole domain (the fixed-width failure mode)."""
+        import math
+
+        n = 60_000
+        # 20 hot keys (~1k each), 40k singleton tail
+        data = spark.range(0, n).select(
+            F.when(F.col("id") % 3 != 0, F.col("id") % 20)
+            .otherwise(F.col("id") + 1_000_000)
+            .alias("k")
+        )
+        threshold = 100
+        w = max(SK.CM_W, 1 << math.ceil(math.log2(3.0 * n / threshold)))
+        counters = SK.cm_counters(data, "k", (), SK.CM_D, w)
+        keys = data.select("k").distinct()
+        cands = SK.cm_estimate(counters, keys, "k", SK.CM_D, w).filter(
+            F.col("cm_est") >= threshold
+        )
+        n_cand, n_true = cands.count(), 20
+        assert n_cand < 10 * n_true  # thin collision fringe, not the domain
+        got = SK.cm_heavy_hitters(data, "k", threshold)
+        want = data.groupBy("k").agg(F.count("*").alias("n")).filter(F.col("n") >= threshold)
+        assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+    def test_heavy_hitters_fallback_still_exact(self, spark):
+        """An adversarial threshold that floods the candidate set falls
+        back (with a warning) to the plain exact aggregation."""
+        import warnings
+
+        data = spark.range(0, 3_000).select((F.col("id") % 1_000).alias("k"))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            got = SK.cm_heavy_hitters(data, "k", 2, max_broadcast_keys=10)
+            n = got.count()
+        assert n == 1_000  # every key has 3 >= 2 occurrences
+        assert any("falling back" in str(r.message) for r in rec)

@@ -192,3 +192,19 @@ class TestStreamStreamJoin:
         df = _rows(spark, [(1, 0, 1)])
         with pytest.raises(ValueError):
             interval_join(df, df, "user_id", "ts", "ts", 0, 60)
+
+
+class TestReviewRegressions:
+    def test_right_outer_preserves_key(self, spark):
+        l = _rows(spark, [(1, 0, 10)]).withColumnRenamed("ts", "l_ts").withColumnRenamed("rid", "l_id")
+        r = _rows(spark, [(1, 20, 20), (7, 30, 21)]).withColumnRenamed("ts", "r_ts").withColumnRenamed("rid", "r_id")
+        out = interval_join(l, r, "user_id", "l_ts", "r_ts", -60, 60, how="full_outer")
+        rows = {(x["user_id"], x["l_id"], x["r_id"]) for x in out.collect()}
+        assert (7, None, 21) in rows  # unmatched right row keeps its key
+
+    def test_streaming_without_watermark_rejected(self, spark, tmp_path):
+        d = _write_files(spark, str(tmp_path), "WM", [[(1, 0, 1)]])
+        s = _stream(spark, d, "l_ts")
+        b = _rows(spark, [(1, 0, 2)]).withColumnRenamed("ts", "r_ts").withColumnRenamed("rid", "r_id")
+        with pytest.raises(ValueError, match="watermark"):
+            interval_join(s, b, "user_id", "l_ts", "r_ts", -60, 60)

@@ -54,17 +54,20 @@ from pyspark.sql import functions as F
 
 HLL_SALT = "hll1|"
 HLL_P = 9  # 2^9 = 512 registers: ±~4.6% standard error
-_W_BITS = 60 - HLL_P  # bits available for the rho pattern
 _TWO60 = 1 << 60
 
 
+def _h60_of(seed: Column) -> Column:
+    """60-bit non-negative hash of an already-built seed string — the
+    single copy of the md5-prefix recipe every sketch (and its DuckDB
+    oracle twin, `CAST('0x'||substring(md5(..),1,15) AS BIGINT)`) must
+    share bit-for-bit."""
+    return F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long")
+
+
 def h60(col: Column, salt: str) -> Column:
-    """60-bit non-negative hash from the md5 hex prefix — the same
-    value DuckDB computes from `CAST('0x'||substring(md5(..),1,15) AS
-    BIGINT)`, which is what makes the sketch oracle-checkable."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
+    """60-bit hash of salt‖value (see _h60_of)."""
+    return _h60_of(F.concat(F.lit(salt), col.cast("string")))
 
 
 # --- HyperLogLog (Flajolet et al. 2007) --------------------------------------
@@ -90,9 +93,12 @@ def hll_registers(
     neither engine has a ctz builtin). Empty registers are implicit
     (absent rows ≡ rho 0), so a group's summary is at most m rows.
     One hash-aggregate; partials collapse map-side because the
-    (group, bucket) domain is m per group.
+    (group, bucket) domain is m per group. NULL values are filtered
+    before hashing — the same convention as count(DISTINCT), so the
+    estimate and the exact NDV agree on what they count.
     """
     m = 1 << p
+    df = df.filter(F.col(value_col).isNotNull())
     h = h60(F.col(value_col), salt)
     w = F.shiftright(h, p)
     tz = F.bit_count(F.bitwise_not(w).bitwiseAND(w - F.lit(1)))
@@ -132,9 +138,11 @@ def hll_estimate(
         F.sum(F.expr("cast(shiftleft(1L, 60 - rho) as decimal(38,0))")).alias("_s"),
     )
     zeros = F.lit(m) - F.col("_n_present")
-    s_total = F.col("_s") + zeros.cast("decimal(38,0)") * F.lit(_TWO60).cast(
+    # empty ungrouped input: count 0, sum NULL → coalesce so the
+    # linear-counting branch yields exactly 0.0, not NULL
+    s_total = F.coalesce(F.col("_s"), F.lit(0).cast("decimal(38,0)")) + zeros.cast(
         "decimal(38,0)"
-    )
+    ) * F.lit(_TWO60).cast("decimal(38,0)")
     raw = F.lit(float(alpha_mm(p) * _TWO60)) / s_total.cast("double")
     est = F.when(
         (zeros > 0) & (raw <= 2.5 * m), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
@@ -165,10 +173,12 @@ def hll_set_estimates(
     carries the union's ABSOLUTE error, so it is reliable when the
     overlap is not tiny relative to the union; callers comparing
     corpus snapshots should read it as 'overlap mass', not an exact
-    count). Each input is scanned once; everything downstream is
-    register-sized."""
-    ra = hll_registers(df_a, value_col, (), p)
-    rb = hll_registers(df_b, value_col, (), p)
+    count). Each input is scanned once — the register tables are
+    localCheckpointed (≤ m rows each) so the per-side estimates and
+    the union merge share one materialization instead of re-scanning
+    the corpus."""
+    ra = hll_registers(df_a, value_col, (), p).localCheckpoint(eager=True)
+    rb = hll_registers(df_b, value_col, (), p).localCheckpoint(eager=True)
     ea = hll_estimate(ra, (), p).select(F.col("ndv_est").alias("ndv_a"))
     eb = hll_estimate(rb, (), p).select(F.col("ndv_est").alias("ndv_b"))
     eu = hll_estimate(hll_merge([ra, rb]), (), p).select(
@@ -285,14 +295,24 @@ def cm_counters(
     )
 
 
+CM_NULL_SENTINEL = "__null__"
+
+
 def _cm_cell(key_col: str, w: int) -> Column:
     """Row-j counter index for a key: 60-bit md5 hash of 'cm<j>|<key>'
-    mod w — the j-indexed salt keeps the d hash rows independent while
-    staying expressible identically in DuckDB SQL."""
+    mod w (single hash recipe: _h60_of) — the j-indexed salt keeps the
+    d hash rows independent while staying expressible identically in
+    DuckDB SQL. NULL keys hash under a sentinel so they are TRACKED
+    (md5 of NULL would be NULL and the row would silently vanish from
+    the sketch); a real key equal to the sentinel merely shares cells
+    — harmless for an overestimate-only sketch."""
     seed = F.concat(
-        F.lit(CM_SALT), F.col("j").cast("string"), F.lit("|"), F.col(key_col).cast("string")
+        F.lit(CM_SALT),
+        F.col("j").cast("string"),
+        F.lit("|"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit(CM_NULL_SENTINEL)),
     )
-    return F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long") % F.lit(w)
+    return _h60_of(seed) % F.lit(w)
 
 
 def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> DataFrame:
@@ -307,28 +327,58 @@ def cm_heavy_hitters(
     key_col: str,
     threshold: int,
     d: int = CM_D,
-    w: int = CM_W,
+    w: int | None = None,
+    max_broadcast_keys: int = 2_000_000,
 ) -> DataFrame:
     """EXACT heavy hitters (count ≥ threshold) with a sketch-pruned
     plan: (key, n) for every key whose true frequency clears the
-    threshold.
+    threshold (NULL is a key like any other, matching GROUP BY).
 
     Losslessness: CM never underestimates, so the candidate set
     {key : cm_est(key) ≥ threshold} is a SUPERSET of the true heavy
     hitters; the exact count pass over candidate rows then yields
     exactly the true answer — same candidates-then-verify shape as the
-    SimHash pigeonhole index (functions/dedup.py). The scale win: the
-    exact aggregation's hash maps and shuffle carry only rows whose
-    key survived the sketch filter (heavy keys are few by definition —
-    at most N/threshold of them), instead of the full long-tail key
-    domain. Sketch + distinct-key probes are the only full-scan
-    passes, and both collapse map-side."""
+    SimHash pigeonhole index (functions/dedup.py).
+
+    Width must scale with N for the pruning to EXIST: each cell
+    carries ~N/w of collision mass, so with w fixed and N ≫ w·threshold
+    every key's estimate clears the threshold and the "candidates" are
+    the whole domain. ``w=None`` (default) sizes it from the data:
+    w = 2^⌈log2(3N/threshold)⌉, putting expected collision mass per
+    cell at ≤ threshold/3 so candidates ≈ true hitters (≤ N/threshold
+    of them) plus a thin collision fringe. The scale win is then real:
+    the exact aggregation's hash maps and shuffle carry only surviving
+    rows, not the long-tail key domain. If the candidate set still
+    exceeds ``max_broadcast_keys`` (adversarial threshold/width), the
+    operator falls back — with a warning — to the plain exact
+    aggregation, which is never wrong, only unpruned.
+    """
+    import math
+    import warnings
+
+    if w is None:
+        n = df.count()
+        w = max(CM_W, 1 << math.ceil(math.log2(max(1.0, 3.0 * n / threshold))))
+        w = min(w, 1 << 22)  # cap sketch size at d·4M cells
     counters = cm_counters(df, key_col, (), d, w)
     keys = df.select(key_col).distinct()
     cands = cm_estimate(counters, keys, key_col, d, w).filter(
         F.col("cm_est") >= threshold
     )
-    pruned = df.join(F.broadcast(cands.select(key_col)), key_col, "left_semi")
+    cand_keys = cands.select(F.col(key_col).alias("_cand")).localCheckpoint(eager=True)
+    exact = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    if cand_keys.count() > max_broadcast_keys:
+        warnings.warn(
+            f"cm_heavy_hitters: candidate set exceeds {max_broadcast_keys} keys "
+            f"(threshold {threshold} too low for this data/width); falling back "
+            "to the unpruned exact aggregation",
+            stacklevel=2,
+        )
+        return exact.filter(F.col("n") >= threshold)
+    # null-safe semi-join so a NULL key's rows survive the pruning
+    pruned = df.join(
+        F.broadcast(cand_keys), F.col(key_col).eqNullSafe(F.col("_cand")), "left_semi"
+    )
     return (
         pruned.groupBy(key_col)
         .agg(F.count("*").alias("n"))
@@ -347,9 +397,12 @@ def cm_estimate(
     min_j cnt[j][h_j(key)] — an upper bound on the true count, within
     ε·N with probability 1-δ (ε = e/w, δ = e^-d). The probe side
     fans out to d rows per key and joins the counter table on (j, i);
-    the counter side is broadcast-sized (≤ d·w rows)."""
+    the counter side is broadcast when sketch-sized (≤ 1M cells) and
+    shuffle-joined above that (auto-sized widths from cm_heavy_hitters
+    can reach d·4M cells)."""
     rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
     pk = probes.select(F.col(key_col), rows)
     pk = pk.select(key_col, "j", _cm_cell(key_col, w).alias("i"))
-    joined = pk.join(F.broadcast(counters), ["j", "i"], "left").na.fill({"cnt": 0})
+    right = F.broadcast(counters) if d * w <= 1_000_000 else counters
+    joined = pk.join(right, ["j", "i"], "left").na.fill({"cnt": 0})
     return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))

@@ -129,7 +129,7 @@ WITH keys AS (
   SELECT CAST(o_custkey AS BIGINT) AS k, o_orderstatus AS g FROM orders),
 cells AS (
   SELECT g, j,
-         CAST(('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS i
+         CAST(('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || '|' || coalesce(CAST(k AS VARCHAR), '__null__')), 1, 15)) AS BIGINT) % 256 AS i
   FROM keys, (SELECT unnest([0, 1, 2, 3]) AS j)),
 per AS (SELECT g, j, i, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
 merged AS (SELECT j, i, CAST(sum(cnt) AS BIGINT) AS cnt FROM per GROUP BY 1, 2),
@@ -137,7 +137,7 @@ probes AS (
   SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_custkey <= {CM_PROBE_MAX}),
 pc AS (
   SELECT custkey, j,
-         CAST(('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || '|' || CAST(custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS i
+         CAST(('0x' || substring(md5('cm' || CAST(j AS VARCHAR) || '|' || coalesce(CAST(custkey AS VARCHAR), '__null__')), 1, 15)) AS BIGINT) % 256 AS i
   FROM probes, (SELECT unnest([0, 1, 2, 3]) AS j)),
 est AS (
   SELECT custkey, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est

@@ -67,9 +67,15 @@ def interval_join(
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
     keys = [on] if isinstance(on, str) else list(on)
-    if left.isStreaming and watermark:
+    if (left.isStreaming or right.isStreaming) and not watermark:
+        # Spark would accept the query and grow state forever; the
+        # whole point of this wrapper is that the bound exists
+        raise ValueError(
+            "streaming inputs require a watermark (state is unbounded without one)"
+        )
+    if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
-    if right.isStreaming and watermark:
+    if right.isStreaming:
         right = right.withWatermark(right_ts, watermark)
     cond = None
     for k in keys:
@@ -81,7 +87,14 @@ def interval_join(
     if extra is not None:
         cond = cond & extra
     joined = left.join(right, cond, how)
-    # de-duplicate the equi-key columns (keep the left side's)
+    # collapse the duplicated equi-key columns into one: coalesce so
+    # right_outer/full_outer unmatched rows keep their key value
+    # instead of surfacing NULL from the dropped side
     for k in keys:
-        joined = joined.drop(right[k])
+        joined = (
+            joined.withColumn(f"__ij_{k}", F.coalesce(left[k], right[k]))
+            .drop(left[k])
+            .drop(right[k])
+            .withColumnRenamed(f"__ij_{k}", k)
+        )
     return joined
