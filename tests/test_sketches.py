@@ -325,3 +325,39 @@ class TestReviewRegressions:
             n = got.count()
         assert n == 1_000  # every key has 3 >= 2 occurrences
         assert any("falling back" in str(r.message) for r in rec)
+
+
+class TestQuantileHistogram:
+    @pytest.fixture(scope="class")
+    def vals(self, spark):
+        # skewed: x^2 over [0, 10000) — uneven mass across bins
+        return spark.range(0, 10_000).select(
+            ((F.col("id") * F.col("id")) % 10_000).cast("double").alias("v")
+        )
+
+    def test_error_within_bin_width(self, spark, vals):
+        lo, hi, bins = 0.0, 10_000.0, 200
+        width = (hi - lo) / bins
+        counts = SK.hist_counts(vals, "v", lo, hi, bins)
+        qs = (0.1, 0.5, 0.9, 0.99)
+        est = {r["q"]: r["est_q"] for r in SK.hist_quantiles(counts, qs, lo, hi, bins).collect()}
+        exact = vals.agg(
+            F.expr(f"percentile(v, array({', '.join(map(str, qs))}))").alias("p")
+        ).collect()[0]["p"]
+        for q, e in zip(qs, exact):
+            assert abs(est[q] - e) <= width, (q, est[q], e)
+
+    def test_merge_equals_whole(self, spark, vals):
+        lo, hi, bins = 0.0, 10_000.0, 200
+        a = vals.filter(F.col("v") < 3_000)
+        b = vals.filter(F.col("v") >= 3_000)
+        merged = SK.hist_merge(
+            [SK.hist_counts(a, "v", lo, hi, bins), SK.hist_counts(b, "v", lo, hi, bins)]
+        )
+        whole = SK.hist_counts(vals, "v", lo, hi, bins)
+        assert merged.exceptAll(whole).count() + whole.exceptAll(merged).count() == 0
+
+    def test_out_of_range_clamped(self, spark):
+        data = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "v double")
+        rows = {(r["bin"], r["cnt"]) for r in SK.hist_counts(data, "v", 0.0, 100.0, 10).collect()}
+        assert rows == {(0, 1), (5, 1), (9, 1)}  # edges absorb out-of-range

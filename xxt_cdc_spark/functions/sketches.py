@@ -191,6 +191,80 @@ def hll_set_estimates(
     return out.select("ndv_a", "ndv_b", "ndv_union", inter.alias("ndv_intersect"))
 
 
+# --- fixed-bin quantile histogram (mergeable by sum) -------------------------
+
+
+def hist_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group fixed-bin histogram counts over [lo, hi): (group…,
+    bin, cnt), values outside the range clamped to the edge bins,
+    NULLs dropped. The quantile-sketch counterpart of the HLL/CM
+    kernels: a LINEAR summary (merge = per-bin sum, composable with
+    `parquet_state.apply_merge(how='sum')` for incremental
+    maintenance), deterministic and engine-portable, with quantile
+    error bounded by one bin width on the value domain. One
+    hash-aggregate; ≤ n_bins rows per group survive the exchange."""
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge histograms: union + per-bin sum (linear, like CM)."""
+    u = reduce(DataFrame.unionByName, parts)
+    return u.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    counts: DataFrame,
+    quantiles: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram: for each q, locate the bin
+    whose cumulative range covers rank t = q·(n−1) and interpolate
+    linearly inside it — |est − quantile_cont| ≤ one bin width. The
+    cumulative window runs over ≤ n_bins rows per group (sketch-sized;
+    the base data never participates)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    n = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    spark = counts.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    joined = c.join(n, list(group_cols)) if group_cols else c.crossJoin(n)
+    joined = joined.crossJoin(F.broadcast(qdf))
+    t = F.col("q") * (F.col("n") - F.lit(1))
+    hit = (F.col("prev") <= t) & (t < F.col("cum"))
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin") + (t - F.col("prev")) / F.col("cnt")
+    )
+    return joined.filter(hit).select(
+        *group_cols, "q", F.round(est, 6).alias("est_q")
+    )
+
+
 # --- native DataSketches path (production) -----------------------------------
 
 

@@ -233,11 +233,64 @@ ORDER BY grp
 """
 
 
+# --- mergeable quantile histogram --------------------------------------------
+H_LO, H_HI, H_BINS = 0.0, 110_000.0, 256
+H_QS = (0.5, 0.9, 0.99)
+_H_W = (H_HI - H_LO) / H_BINS  # 429.6875, exact in binary
+
+
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles per return flag from a fixed-bin histogram
+    sketch, plus an 'ALL' row whose bins come from MERGING the three
+    per-flag histograms (per-bin sum — the summary is linear, like CM).
+    Error ≤ one bin width on the value domain; the oracle reproduces
+    bin math, cumulative ranks, and interpolation exactly, so the hash
+    gates the full estimator."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cnt = SK.hist_counts(li, "l_extendedprice", H_LO, H_HI, H_BINS, ["l_returnflag"])
+    all_cnt = SK.hist_merge(
+        [cnt.withColumn("l_returnflag", F.lit("ALL"))], ["l_returnflag"]
+    )
+    both = cnt.unionByName(all_cnt)
+    return (
+        SK.hist_quantiles(both, H_QS, H_LO, H_HI, H_BINS, ["l_returnflag"])
+        .select(F.col("l_returnflag").alias("grp"), "q", "est_q")
+        .orderBy("grp", "q")
+    )
+
+
+SKETCH_QH_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag AS grp,
+         least({H_BINS - 1}, greatest(0, CAST(floor((l_extendedprice - {H_LO!r}) / {_H_W!r}) AS BIGINT))) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+cnt0 AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cnt AS (
+  SELECT * FROM cnt0
+  UNION ALL
+  SELECT 'ALL' AS grp, bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM cnt0 GROUP BY 2, bin),
+c AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cnt),
+c2 AS (SELECT grp, bin, cnt, cum, cum - cnt AS prev FROM c),
+n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM cnt GROUP BY 1),
+q AS (SELECT unnest([{", ".join(repr(q) for q in H_QS)}]) AS q)
+SELECT grp, q,
+       round({H_LO!r} + {_H_W!r} * (bin + (q * (n - 1) - prev) / cnt), 6) AS est_q
+FROM c2 JOIN n USING (grp) CROSS JOIN q
+WHERE prev <= q * (n - 1) AND q * (n - 1) < cum
+ORDER BY grp, q
+"""
+
+
 QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_cm_heavy": sketch_cm_heavy,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_incremental_hll": sketch_incremental_hll,
+    "sketch_quantile_hist": sketch_quantile_hist,
 }
 
 ORACLE = {
@@ -245,4 +298,5 @@ ORACLE = {
     "sketch_cm_heavy": SKETCH_CM_SQL,
     "sketch_heavy_hitters": SKETCH_HH_SQL,
     "sketch_incremental_hll": SKETCH_INC_HLL_SQL,
+    "sketch_quantile_hist": SKETCH_QH_SQL,
 }
