@@ -402,3 +402,86 @@ class TestCoalescedCommits:
         ).count()
         assert con.execute("SELECT count(*) FROM lineitem").fetchone()[0] == exp_li
         con.close()
+
+
+class TestSinkFactoryTemplate:
+    def test_factory_equals_registry(self, spark, tmp_path):
+        """sink_factory template path applies identically to the
+        explicit registry path (the 100k-table serialization shape)."""
+        import json as _json
+        import sqlite3
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import (
+            JdbcUpsertWriter,
+            TableSink,
+            apply_batch_fanout,
+        )
+
+        n_tables, n_events = 20, 400
+        env = spark.range(n_events).select(
+            F.lit("d").alias("db"),
+            F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+            F.lit("I").alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("binlog.000001").alias("pos_file"),
+            F.col("id").alias("pos_offset"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.to_json(F.struct(F.floor(F.col("id") / n_tables).alias("k"))).alias("key"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(
+                F.struct(F.floor(F.col("id") / n_tables).alias("k"), F.col("id").alias("v"))
+            ).alias("after"),
+        )
+
+        def setup_db(path):
+            con = sqlite3.connect(path)
+            for i in range(n_tables):
+                con.execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+            con.commit()
+            con.close()
+
+        def mk_sink(db, table):
+            return TableSink(
+                writer_factory=lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    table=table,
+                    columns=["k", "v"],
+                    key_cols=["k"],
+                    dialect="sqlite",
+                ),
+                key_cols=["k"],
+                schema=None,
+            )
+
+        db1 = str(tmp_path / "reg.db")
+        db2 = str(tmp_path / "fac.db")
+        setup_db(db1)
+        setup_db(db2)
+        reg = {f"t{i}": mk_sink(db1, f"t{i}") for i in range(n_tables)}
+        a1 = apply_batch_fanout(env, sinks=reg, num_partitions=2)
+        a2 = apply_batch_fanout(
+            env, sink_factory=lambda t: mk_sink(db2, t), num_partitions=2
+        )
+        assert a1 == a2 and sum(a1.values()) == n_events
+
+        def dump(path):
+            con = sqlite3.connect(path)
+            out = {
+                t: con.execute(f"SELECT k, v FROM {t} ORDER BY k").fetchall()
+                for t in (f"t{i}" for i in range(n_tables))
+            }
+            con.close()
+            return out
+
+        assert dump(db1) == dump(db2)
+
+    def test_requires_exactly_one_source(self, spark):
+        import pytest as _pytest
+
+        from xxt_cdc_spark.sinks.upsert import apply_batch_fanout
+
+        df = spark.range(1).selectExpr("'d' db")
+        with _pytest.raises(ValueError):
+            apply_batch_fanout(df)

@@ -471,9 +471,10 @@ def apply_batch_multi(
 
 def apply_batch_fanout(
     env_df: DataFrame,
-    sinks: dict[str, TableSink],
+    sinks: dict[str, TableSink] | None = None,
     num_partitions: int = 8,
     coalesce_commits: bool = False,
+    sink_factory: Callable[[str], TableSink] | None = None,
 ) -> dict[str, int]:
     """Wide-table-fan-out apply: ONE Spark job regardless of table count.
 
@@ -486,9 +487,20 @@ def apply_batch_fanout(
     stay ISO strings, which DB drivers accept), in exchange for a job
     count of O(1) instead of O(tables) per micro-batch.
 
-    Dispatch metadata (writer factories, key/column lists) ships to
-    executors once per batch via the task closure — it's the same
-    bounded registry the reference keeps in every worker.
+    Dispatch metadata ships to executors in one of two forms:
+
+    - ``sinks``: an explicit per-table registry in the task closure —
+      the same bounded registry the reference keeps in every worker.
+      Right up to a few thousand tables; beyond that, PICKLING the
+      registry dominates the batch (measured: a 100k-entry dict of
+      factory closures stalls serialization for minutes).
+    - ``sink_factory``: a single table-name → TableSink template —
+      O(1) closure size regardless of table count; each partition
+      materializes sinks lazily for ONLY the tables it actually
+      touches (≤ its row spread). This is the 100k-active-tables
+      configuration, and the honest production shape: at that scale
+      table metadata is derived (discovery/naming convention), not
+      hand-registered per table.
 
     ``coalesce_commits=True`` turns each partition's apply into ONE
     transaction per pooled connection (R7 commit coalescing at table
@@ -505,19 +517,30 @@ def apply_batch_fanout(
     """
     import json
 
+    if (sinks is None) == (sink_factory is None):
+        raise ValueError("pass exactly one of sinks= or sink_factory=")
+
     collapsed = last_write_wins(env_df, ["db", "table", "key"], ["pos_file", "pos_offset"])
     routed = route(collapsed, num_partitions, ["db", "table", "key"], ["pos_file", "pos_offset"])
 
     def _run(rows):
         # group per table, preserving in-partition (binlog) order; keys
         # never span tables so per-key order is intact inside each group
+        local_sinks: dict[str, TableSink] = {}
         by_table: dict[str, list] = {}
         for row in rows:
-            if row["table"] in sinks:
-                by_table.setdefault(row["table"], []).append(row)
+            t = row["table"]
+            if t not in local_sinks:
+                if sinks is not None:
+                    if t not in sinks:
+                        continue  # unregistered table: skip, like the dict path always did
+                    local_sinks[t] = sinks[t]
+                else:
+                    local_sinks[t] = sink_factory(t)
+            by_table.setdefault(t, []).append(row)
         deferred_keys: set[str] = set()
         for table, trows in by_table.items():
-            sink = sinks[table]
+            sink = local_sinks[table]
             writer = sink.writer_factory()
             if coalesce_commits and writer.pool_key is not None:
                 writer.defer_commit = True
