@@ -174,6 +174,85 @@ def pack_bins(
     )
 
 
+# --- whole-document packing (no splitting) -----------------------------------
+
+
+def pack_bins_whole(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = SEQ_LEN,
+    strategy: str = "nfd",
+) -> DataFrame:
+    """Whole-document bin packing: each document lands entirely in one
+    ``seq_len``-capacity training bin (no mid-document splits — the
+    variant used when documents must stay contiguous, e.g. long-context
+    curricula), sharded by id hash so every shard packs independently
+    on its own executor.
+
+    Strategies (both deterministic: size-descending, id-ascending):
+
+    - ``nfd`` (next-fit decreasing): a new bin opens whenever the
+      current one can't take the next document. Sequential state is one
+      (bin, fill) pair, which is why the DuckDB oracle can replay it as
+      a recursive CTE — the registered query uses this mode.
+    - ``ffd`` (first-fit decreasing): each document goes into the FIRST
+      bin with room (the classic 11/9·OPT+1 heuristic) — never more
+      bins than nfd; verified against it in tests, but its open-bin
+      vector state has no SQL twin, so it is pytest-gated only.
+
+    A document longer than ``seq_len`` occupies a bin of its own (both
+    strategies; no truncation — the caller decides whether to pre-chop
+    oversized docs with ``pack_bins``).
+
+    Scale: the per-shard pack runs in one ``applyInPandas`` task over
+    (id, n_tok) pairs only — text never enters the shuffle. Shard count
+    is the parallelism knob; packing quality degrades only marginally
+    with more shards (each shard still packs size-descending).
+    """
+    if strategy not in ("nfd", "ffd"):
+        raise ValueError(f"unknown packing strategy: {strategy!r}")
+    shard = F.substring(
+        F.md5(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string"))), 1, 1
+    )
+    sized = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["n_tok", id_col], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        bins: list[int] = []
+        if strategy == "nfd":
+            b, fill = -1, 0
+            for n in pdf["n_tok"]:
+                if b < 0 or fill + n > seq_len:
+                    b, fill = b + 1, int(n)
+                else:
+                    fill += int(n)
+                bins.append(b)
+        else:  # ffd
+            fills: list[int] = []
+            for n in pdf["n_tok"]:
+                for i, f0 in enumerate(fills):
+                    if f0 + n <= seq_len:
+                        fills[i] = f0 + int(n)
+                        bins.append(i)
+                        break
+                else:
+                    fills.append(int(n))
+                    bins.append(len(fills) - 1)
+        pdf["bin"] = bins
+        return pdf
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, schema=f"{id_col} long, shard string, n_tok long, bin long"
+    )
+
+
 # --- benchmark decontamination -----------------------------------------------
 
 DECON_N = 5

@@ -67,7 +67,13 @@ ORACLE: dict[str, str] = {}
 # (NSW ANN pair + the new r4 sketch family), then vector, corpus,
 # curation, relational, and the streaming tail; cdc/text/relational2
 # hold green r3 rows.
-_HEAD = {"ann_nsw_topk": vector, "ann_ivf_nsw_topk": vector, "stream_interval_join": streaming}
+_HEAD = {
+    "ann_nsw_topk": vector,
+    "ann_ivf_nsw_topk": vector,
+    "stream_interval_join": streaming,
+    "ts_gap_fill": streaming,
+    "corpus_pack_whole_docs": curation,
+}
 _FIRST = tuple(_HEAD)
 for _name, _mod in _HEAD.items():
     QUERIES[_name] = _pinned(_mod.QUERIES[_name])

@@ -196,6 +196,47 @@ FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- whole-document packing (next-fit decreasing) ----------------------------
+def corpus_pack_whole_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit-decreasing packing into 256-token bins
+    across 16 hash shards (no mid-document splits): per-(shard, bin)
+    document and token counts. The oracle replays the same sequential
+    fold as a recursive CTE — one (bin, fill) state row per shard per
+    step — so the greedy assignment itself is value-hash-gated; the
+    FFD variant (strictly fewer-or-equal bins, no SQL twin) is
+    pytest-gated against this one."""
+    packed = CU.pack_bins_whole(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        .orderBy("shard", "bin")
+    )
+
+
+PACK_WHOLE_SQL = f"""
+WITH RECURSIVE sized AS (
+  SELECT shard, n_tok,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS rn
+  FROM (
+    SELECT substr(md5('{CU.PACK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tok
+    FROM documents
+  )
+),
+packed AS (
+  SELECT shard, rn, n_tok, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.n_tok,
+         CASE WHEN p.fill + s.n_tok <= {CU.SEQ_LEN} THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + s.n_tok <= {CU.SEQ_LEN} THEN p.fill + s.n_tok ELSE s.n_tok END
+  FROM packed p JOIN sized s ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- domain mixture weights --------------------------------------------------
 def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha = 0.3) domain sampling weights from
@@ -367,6 +408,7 @@ QUERIES = {
     "corpus_sampling_mix": corpus_sampling_mix,
     "text_pii_redact": text_pii_redact,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_pack_whole_docs": corpus_pack_whole_docs,
     "corpus_decontaminate": corpus_decontaminate,
 }
 
@@ -375,5 +417,6 @@ ORACLE = {
     "corpus_sampling_mix": SAMPLING_MIX_SQL,
     "text_pii_redact": PII_SQL,
     "corpus_pack_sequences": PACK_SQL,
+    "corpus_pack_whole_docs": PACK_WHOLE_SQL,
     "corpus_decontaminate": DECON_SQL,
 }

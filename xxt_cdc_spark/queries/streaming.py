@@ -287,8 +287,85 @@ ORDER BY click_id, purchase_id
 """
 
 
+# --- time-series gap fill (LOCF + linear interpolation) ----------------------
+GAPFILL_BUCKET_S = 3600  # hourly grid
+
+
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled per-user hourly series
+    (operators/gap_fill.py): dense grid over each user's observed
+    range, zero-filled event counts, LOCF and linearly interpolated
+    hourly value sums. The interpolation arithmetic is written
+    identically on both engines (exact-decimal sums cast to double,
+    then one double expression), so values hash-match bit-for-bit."""
+    from xxt_cdc_spark.operators.gap_fill import bucketize, gap_fill
+
+    ev = _events(spark, sf_dir)
+    observed = (
+        ev.select("user_id", bucketize("ts", GAPFILL_BUCKET_S).alias("b"), "value")
+        .groupBy("user_id", "b")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sv"))
+    )
+    filled = gap_fill(
+        observed, ["user_id"], "b", value_cols=["sv"], count_cols=["n_events"]
+    )
+    return filled.select(
+        "user_id",
+        "b",
+        F.timestamp_micros(F.col("b") * F.lit(GAPFILL_BUCKET_S * 1_000_000)).alias(
+            "bucket_start"
+        ),
+        "observed",
+        "n_events",
+        F.round("sv_locf", 9).alias("sum_value_locf"),
+        F.round("sv_interp", 9).alias("sum_value_interp"),
+    ).orderBy("user_id", "b")
+
+
+GAPFILL_SQL = f"""
+WITH obs AS (
+  SELECT user_id, CAST(epoch_us(ts) // {GAPFILL_BUCKET_S * 1_000_000} AS BIGINT) AS b,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS sv
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM rng),
+dense AS (
+  SELECT g.user_id, g.b, o.n_events, o.sv
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+),
+filled AS (
+  SELECT user_id, b, sv,
+         CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         COALESCE(n_events, 0) AS n_events,
+         LAST_VALUE(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         FIRST_VALUE(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         CAST(LAST_VALUE(CASE WHEN sv IS NOT NULL THEN b END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS prev_b,
+         CAST(FIRST_VALUE(CASE WHEN sv IS NOT NULL THEN b END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS next_b
+  FROM dense
+)
+SELECT user_id, b, make_timestamp(b * {GAPFILL_BUCKET_S * 1_000_000}) AS bucket_start,
+       observed, n_events,
+       round(prev_v, 9) AS sum_value_locf,
+       round(CASE WHEN sv IS NOT NULL THEN sv
+                  ELSE prev_v + (next_v - prev_v)
+                       * ((CAST(b AS DOUBLE) - prev_b) / (next_b - prev_b)) END,
+             9) AS sum_value_interp
+FROM filled ORDER BY user_id, b
+"""
+
+
 QUERIES = {
     "stream_interval_join": stream_interval_join,
+    "ts_gap_fill": ts_gap_fill,
     "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
@@ -298,6 +375,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_interval_join": INTERVAL_JOIN_SQL,
+    "ts_gap_fill": GAPFILL_SQL,
     "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
