@@ -152,6 +152,82 @@ class TestChangelogMor:
         assert t.compact() == {"compacted_rows": 0}
 
 
+class TestMorSchemaEvolution:
+    """Additive schema evolution across the MOR lifecycle: log files of
+    mixed width merge at read time, compaction evolves the state table
+    sidecar, and pre-evolution rows/batches null-fill the new columns."""
+
+    WIDE = [
+        (4, "d1", 40, "I", "bin.000001", 21),
+        (1, "a2", 10, "U", "bin.000001", 22),
+    ]
+
+    def _wide(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, v string, w long, op string, pos_file string, pos_offset long"
+        )
+
+    def test_log_and_converged_evolve_additively(self, spark, tmp_path):
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        assert "w" not in t.converged().columns
+        t.append_batch(self._wide(spark, self.WIDE))
+        got = {r.id: (r.v, r.w) for r in t.converged().collect()}
+        # pre-evolution rows null-fill w; evolved rows carry it
+        assert got == {1: ("a2", 10), 2: ("b2", None), 3: ("c1", None), 4: ("d1", 40)}
+
+    def test_compaction_evolves_state_sidecar(self, spark, tmp_path):
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(_typed(spark, B1))
+        t.compact()  # state born with the narrow schema
+        assert [f.name for f in t.state._payload_schema().fields] == ["id", "v"]
+        t.append_batch(self._wide(spark, self.WIDE))
+        t.compact()  # additive evolution happens here
+        assert [f.name for f in t.state._payload_schema().fields] == ["id", "v", "w"]
+        got = {r.id: (r.v, r.w) for r in t.converged().collect()}
+        assert got == {1: ("a2", 10), 2: ("b2", None), 3: ("c1", None), 4: ("d1", 40)}
+
+    def test_narrow_batch_after_evolution_null_fills(self, spark, tmp_path):
+        """A full-row image without the evolved column means the column
+        is unknown for that row — the LWW winner's null replaces the
+        older wide value (row-image replace semantics, not a patch)."""
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(self._wide(spark, self.WIDE))
+        t.compact()
+        t.append_batch(_typed(spark, [(4, "d9", "U", "bin.000002", 1)]))
+        got = {r.id: (r.v, r.w) for r in t.converged().collect()}
+        assert got[4] == ("d9", None) and got[1] == ("a2", 10)
+        t.compact()
+        got = {r.id: (r.v, r.w) for r in t.converged().collect()}
+        assert got[4] == ("d9", None) and got[1] == ("a2", 10)
+
+    def test_streaming_restart_with_evolved_schema(self, spark, tmp_path):
+        """The file sink accepts new-schema files on a restart from the
+        same checkpoint; readers merge old and new log files."""
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        with open(src_dir / "b1.json", "w") as f:
+            for (i, v, op, pf, po) in B1:
+                f.write(json.dumps({"id": i, "v": v, "op": op, "pos_file": pf, "pos_offset": po}) + "\n")
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        narrow = spark.readStream.schema(
+            "id long, v string, op string, pos_file string, pos_offset long"
+        ).json(str(src_dir))
+        q = t.start_stream(narrow, str(tmp_path / "ck"), trigger={"availableNow": True})
+        q.awaitTermination(120)
+        with open(src_dir / "b2.json", "w") as f:
+            for (i, v, w, op, pf, po) in self.WIDE:
+                f.write(json.dumps({"id": i, "v": v, "w": w, "op": op, "pos_file": pf, "pos_offset": po}) + "\n")
+        wide = spark.readStream.schema(
+            "id long, v string, w long, op string, pos_file string, pos_offset long"
+        ).json(str(src_dir))
+        q2 = t.start_stream(wide, str(tmp_path / "ck"), trigger={"availableNow": True})
+        q2.awaitTermination(120)
+        assert t.log().count() == len(B1) + len(self.WIDE)
+        got = {r.id: (r.v, r.w) for r in t.converged().collect()}
+        assert got == {1: ("a2", 10), 2: ("b2", None), 3: ("c1", None), 4: ("d1", 40)}
+
+
 class TestTimeTravel:
     def test_as_of_matches_direct_replay_at_cuts(self, spark, tmp_path):
         from pyspark.sql import functions as F

@@ -138,7 +138,12 @@ class ChangelogMorTable:
         os.replace(tmp, path)
 
     def log(self) -> DataFrame:
-        return self.spark.read.parquet(self.log_path)
+        # mergeSchema: files written before an additive evolution (a
+        # stream restarted with new columns appends new-schema files to
+        # the same log) null-fill the newer columns; the log's read
+        # schema is the union across all files, so readers see one
+        # stable evolved schema
+        return self.spark.read.option("mergeSchema", "true").parquet(self.log_path)
 
     def _log_suffix(self) -> DataFrame:
         """Log rows strictly after the compaction watermark. The filter
@@ -177,7 +182,10 @@ class ChangelogMorTable:
         # check (not a static hint) should make the broadcast call.
         touched = latest.select(*self.key_cols)
         kept = base.join(touched, self.key_cols, "left_anti")
-        return kept.unionByName(live)
+        # allowMissingColumns: between an evolution and the next
+        # compaction the base lacks the newer columns — those rows
+        # null-fill, the same additive semantics as the log read
+        return kept.unionByName(live, allowMissingColumns=True)
 
     def changes_between(self, lo: tuple | None, hi: tuple | None) -> DataFrame:
         """Change-data-feed read: the raw change rows in position range
@@ -244,7 +252,7 @@ class ChangelogMorTable:
         base = self.state.read()
         touched = latest.select(*self.key_cols)
         kept = base.join(touched, self.key_cols, "left_anti")
-        return kept.unionByName(live)
+        return kept.unionByName(live, allowMissingColumns=True)
 
     # --- compaction ----------------------------------------------------------
     def compact(self) -> dict:

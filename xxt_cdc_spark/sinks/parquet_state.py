@@ -90,12 +90,48 @@ class ParquetStateTable:
             name.startswith(f"{_BUCKET}=") for name in os.listdir(self.root)
         )
 
+    def _full_schema(self) -> T.StructType | None:
+        """Sidecar payload schema + the bucket partition column — the
+        schema every read is ALIGNED to. Passing it explicitly makes
+        parquet files written before an additive evolution null-fill
+        the newer columns, and keeps the read schema stable no matter
+        which subset of buckets (files) a pruned read touches."""
+        payload = self._payload_schema()
+        if payload is None:
+            return None
+        return T.StructType([*payload.fields, T.StructField(_BUCKET, T.IntegerType())])
+
+    def evolve_additive(self, new_fields: list[T.StructField]) -> None:
+        """Additive schema evolution: append columns to the sidecar
+        schema (same policy as sinks/schema_evolution.py — add-only,
+        never drop/retype). Existing parquet files are NOT rewritten;
+        aligned reads null-fill the new columns, and each bucket
+        picks up the full schema whenever apply() next rewrites it."""
+        schema = self._payload_schema()
+        if schema is None:
+            raise RuntimeError(f"state table at {self.root} has no schema sidecar")
+        existing = {f.name for f in schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        for f in added:
+            if f.name in self.key_cols:
+                raise ValueError(f"cannot evolve key column {f.name!r}")
+        if not added:
+            return
+        out = T.StructType([*schema.fields, *[T.StructField(f.name, f.dataType, True) for f in added]])
+        tmp = os.path.join(self.root, "_xxt_schema.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(out.jsonValue(), f)
+        os.replace(tmp, os.path.join(self.root, "_xxt_schema.json"))
+
     def read(self) -> DataFrame:
         if not self._has_data():
             schema = self._payload_schema()
             if schema is None:
                 raise RuntimeError(f"state table at {self.root} not initialized")
             return self.spark.createDataFrame([], schema)
+        full = self._full_schema()
+        if full is not None:
+            return self.spark.read.schema(full).parquet(self.root).drop(_BUCKET)
         return self.spark.read.parquet(self.root).drop(_BUCKET)
 
     def bucket_of(self, *key_values) -> "F.Column":
@@ -113,12 +149,12 @@ class ParquetStateTable:
         if not self._has_data():
             return self.read()
         # partition pruning: the filter on the partition column prunes
-        # directories at planning time — untouched buckets are not read
-        return (
-            self.spark.read.parquet(self.root)
-            .filter(F.col(_BUCKET).isin(buckets))
-            .drop(_BUCKET)
-        )
+        # directories at planning time — untouched buckets are not read.
+        # Aligned to the sidecar schema so pre-evolution files null-fill
+        # newer columns instead of shifting the read schema per bucket.
+        full = self._full_schema()
+        reader = self.spark.read.schema(full) if full is not None else self.spark.read
+        return reader.parquet(self.root).filter(F.col(_BUCKET).isin(buckets)).drop(_BUCKET)
 
     def apply(
         self,
@@ -133,6 +169,17 @@ class ParquetStateTable:
         if not self.exists():
             raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
         latest = last_write_wins(changes, self.key_cols, order_cols).localCheckpoint()
+        # additive schema evolution: payload columns new to this batch
+        # extend the sidecar schema (C31 policy — add-only); buckets
+        # rewritten below carry the full schema, untouched ones null-
+        # fill on aligned reads until their next rewrite
+        sidecar = self._payload_schema()
+        if sidecar is not None:
+            meta = {op_col, *order_cols}
+            known = {f.name for f in sidecar.fields}
+            self.evolve_additive(
+                [f for f in latest.schema.fields if f.name not in meta and f.name not in known]
+            )
         with_bucket = latest.withColumn(_BUCKET, self._bucket_col())
         touched = sorted(
             r[_BUCKET] for r in with_bucket.select(_BUCKET).distinct().collect()
@@ -142,6 +189,12 @@ class ParquetStateTable:
 
         state = self._read_buckets(touched)
         payload_cols = state.columns  # state carries payload only
+        # an old-schema batch replayed AFTER an evolution lacks the
+        # newer columns — align it with typed nulls (LWW still holds:
+        # the replayed rows lose to any newer image by order_cols)
+        batch_missing = [f for f in state.schema.fields if f.name not in with_bucket.columns]
+        for f in batch_missing:
+            with_bucket = with_bucket.withColumn(f.name, F.lit(None).cast(f.dataType))
         upserts = with_bucket.filter(F.col(op_col) != OP_DELETE).select(*payload_cols, _BUCKET)
         touched_keys = with_bucket.select(*self.key_cols)
         kept = state.withColumn(_BUCKET, self._bucket_col()).join(
