@@ -168,6 +168,66 @@ def bench_sink_apply_skewed(spark) -> dict:
     return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt}
 
 
+def bench_sink_apply_sharded(spark, n_shards: int = 8) -> dict:
+    """The apply path against a HORIZONTALLY SHARDED target: one sqlite
+    DB per route partition, connections resolved by TaskContext
+    partition id. sqlite serializes all writers on a single file
+    (SCALING.md: sink_apply's decade-2 slope is lock-bound, not
+    Spark-bound); sharding the target the way a production deployment
+    shards MySQL lets every routed partition commit independently, so
+    this number is the Spark-side collapse/route/apply rate."""
+    from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed
+    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+
+    cf = orders_changefeed(spark, SF_DIR).selectExpr(
+        "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+    )
+    n_events = cf.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        ddl = (
+            "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+            " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+        )
+        for i in range(n_shards):
+            con = sqlite3.connect(os.path.join(tmp, f"shard_{i}.db"))
+            con.execute(ddl)
+            con.commit()
+            con.close()
+
+        def connect(tmp=tmp):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            return sqlite3.connect(os.path.join(tmp, f"shard_{pid}.db"), timeout=60)
+
+        t0 = time.monotonic()
+        apply_batch(
+            cf,
+            lambda: JdbcUpsertWriter(
+                connect_fn=connect,
+                table="orders",
+                columns=ORDERS_PAYLOAD,
+                key_cols=["o_orderkey"],
+                dialect="sqlite",
+                batch_size=5000,
+                connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+            ),
+            ["o_orderkey"],
+            ["pos_offset"],
+            num_partitions=n_shards,
+            arrow=True,
+        )
+        dt = time.monotonic() - t0
+        # convergence check: every live key landed in exactly one shard
+        total = 0
+        for i in range(n_shards):
+            con = sqlite3.connect(os.path.join(tmp, f"shard_{i}.db"))
+            total += con.execute("SELECT count(*) FROM orders").fetchone()[0]
+            con.close()
+    return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt, "rows": total}
+
+
 def bench_streaming(spark) -> dict:
     """End-to-end streaming replication: envelope JSON files → filter →
     foreachBatch (LWW+route+sqlite upsert), many micro-batches.
@@ -585,6 +645,7 @@ def main() -> None:
         return min(runs, key=lambda d: d["sec"]) if runs else None
 
     sink = best_of_2("sink", bench_sink_apply)
+    sharded = best_of_2("sharded", bench_sink_apply_sharded)
     skew = best_of_2("skew", bench_sink_apply_skewed)
     snap = best_of_2("snapshot", bench_snapshot)
     binlog = best_of_2("binlog", bench_binlog_transport)
@@ -605,6 +666,8 @@ def main() -> None:
             cdc_apply_events=sink["events"],
             cdc_apply_sec=round(sink["sec"], 3),
         )
+    if sharded:
+        out["cdc_sharded_events_per_sec"] = round(sharded["events_per_sec"])
     if skew:
         out["cdc_skew_events_per_sec"] = round(skew["events_per_sec"])
     if snap:

@@ -36,12 +36,13 @@ def main() -> None:
 
     runs = []
     rows = None
-    if name == "sink_apply":
+    if name in ("sink_apply", "sink_apply_sharded"):
         import bench
 
         bench.SF_DIR = sf_dir
+        fn = bench.bench_sink_apply if name == "sink_apply" else bench.bench_sink_apply_sharded
         for _ in range(n_runs):
-            r = bench.bench_sink_apply(spark)
+            r = fn(spark)
             runs.append(round(r["sec"], 3))
             rows = r["events"]
     else:
