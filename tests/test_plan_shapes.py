@@ -120,6 +120,17 @@ class TestPlanShapes:
             naive._jdf.queryExecution(), "formatted")
         assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
 
+    def test_fuzzy_join_grams_are_equi_join_keyed(self, spark, sf_dir):
+        """The fuzzy join's data-sized path must be the gram-keyed
+        equi-join (hash/sort-merge); the pair space is never enumerated.
+        The short-string branch is a length-bounded residual cross join
+        of two (here empty) filtered sides — it may appear as a
+        BroadcastNestedLoopJoin node, but never as a CartesianProduct
+        over the full inputs."""
+        plan = _plan(spark, sf_dir, "fuzzy_join_part_names")
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
     def test_stream_interval_join_is_equi_hash_join(self, spark, sf_dir):
         """The stream-stream interval join's batch twin must key on
         user_id (hash or sort-merge join) with the time range as a

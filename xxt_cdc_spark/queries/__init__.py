@@ -73,6 +73,7 @@ _HEAD = {
     "stream_interval_join": streaming,
     "ts_gap_fill": streaming,
     "corpus_pack_whole_docs": curation,
+    "fuzzy_join_part_names": text,
 }
 _FIRST = tuple(_HEAD)
 for _name, _mod in _HEAD.items():

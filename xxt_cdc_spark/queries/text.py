@@ -628,8 +628,60 @@ ORDER BY method, doc_id
 """
 
 
+# --- fuzzy (edit-distance) join ----------------------------------------------
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (operators/fuzzy_join.py): every
+    part name matched against a deterministically perturbed name set
+    (one substituted or deleted character — the PII-planting pattern:
+    the corpus has no natural near-identical names, so the match set is
+    planted IDENTICALLY in both engines). The Spark side runs the
+    lossless q-gram blocking + count filter + levenshtein verify; the
+    oracle brute-forces the cross join — equal output proves the
+    blocking dropped no true pair."""
+    from xxt_cdc_spark.operators.fuzzy_join import edit_distance_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pert = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("b_key"),
+        F.when(
+            F.col("p_partkey") % 10 == 0,
+            F.expr("concat(substring(p_name, 1, 2), substring(p_name, 4))"),
+        )
+        .otherwise(F.expr("concat(substring(p_name, 1, 4), '#', substring(p_name, 6))"))
+        .alias("b_name"),
+    )
+    pairs = edit_distance_join(
+        part, pert, "p_partkey", "b_key", "p_name", "b_name", FUZZY_MAX_DIST
+    )
+    return pairs.select(
+        F.col("l_key").alias("a_key"),
+        F.col("r_key").alias("b_key"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("a_key", "b_key")
+
+
+FUZZY_JOIN_SQL = f"""
+WITH pert AS (
+  SELECT p_partkey AS b_key,
+         CASE WHEN p_partkey % 10 = 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+              ELSE substr(p_name, 1, 4) || '#' || substr(p_name, 6) END AS b_name
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT a.p_partkey AS a_key, p.b_key AS b_key,
+       CAST(levenshtein(a.p_name, p.b_name) AS BIGINT) AS dist
+FROM part a, pert p
+WHERE abs(length(a.p_name) - length(p.b_name)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, p.b_name) <= {FUZZY_MAX_DIST}
+ORDER BY a_key, b_key
+"""
+
+
 QUERIES = {
     "text_profile": text_profile,
+    "fuzzy_join_part_names": fuzzy_join_part_names,
     "dedup_incremental_family": dedup_incremental_family,
     "training_data_selection": training_data_selection,
     "dedup_clusters": dedup_clusters_q,
@@ -642,6 +694,7 @@ QUERIES = {
 
 ORACLE = {
     "text_profile": TEXT_PROFILE_SQL,
+    "fuzzy_join_part_names": FUZZY_JOIN_SQL,
     "dedup_incremental_family": DEDUP_INCREMENTAL_FAMILY_SQL,
     "training_data_selection": TRAINING_SELECTION_SQL,
     "dedup_clusters": CLUSTERS_SQL,
