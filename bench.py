@@ -220,11 +220,21 @@ def bench_sink_apply_sharded(spark, n_shards: int = 8) -> dict:
         )
         dt = time.monotonic() - t0
         # convergence check: every live key landed in exactly one shard
+        # (an un-created shard DB or dead-lettered writes would silently
+        # deflate the shard totals while still reporting a throughput)
         total = 0
         for i in range(n_shards):
             con = sqlite3.connect(os.path.join(tmp, f"shard_{i}.db"))
             total += con.execute("SELECT count(*) FROM orders").fetchone()[0]
             con.close()
+        from xxt_cdc_spark.operators.collapse import last_write_wins
+
+        live = (
+            last_write_wins(cf, ["o_orderkey"], ["pos_offset"])
+            .filter("op != 'D'")
+            .count()
+        )
+        assert total == live, (total, live)
     return {"events": n_events, "sec": dt, "events_per_sec": n_events / dt, "rows": total}
 
 

@@ -201,6 +201,20 @@ class TestMorSchemaEvolution:
         got = {r.id: (r.v, r.w) for r in t.converged().collect()}
         assert got[4] == ("d9", None) and got[1] == ("a2", 10)
 
+    def test_retype_refused(self, spark, tmp_path):
+        """Add-only means never retype: a same-name/different-type
+        batch must fail at the evolution boundary, not corrupt aligned
+        reads later."""
+        t = ChangelogMorTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+        t.append_batch(self._wide(spark, self.WIDE))
+        t.compact()
+        retyped = spark.createDataFrame(
+            [(9, "z", "9", "I", "bin.000009", 1)],
+            "id long, v string, w string, op string, pos_file string, pos_offset long",
+        )
+        with pytest.raises(ValueError, match="add-only"):
+            t.state.apply(retyped, order_cols=["pos_file", "pos_offset"])
+
     def test_streaming_restart_with_evolved_schema(self, spark, tmp_path):
         """The file sink accepts new-schema files on a restart from the
         same checkpoint; readers merge old and new log files."""

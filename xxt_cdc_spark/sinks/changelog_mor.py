@@ -70,12 +70,14 @@ class ChangelogMorTable:
         key_cols: list[str],
         order_cols: tuple[str, str] = ("pos_file", "pos_offset"),
         n_buckets: int = 64,
+        log_schema=None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.key_cols = key_cols
         self.order_cols = list(order_cols)
         self.log_path = os.path.join(root, "log")
+        self.log_schema = log_schema
         self.state = ParquetStateTable(
             spark, os.path.join(root, "state"), key_cols, n_buckets=n_buckets
         )
@@ -138,11 +140,17 @@ class ChangelogMorTable:
         os.replace(tmp, path)
 
     def log(self) -> DataFrame:
-        # mergeSchema: files written before an additive evolution (a
-        # stream restarted with new columns appends new-schema files to
-        # the same log) null-fill the newer columns; the log's read
-        # schema is the union across all files, so readers see one
-        # stable evolved schema
+        # Evolution support: files written before an additive evolution
+        # (a stream restarted with new columns appends new-schema files
+        # to the same log) must null-fill the newer columns. With an
+        # explicit ``log_schema`` the reader aligns every file to it at
+        # zero planning cost — the right mode for a long-lived log,
+        # where mergeSchema's read of EVERY file footer at every
+        # planning grows with log age. Without a hint, mergeSchema
+        # derives the union schema from the footers (correct, footer-
+        # scan-priced — fine for short logs and tests).
+        if self.log_schema is not None:
+            return self.spark.read.schema(self.log_schema).parquet(self.log_path)
         return self.spark.read.option("mergeSchema", "true").parquet(self.log_path)
 
     def _log_suffix(self) -> DataFrame:

@@ -110,7 +110,18 @@ class ParquetStateTable:
         schema = self._payload_schema()
         if schema is None:
             raise RuntimeError(f"state table at {self.root} has no schema sidecar")
-        existing = {f.name for f in schema.fields}
+        existing = {f.name: f.dataType for f in schema.fields}
+        # add-only means NEVER retype: a name collision with a different
+        # type must fail here, loudly — silently accepting it would let
+        # new buckets be written wide (e.g. LONG) while the sidecar says
+        # INT, breaking aligned reads much later with a parquet
+        # conversion error far from the cause
+        for f in new_fields:
+            if f.name in existing and f.dataType != existing[f.name]:
+                raise ValueError(
+                    f"schema evolution is add-only: column {f.name!r} exists as "
+                    f"{existing[f.name].simpleString()}, batch has {f.dataType.simpleString()}"
+                )
         added = [f for f in new_fields if f.name not in existing]
         for f in added:
             if f.name in self.key_cols:
@@ -176,10 +187,10 @@ class ParquetStateTable:
         sidecar = self._payload_schema()
         if sidecar is not None:
             meta = {op_col, *order_cols}
-            known = {f.name for f in sidecar.fields}
-            self.evolve_additive(
-                [f for f in latest.schema.fields if f.name not in meta and f.name not in known]
-            )
+            # pass ALL payload fields (not just the new names) so a
+            # same-name/different-type batch fails evolve_additive's
+            # retype check instead of writing type-drifted buckets
+            self.evolve_additive([f for f in latest.schema.fields if f.name not in meta])
         with_bucket = latest.withColumn(_BUCKET, self._bucket_col())
         touched = sorted(
             r[_BUCKET] for r in with_bucket.select(_BUCKET).distinct().collect()
@@ -190,8 +201,12 @@ class ParquetStateTable:
         state = self._read_buckets(touched)
         payload_cols = state.columns  # state carries payload only
         # an old-schema batch replayed AFTER an evolution lacks the
-        # newer columns — align it with typed nulls (LWW still holds:
-        # the replayed rows lose to any newer image by order_cols)
+        # newer columns — align it with typed nulls. NOTE: apply() is a
+        # REPLACE merge (anti-join + union); it is idempotent for
+        # re-delivery of the SAME batch, but re-applying an older batch
+        # on top of newer state regresses rows — batch order is owned
+        # by the caller (the streaming checkpoint replays only the last
+        # uncommitted batch, in order)
         batch_missing = [f for f in state.schema.fields if f.name not in with_bucket.columns]
         for f in batch_missing:
             with_bucket = with_bucket.withColumn(f.name, F.lit(None).cast(f.dataType))
