@@ -1,0 +1,58 @@
+"""OHLC / time-weighted-average downsampling operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from xxt_cdc_spark.operators.timeseries import ohlc, time_weighted_avg
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+class TestOhlc:
+    def test_known_values_and_tie_determinism(self, spark):
+        rows = [
+            # key 1, bucket 0: open 5 (earliest), close 2 (latest)
+            (1, 0, _ts("2024-01-01 00:00:00"), 1, 5.0),
+            (1, 0, _ts("2024-01-01 00:10:00"), 2, 9.0),
+            (1, 0, _ts("2024-01-01 00:20:00"), 3, 2.0),
+            # key 2, bucket 0: duplicate timestamps — tiebreak on id then value
+            (2, 0, _ts("2024-01-01 00:00:00"), 10, 7.0),
+            (2, 0, _ts("2024-01-01 00:00:00"), 11, 3.0),
+        ]
+        df = spark.createDataFrame(rows, "k int, b long, ts timestamp, id long, v double")
+        got = {
+            (r.k, r.b): (r.open, r.high, r.low, r.close, r.n_samples)
+            for r in ohlc(df, ["k"], "b", "ts", "v", tiebreak_col="id").collect()
+        }
+        assert got[(1, 0)] == (5.0, 9.0, 2.0, 2.0, 3)
+        # same instant: id 10 is the open, id 11 the close — deterministic
+        assert got[(2, 0)] == (7.0, 7.0, 3.0, 3.0, 2)
+
+
+class TestTimeWeightedAvg:
+    def test_known_weighting(self, spark):
+        # v=10 for 30 min, then v=20 for 10 min, last sample unweighted
+        rows = [
+            (1, 0, _ts("2024-01-01 00:00:00"), 1, 10.0),
+            (1, 0, _ts("2024-01-01 00:30:00"), 2, 20.0),
+            (1, 0, _ts("2024-01-01 00:40:00"), 3, 99.0),
+        ]
+        df = spark.createDataFrame(rows, "k int, b long, ts timestamp, id long, v double")
+        r = time_weighted_avg(df, ["k"], "b", "ts", "v", tiebreak_col="id").collect()[0]
+        # (10*30 + 20*10) / 40 = 12.5
+        assert abs(r.twa - 12.5) < 1e-9
+        assert r.span_us == 40 * 60 * 1_000_000 and r.n_samples == 3
+
+    def test_single_sample_and_zero_span_are_null(self, spark):
+        rows = [
+            (1, 0, _ts("2024-01-01 00:00:00"), 1, 10.0),
+            (2, 0, _ts("2024-01-01 00:00:00"), 2, 5.0),
+            (2, 0, _ts("2024-01-01 00:00:00"), 3, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "k int, b long, ts timestamp, id long, v double")
+        got = {r.k: r.twa for r in time_weighted_avg(df, ["k"], "b", "ts", "v", "id").collect()}
+        assert got[1] is None  # single sample: no span
+        assert got[2] is None  # zero span: pinned to null, not NaN/inf

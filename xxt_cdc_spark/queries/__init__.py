@@ -72,6 +72,7 @@ _HEAD = {
     "ann_ivf_nsw_topk": vector,
     "stream_interval_join": streaming,
     "ts_gap_fill": streaming,
+    "ts_downsample_family": streaming,
     "corpus_pack_whole_docs": curation,
     "fuzzy_join_part_names": text,
 }

@@ -363,9 +363,90 @@ FROM filled ORDER BY user_id, b
 """
 
 
+# --- time-series downsampling family (OHLC + time-weighted average) ----------
+DOWNSAMPLE_BUCKET_S = 86_400  # daily buckets
+
+
+def ts_downsample_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both downsampling operators (operators/timeseries.py) in one
+    keyed result: per-user DAILY OHLC of the event value (open/close on
+    the deterministic (ts, event_id, value) total order) and the
+    time-weighted average (sample-to-next weighting, exact-decimal
+    accumulation). family discriminates; v1..v4 = (open, high, low,
+    close) or (twa, span_us, NULL, NULL)."""
+    from xxt_cdc_spark.operators.gap_fill import bucketize
+    from xxt_cdc_spark.operators.timeseries import ohlc, time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", bucketize("ts", DOWNSAMPLE_BUCKET_S).alias("b"), "value"
+    )
+    o = ohlc(ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id").select(
+        F.lit("ohlc").alias("family"),
+        "user_id",
+        "b",
+        "n_samples",
+        F.col("open").alias("v1"),
+        F.col("high").alias("v2"),
+        F.col("low").alias("v3"),
+        F.col("close").alias("v4"),
+    )
+    t = time_weighted_avg(
+        ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id"
+    ).select(
+        F.lit("twa").alias("family"),
+        "user_id",
+        "b",
+        "n_samples",
+        F.round("twa", 9).alias("v1"),
+        F.col("span_us").cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
+    return o.unionByName(t).orderBy("family", "user_id", "b")
+
+
+DOWNSAMPLE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(epoch_us(ts) // {DOWNSAMPLE_BUCKET_S * 1_000_000} AS BIGINT) AS b, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, b, value,
+         row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id, value) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC, value DESC) AS rn_d
+  FROM base
+),
+o AS (
+  SELECT 'ohlc' AS family, user_id, b, COUNT(*) AS n_samples,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS v1,
+         MAX(value) AS v2, MIN(value) AS v3,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS v4
+  FROM ranked GROUP BY user_id, b
+),
+led AS (
+  SELECT user_id, b, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id, b ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM base
+),
+t AS (
+  SELECT 'twa' AS family, user_id, b, COUNT(*) AS n_samples,
+         round(CASE WHEN SUM(dt) > 0
+               THEN CAST(SUM(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(SUM(dt) AS DOUBLE) END, 9) AS v1,
+         CAST(SUM(dt) AS DOUBLE) AS v2,
+         CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+  FROM led GROUP BY user_id, b
+)
+SELECT * FROM (SELECT * FROM o UNION ALL SELECT * FROM t)
+ORDER BY family, user_id, b
+"""
+
+
 QUERIES = {
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
+    "ts_downsample_family": ts_downsample_family,
     "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
@@ -376,6 +457,7 @@ QUERIES = {
 ORACLE = {
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
+    "ts_downsample_family": DOWNSAMPLE_SQL,
     "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
