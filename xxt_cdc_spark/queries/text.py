@@ -643,18 +643,26 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking dropped no true pair."""
     from xxt_cdc_spark.operators.fuzzy_join import edit_distance_join
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # entity RECORDS, not bare names: p_name is ~10 chars from a tiny
+    # vocabulary, so its distance-2 neighborhood is dense (thousands of
+    # true pairs per name — a degenerate workload where no exact
+    # blocking can beat the output size). Real entity resolution joins
+    # composite records; the ~40-char name|brand|type|size record
+    # gives the planted perturbations sparse, meaningful neighborhoods
+    # and the q-gram count bound real pruning power.
+    rec = "concat(p_name, '|', p_brand, '|', p_type, '|', cast(p_size as string))"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn("rec", F.expr(rec))
     pert = part.filter(F.col("p_partkey") % 5 == 0).select(
         F.col("p_partkey").alias("b_key"),
         F.when(
             F.col("p_partkey") % 10 == 0,
-            F.expr("concat(substring(p_name, 1, 2), substring(p_name, 4))"),
+            F.expr("concat(substring(rec, 1, 2), substring(rec, 4))"),
         )
-        .otherwise(F.expr("concat(substring(p_name, 1, 4), '#', substring(p_name, 6))"))
-        .alias("b_name"),
+        .otherwise(F.expr("concat(substring(rec, 1, 4), '#', substring(rec, 6))"))
+        .alias("b_rec"),
     )
     pairs = edit_distance_join(
-        part, pert, "p_partkey", "b_key", "p_name", "b_name", FUZZY_MAX_DIST
+        part, pert, "p_partkey", "b_key", "rec", "b_rec", FUZZY_MAX_DIST
     )
     return pairs.select(
         F.col("l_key").alias("a_key"),
@@ -664,17 +672,21 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_JOIN_SQL = f"""
-WITH pert AS (
+WITH recs AS (
+  SELECT p_partkey, p_name || '|' || p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS rec
+  FROM part
+),
+pert AS (
   SELECT p_partkey AS b_key,
-         CASE WHEN p_partkey % 10 = 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
-              ELSE substr(p_name, 1, 4) || '#' || substr(p_name, 6) END AS b_name
-  FROM part WHERE p_partkey % 5 = 0
+         CASE WHEN p_partkey % 10 = 0 THEN substr(rec, 1, 2) || substr(rec, 4)
+              ELSE substr(rec, 1, 4) || '#' || substr(rec, 6) END AS b_rec
+  FROM recs WHERE p_partkey % 5 = 0
 )
 SELECT a.p_partkey AS a_key, p.b_key AS b_key,
-       CAST(levenshtein(a.p_name, p.b_name) AS BIGINT) AS dist
-FROM part a, pert p
-WHERE abs(length(a.p_name) - length(p.b_name)) <= {FUZZY_MAX_DIST}
-  AND levenshtein(a.p_name, p.b_name) <= {FUZZY_MAX_DIST}
+       CAST(levenshtein(a.rec, p.b_rec) AS BIGINT) AS dist
+FROM recs a, pert p
+WHERE abs(length(a.rec) - length(p.b_rec)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.rec, p.b_rec) <= {FUZZY_MAX_DIST}
 ORDER BY a_key, b_key
 """
 
