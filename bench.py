@@ -52,6 +52,10 @@ HEADLINE = [
     "sketch_hll_rollup",
     "sketch_cm_heavy",
     "stream_interval_join",
+    "ts_gap_fill",
+    "ts_downsample_family",
+    "corpus_pack_whole_docs",
+    "fuzzy_join_part_names",
     # dedup_incremental_simhash is deliberately NOT a headline entry:
     # it replays a 5-batch incremental pipeline (persistent store,
     # per-batch jobs), so its wall-clock measures batch-loop overhead,

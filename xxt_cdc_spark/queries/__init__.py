@@ -64,9 +64,10 @@ ORACLE: dict[str, str] = {}
 # family's evidence stays ≤1 round old: r3 swept cdc/text/relational2/
 # streaming-head (CORRECTNESS_r03 50/50 green), so r4 leads with the
 # families r3 cut off — the never-driver-swept queries pinned first
-# (NSW ANN pair + the new r4 sketch family), then vector, corpus,
-# curation, relational, and the streaming tail; cdc/text/relational2
-# hold green r3 rows.
+# (NSW ANN pair, then every query new in r4: the stream-stream interval
+# join, the sketch family, the time-series pair, whole-doc packing, and
+# the fuzzy join), then vector, corpus, curation, relational, and the
+# streaming tail; cdc/text/relational2 hold green r3 rows.
 _HEAD = {
     "ann_nsw_topk": vector,
     "ann_ivf_nsw_topk": vector,
