@@ -128,10 +128,14 @@ def edit_distance_join(
         .select("l_key", "r_key")
     )
     cand = cand_long.unionByName(cand_short)
+    # threshold-bounded levenshtein: O(d·n) banded DP with early exit
+    # (returns -1 above the bound) instead of the full O(n²) matrix —
+    # the verify stage is candidate-sized, and candidates can be ~100×
+    # the true pairs when records share low-entropy segments
     verified = (
         cand.join(l_names, "l_key")
         .join(r_names, "r_key")
-        .withColumn("dist", F.levenshtein("l_str", "r_str"))
-        .filter(F.col("dist") <= d)
+        .withColumn("dist", F.levenshtein("l_str", "r_str", d))
+        .filter(F.col("dist") >= 0)
     )
     return verified.select("l_key", "r_key", "dist")
