@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from xxt_cdc_spark.operators.timeseries import ohlc, time_weighted_avg
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.operators.timeseries import IncrementalOHLC, ohlc, time_weighted_avg
 
 
 def _ts(s):
@@ -56,3 +58,38 @@ class TestTimeWeightedAvg:
         got = {r.k: r.twa for r in time_weighted_avg(df, ["k"], "b", "ts", "v", "id").collect()}
         assert got[1] is None  # single sample: no span
         assert got[2] is None  # zero span: pinned to null, not NaN/inf
+
+
+class TestIncrementalOHLC:
+    def _samples(self, spark, sf="/root/testdata/sf0.001"):
+        from xxt_cdc_spark.queries.streaming import _events
+        from xxt_cdc_spark.operators.gap_fill import bucketize
+
+        return _events(spark, sf).select(
+            "user_id", "event_id", "ts",
+            bucketize("ts", 86_400).alias("b"), "value",
+        )
+
+    def test_chunked_equals_one_shot(self, spark, tmp_path):
+        ev = self._samples(spark)
+        inc = IncrementalOHLC(spark, str(tmp_path / "c"), ["user_id"], n_buckets=4)
+        for i in range(3):
+            inc.update(ev.filter(F.col("event_id") % 3 == i), "b", "ts", "value", "event_id")
+        got = {
+            (r.user_id, r.b): (r.open, r.high, r.low, r.close)
+            for r in inc.read().collect()
+        }
+        want = {
+            (r.user_id, r.b): (r.open, r.high, r.low, r.close)
+            for r in ohlc(ev, ["user_id"], "b", "ts", "value", "event_id").collect()
+        }
+        assert got == want and len(want) > 10
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        ev = self._samples(spark)
+        inc = IncrementalOHLC(spark, str(tmp_path / "r"), ["user_id"], n_buckets=4)
+        b0 = ev.filter(F.col("event_id") % 2 == 0)
+        inc.update(b0, "b", "ts", "value", "event_id")
+        before = sorted(map(tuple, inc.read().collect()))
+        inc.update(b0, "b", "ts", "value", "event_id")  # replay: must not move
+        assert sorted(map(tuple, inc.read().collect())) == before

@@ -92,3 +92,74 @@ def time_weighted_avg(
         F.sum("_dt").alias("span_us"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+class IncrementalOHLC:
+    """Persistent per-(key, bucket) OHLC maintained incrementally from
+    sample batches — the continuous-rollup form of :func:`ohlc`.
+
+    Every field is a LATTICE merge (open = min of the (ts, tiebreak,
+    value) struct, close = max of it, high = max, low = min), so
+    folding a batch in is associative, commutative, and IDEMPOTENT:
+    replaying a micro-batch cannot move the state, which makes the
+    store exactly-once under foreachBatch replay with no versioned
+    commits — the same argument as the incremental HLL registers
+    (functions/sketches.py), and the reason n_samples (a sum, NOT
+    replay-idempotent) is deliberately absent here.
+
+    Storage is a bucket-pruned ParquetStateTable keyed by
+    (key_cols..., bucket): an update touches only the hash buckets its
+    (key, time-bucket) pairs land in, so maintenance cost tracks batch
+    spread, not history size — a year of minute candles is never
+    rescanned to fold in today's ticks.
+    """
+
+    def __init__(self, spark, root: str, key_cols: list[str], n_buckets: int = 16) -> None:
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        self.key_cols = key_cols
+        self.state = ParquetStateTable(spark, root, [*key_cols, "b"], n_buckets=n_buckets)
+
+    _VALS = ["open_t", "close_t", "high", "low"]
+    _HOWS = {"open_t": "min", "close_t": "max", "high": "max", "low": "min"}
+
+    def _partial(self, df, bucket_col, ts_col, value_col, tiebreak_col):
+        order = [F.col(ts_col)]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col))
+        order.append(F.col(value_col))
+        tagged = F.struct(*order)
+        return df.groupBy(*self.key_cols, F.col(bucket_col).alias("b")).agg(
+            F.min(tagged).alias("open_t"),
+            F.max(tagged).alias("close_t"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+        )
+
+    def update(
+        self,
+        batch: DataFrame,
+        bucket_col: str,
+        ts_col: str,
+        value_col: str,
+        tiebreak_col: str | None = None,
+    ) -> dict:
+        partial = self._partial(batch, bucket_col, ts_col, value_col, tiebreak_col)
+        if not self.state.exists():
+            self.state.init(partial.limit(0))
+        return self.state.apply_merge(partial, self._VALS, how=self._HOWS)
+
+    def read(self, value_field: str | None = None) -> DataFrame:
+        """Current candles: key cols + bucket + open/high/low/close.
+        ``value_field`` names the value inside the order struct
+        (defaults to the last struct field)."""
+        st = self.state.read()
+        field = value_field or st.schema["open_t"].dataType.names[-1]
+        return st.select(
+            *self.key_cols,
+            "b",
+            F.col("open_t").getField(field).alias("open"),
+            "high",
+            "low",
+            F.col("close_t").getField(field).alias("close"),
+        )

@@ -273,21 +273,32 @@ class ParquetStateTable:
         """
         return self.apply_merge(delta, value_cols, how="sum")
 
-    def apply_merge(self, delta: DataFrame, value_cols: list[str], how: str = "sum") -> dict:
+    def apply_merge(
+        self, delta: DataFrame, value_cols: list[str], how: str | dict[str, str] = "sum"
+    ) -> dict:
         """Per-key accumulator merge with a chosen combine function:
         ``sum`` (additive rollup — see apply_additive), ``max`` or
-        ``min`` (lattice merges). The lattice merges are IDEMPOTENT —
-        replaying a batch cannot move the state — which is what makes a
-        persistent sketch store (HLL registers merge by max,
-        functions/sketches.py) exactly-once under foreachBatch replay
-        with no extra commit protocol."""
-        if how not in ("sum", "max", "min"):
-            raise ValueError(f"unsupported merge: {how!r}")
+        ``min`` (lattice merges; structs order lexicographically, so an
+        argmin/argmax like OHLC's (ts, tiebreak, value) open/close is a
+        lattice too). ``how`` may be one function for every column or a
+        per-column dict (e.g. OHLC: min/max structs + max/min doubles).
+        The lattice merges are IDEMPOTENT — replaying a batch cannot
+        move the state — which is what makes a persistent sketch store
+        (HLL registers merge by max, functions/sketches.py) and the
+        incremental OHLC store exactly-once under foreachBatch replay
+        with no extra commit protocol; mixing ``sum`` in forfeits that
+        (addition double-counts on replay)."""
+        hows = {c: how for c in value_cols} if isinstance(how, str) else dict(how)
+        if set(hows) != set(value_cols):
+            raise ValueError(f"per-column merge spec {sorted(hows)} != value_cols {sorted(value_cols)}")
+        bad = {h for h in hows.values() if h not in ("sum", "max", "min")}
+        if bad:
+            raise ValueError(f"unsupported merge: {sorted(bad)!r}")
         if not self.exists():
             raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
-        agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[how]
+        fns = {"sum": F.sum, "max": F.max, "min": F.min}
         delta = delta.groupBy(*self.key_cols).agg(
-            *[agg_fn(c).alias(c) for c in value_cols]
+            *[fns[hows[c]](c).alias(c) for c in value_cols]
         )
         with_bucket = delta.withColumn(_BUCKET, self._bucket_col()).localCheckpoint()
         touched = sorted(r[_BUCKET] for r in with_bucket.select(_BUCKET).distinct().collect())
@@ -304,11 +315,11 @@ class ParquetStateTable:
             if c in self.key_cols:
                 continue
             if c in value_cols:
-                if how == "sum":
+                if hows[c] == "sum":
                     combined = F.coalesce(F.col(f"s.{c}"), F.lit(0)) + F.coalesce(
                         F.col(f"d.{c}"), F.lit(0)
                     )
-                elif how == "max":
+                elif hows[c] == "max":
                     # greatest/least ignore NULLs, so a key on only one
                     # side keeps that side's value
                     combined = F.greatest(F.col(f"s.{c}"), F.col(f"d.{c}"))
