@@ -74,6 +74,7 @@ _HEAD = {
     "stream_interval_join": streaming,
     "ts_gap_fill": streaming,
     "ts_downsample_family": streaming,
+    "ts_incremental_ohlc": streaming,
     "corpus_pack_whole_docs": curation,
     "fuzzy_join_part_names": text,
 }

@@ -443,10 +443,58 @@ ORDER BY family, user_id, b
 """
 
 
+def ts_incremental_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent candle store (operators/timeseries.IncrementalOHLC)
+    built INCREMENTALLY: events arrive in three interleaved chunks plus
+    one full replay of chunk 0 (exactly-once check — every field is a
+    lattice merge, so the replay must not move the state), then the
+    store is read back. The oracle computes the one-shot OHLC in SQL —
+    hash-equality proves chunked maintenance ≡ from-scratch."""
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.operators.gap_fill import bucketize
+    from xxt_cdc_spark.operators.timeseries import IncrementalOHLC
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", bucketize("ts", DOWNSAMPLE_BUCKET_S).alias("b"), "value"
+    )
+    state = tempfile.mkdtemp(prefix="xxt_incr_ohlc_")
+    try:
+        inc = IncrementalOHLC(spark, state, ["user_id"], n_buckets=8)
+        for i in range(3):
+            inc.update(ev.filter(F.col("event_id") % 3 == i), "b", "ts", "value", "event_id")
+        inc.update(ev.filter(F.col("event_id") % 3 == 0), "b", "ts", "value", "event_id")
+        out = inc.read().orderBy("user_id", "b")
+        return out.localCheckpoint(eager=True)  # survive the state-dir cleanup
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+INCR_OHLC_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(epoch_us(ts) // {DOWNSAMPLE_BUCKET_S * 1_000_000} AS BIGINT) AS b, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, b, value,
+         row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id, value) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC, value DESC) AS rn_d
+  FROM base
+)
+SELECT user_id, b,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM ranked GROUP BY user_id, b ORDER BY user_id, b
+"""
+
+
 QUERIES = {
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
+    "ts_incremental_ohlc": ts_incremental_ohlc,
     "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
@@ -458,6 +506,7 @@ ORACLE = {
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
+    "ts_incremental_ohlc": INCR_OHLC_SQL,
     "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
