@@ -1,0 +1,179 @@
+"""SCD Type-2 history materialization from a CDC changefeed — the
+classic warehouse consumer of this engine's output (Kimball slowly-
+changing dimensions; Delta's MERGE-based SCD2 pattern), expressed as
+one window pass.
+
+Semantics: every non-delete change becomes a VERSION row valid from
+its own binlog position until the key's next change (exclusive); a
+delete closes the prior version without creating one; the key's last
+non-delete change (with no later event) is the current version.
+Exact duplicate events (transport redelivery) must be dropped first —
+`scd2_history` does so — because a tie on the position ordering would
+make lead() engine-dependent.
+
+Plan shape: one shuffle+sort on (key, position) — lead() is a running
+window, O(rows). The incremental `Scd2Table` folds position-ordered
+batches into (bucket-pruned current state, append-only closed-version
+log) with the versioned-directory idempotency protocol, so maintaining
+a year of history never rescans it: per batch it reads only the
+touched keys' hash buckets and writes one closed-versions directory.
+
+Reference parity note: the reference stops at row replication (its
+sinks hold only the latest image); SCD2 is part of the downstream
+surface the Spark rebuild adds, next to the MOR table's time travel
+(sinks/changelog_mor.py) — time travel answers "state as of P",
+SCD2 answers "every version, with validity intervals, as a table".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xxt_cdc_spark.model.envelope import OP_DELETE
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Batch form: the full SCD2 version table of one changefeed.
+
+    Output: key + payload columns, ``valid_from_<c>``/``valid_to_<c>``
+    per order column (valid_to null on the current version), and
+    ``is_current`` (1 for the key's live version; a deleted key has
+    none).
+    """
+    deduped = changes.dropDuplicates([*key_cols, *order_cols, op_col])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    out = deduped
+    for c in order_cols:
+        out = out.withColumn(f"valid_to_{c}", F.lead(c).over(w))
+    out = out.withColumn(
+        "is_current",
+        (F.col(f"valid_to_{order_cols[0]}").isNull() & (F.col(op_col) != OP_DELETE)).cast("int"),
+    )
+    for c in order_cols:
+        out = out.withColumnRenamed(c, f"valid_from_{c}")
+    return out.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+
+
+class Scd2Table:
+    """Incrementally-maintained SCD2 table over position-ordered change
+    batches (a foreachBatch body).
+
+    Layout: ``current/`` — a bucket-pruned ParquetStateTable holding
+    each live key's latest image (payload includes its valid-from
+    position); ``history/b<batch_id>/`` — the versions CLOSED by that
+    batch. A batch closes (a) the prior current image of every key it
+    touches, at the key's first in-batch position, and (b) its own
+    intra-batch superseded versions; the state merge then installs the
+    batch's survivors.
+
+    Exactly-once under foreachBatch replay: the closed-versions
+    directory is gated on its _SUCCESS marker (recompute would see the
+    already-advanced state and close the wrong images — same protocol
+    as operators/incremental_agg.ContinuousAggregate), and the state
+    merge is keyed + LWW, so re-applying the same batch is a no-op.
+    Batches must arrive in position order (the streaming checkpoint's
+    contract).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        n_buckets: int = 16,
+    ) -> None:
+        import os
+
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        self.spark = spark
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+        self.state = ParquetStateTable(
+            spark, os.path.join(root, "current"), key_cols, n_buckets=n_buckets
+        )
+        self.hist_root = os.path.join(root, "history")
+
+    def _bdir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.hist_root, f"b{batch_id}")
+
+    def apply_batch(self, changes: DataFrame, batch_id: int, op_col: str = "op") -> None:
+        import os
+
+        deduped = changes.dropDuplicates(
+            [*self.key_cols, *self.order_cols, op_col]
+        ).localCheckpoint(eager=True)
+        payload = [c for c in deduped.columns if c != op_col]
+        if not self.state.exists():
+            self.state.init(deduped.select(*payload).limit(0))
+
+        bdir = self._bdir(batch_id)
+        if not os.path.isfile(os.path.join(bdir, "_SUCCESS")):
+            hist = scd2_history(deduped, self.key_cols, self.order_cols, op_col)
+            intra_closed = hist.filter(
+                F.col(f"valid_to_{self.order_cols[0]}").isNotNull()
+            ).drop("is_current")
+            # each touched key's FIRST in-batch position closes the prior
+            # current image (bucket-pruned state lookup)
+            firsts = deduped.groupBy(*self.key_cols).agg(
+                F.min(F.struct(*[F.col(c) for c in self.order_cols])).alias("_f")
+            )
+            keys = firsts.select(*self.key_cols)
+            touched = sorted(
+                r[0]
+                for r in keys.select(
+                    self.state.bucket_of(*[F.col(k) for k in self.key_cols]).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if touched:
+                old = self.state.read_buckets(touched).join(firsts, self.key_cols, "inner")
+                closed_from_state = old.select(
+                    *[
+                        F.col(c).alias(f"valid_from_{c}") if c in self.order_cols else F.col(c)
+                        for c in old.columns
+                        if c != "_f"
+                    ],
+                    *[F.col("_f").getField(c).alias(f"valid_to_{c}") for c in self.order_cols],
+                )
+                closed = intra_closed.unionByName(closed_from_state)
+            else:
+                closed = intra_closed
+            closed.write.mode("overwrite").parquet(bdir)
+
+        # keyed LWW merge installs the batch survivors / removes deletes
+        self.state.apply(deduped, order_cols=self.order_cols, op_col=op_col)
+
+    def history(self) -> DataFrame:
+        """The full SCD2 table: closed versions ∪ live versions."""
+        import os
+
+        cur = self.state.read()
+        live = cur.select(
+            *[
+                F.col(c).alias(f"valid_from_{c}") if c in self.order_cols else F.col(c)
+                for c in cur.columns
+            ],
+            *[
+                F.lit(None).cast(dict(cur.dtypes)[c]).alias(f"valid_to_{c}")
+                for c in self.order_cols
+            ],
+        ).withColumn("is_current", F.lit(1))
+        if not os.path.isdir(self.hist_root):
+            return live
+        closed = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(self.hist_root, "b*"))
+            .withColumn("is_current", F.lit(0))
+        )
+        return closed.unionByName(live)

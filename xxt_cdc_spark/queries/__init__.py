@@ -77,6 +77,7 @@ _HEAD = {
     "ts_incremental_ohlc": streaming,
     "corpus_pack_whole_docs": curation,
     "fuzzy_join_part_names": text,
+    "cdc_scd2_history": cdc,
 }
 _FIRST = tuple(_HEAD)
 for _name, _mod in _HEAD.items():

@@ -717,7 +717,70 @@ GROUP BY op ORDER BY op
 """
 
 
+# --- SCD Type-2 history materialization --------------------------------------
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version table of the changefeed (operators/scd2.py), built
+    INCREMENTALLY: the feed splits into three position-ordered batches
+    folded through ``Scd2Table.apply_batch`` (bucket-pruned current
+    state + versioned closed-history dirs), with batch 1 fully REPLAYED
+    (the _SUCCESS-gated idempotency check). The oracle computes the
+    whole history in one SQL window pass — hash-equality proves
+    incremental maintenance ≡ from-scratch, deletes close versions
+    without creating them, and the replay moved nothing."""
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.operators.scd2 import Scd2Table
+
+    cf = orders_changefeed(spark, sf_dir)
+    cuts = (30_000, 80_000)
+    batches = [
+        cf.filter(F.col("pos_offset") <= cuts[0]),
+        cf.filter((F.col("pos_offset") > cuts[0]) & (F.col("pos_offset") <= cuts[1])),
+        cf.filter(F.col("pos_offset") > cuts[1]),
+    ]
+    root = tempfile.mkdtemp(prefix="xxt_scd2_")
+    try:
+        t = Scd2Table(spark, root, ["o_orderkey"], ["pos_file", "pos_offset"], n_buckets=8)
+        for i, b in enumerate(batches):
+            t.apply_batch(b, i)
+            if i == 1:
+                t.apply_batch(batches[1], 1)  # replay: must be a no-op
+        out = (
+            t.history()
+            .select(
+                "o_orderkey",
+                F.col("valid_from_pos_offset").alias("valid_from"),
+                F.col("valid_to_pos_offset").alias("valid_to"),
+                "is_current",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey", "valid_from")
+        )
+        return out.localCheckpoint(eager=True)  # survive the state-dir cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CDC_SCD2_SQL = f"""{_CF},
+dedup AS (SELECT DISTINCT * FROM cf),
+v AS (
+  SELECT *, LEAD(pos_offset) OVER (PARTITION BY o_orderkey
+                                   ORDER BY pos_file, pos_offset) AS valid_to
+  FROM dedup
+)
+SELECT o_orderkey, pos_offset AS valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL AND op <> 'D' THEN 1 ELSE 0 END AS INT) AS is_current,
+       o_orderstatus, o_totalprice, o_orderpriority
+FROM v WHERE op <> 'D'
+ORDER BY o_orderkey, valid_from
+"""
+
+
 QUERIES = {
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_multirow_explode": cdc_multirow_explode,
     "cdc_lww_collapse": cdc_lww_collapse,
@@ -738,6 +801,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_multirow_explode": CDC_MULTIROW_SQL,
     "cdc_lww_collapse": CDC_LWW_SQL,
