@@ -24,6 +24,9 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
                                maintained from ±image deltas
 - cdc_mor_asof               → merge-on-read time travel (state as of
                                a position ≡ replay cut)
+- cdc_scd2_history           → SCD Type-2 version table, built
+                               incrementally (3 batches + replay) and
+                               hash-checked against the one-shot window
 """
 
 from __future__ import annotations
