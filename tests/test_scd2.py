@@ -61,6 +61,39 @@ class TestScd2Incremental:
         assert _hist_tuples(t.history()) == want
 
 
+class TestScd2Redelivery:
+    def test_cross_batch_redelivery_is_a_noop(self, spark, tmp_path):
+        """An event redelivered in a LATER batch (at-least-once
+        transport) must not re-close the current image as a spurious
+        zero-width version — the redelivery gate drops events at or
+        before the stored current position."""
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        b1 = df.filter(F.col("pos_file") == "bin.000001")
+        b2 = df.filter(F.col("pos_file") == "bin.000002")
+        t = Scd2Table(spark, str(tmp_path / "t"), ["id"], ["pos_file", "pos_offset"], n_buckets=4)
+        t.apply_batch(b1, 0)
+        # batch 1's rows redelivered inside batch 2 (different batch id)
+        t.apply_batch(b2.unionByName(b1), 1)
+        want = _hist_tuples(scd2_history(df, ["id"], ["pos_file", "pos_offset"]))
+        assert _hist_tuples(t.history()) == want
+
+    def test_partial_redelivery_keeps_fresh_suffix(self, spark, tmp_path):
+        """A batch mixing already-applied events with genuinely new ones
+        applies only the fresh suffix."""
+        t = Scd2Table(spark, str(tmp_path / "t"), ["id"], ["pos_file", "pos_offset"], n_buckets=4)
+        t.apply_batch(spark.createDataFrame(
+            [(7, "x1", "I", "bin.000001", 100)], SCHEMA), 0)
+        t.apply_batch(spark.createDataFrame(
+            [(7, "x1", "I", "bin.000001", 100),   # redelivered
+             (7, "x2", "U", "bin.000001", 200)],  # fresh
+            SCHEMA), 1)
+        got = _hist_tuples(t.history())
+        assert got == sorted([
+            (7, "x1", "bin.000001", 100, "bin.000001", 200, 0),
+            (7, "x2", "bin.000001", 200, None, None, 1),
+        ])
+
+
 class TestScd2Streaming:
     def test_foreachbatch_with_restart(self, spark, tmp_path):
         """Checkpointed stream -> Scd2Table, killed and resumed: the

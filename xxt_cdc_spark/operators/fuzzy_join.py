@@ -124,7 +124,14 @@ def edit_distance_join(
     # --- short branch: right strings below the segment threshold
     cand_short = (
         l_names.filter(F.length("l_str") <= _MIN_SEG_LEN - 1 + d)
-        .crossJoin(r_names.filter(F.length("r_str") < _MIN_SEG_LEN).select("r_key"))
+        .crossJoin(
+            r_names.filter(F.length("r_str") < _MIN_SEG_LEN).select(
+                "r_key", F.length("r_str").alias("_rl")
+            )
+        )
+        # length band: one comparison here beats a levenshtein call in
+        # the verify stage for every impossible short-short pair
+        .filter(F.abs(F.length("l_str") - F.col("_rl")) <= d)
         .select("l_key", "r_key")
     )
     cand = cand_long.unionByName(cand_short)

@@ -46,7 +46,11 @@ def scd2_history(
     ``is_current`` (1 for the key's live version; a deleted key has
     none).
     """
-    deduped = changes.dropDuplicates([*key_cols, *order_cols, op_col])
+    # full-row dedup, matching the oracle's SELECT DISTINCT *: the
+    # position is the engine's logical clock, so two DIFFERENT rows at
+    # one (key, position) is a broken feed (both engines would order
+    # the tie arbitrarily) — only exact redeliveries are collapsible
+    deduped = changes.dropDuplicates()
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
     out = deduped
     for c in order_cols:
@@ -109,40 +113,76 @@ class Scd2Table:
     def apply_batch(self, changes: DataFrame, batch_id: int, op_col: str = "op") -> None:
         import os
 
-        deduped = changes.dropDuplicates(
-            [*self.key_cols, *self.order_cols, op_col]
-        ).localCheckpoint(eager=True)
+        deduped = changes.dropDuplicates().localCheckpoint(eager=True)
         payload = [c for c in deduped.columns if c != op_col]
         if not self.state.exists():
-            self.state.init(deduped.select(*payload).limit(0))
+            # the state keeps TOMBSTONES (_deleted=1) rather than
+            # removing deleted keys: a later redelivery of a deleted
+            # key's events must still find its position in the gate
+            # below, or it would re-materialize closed versions
+            self.state.init(
+                deduped.select(*payload).limit(0).withColumn("_deleted", F.lit(0))
+            )
+
+        # bucket-pruned lookup of the touched keys' current images —
+        # used BOTH to drop cross-batch redeliveries and to close the
+        # superseded versions
+        keys = deduped.select(*self.key_cols).distinct()
+        touched = sorted(
+            r[0]
+            for r in keys.select(
+                self.state.bucket_of(*[F.col(k) for k in self.key_cols]).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        cur = (
+            self.state.read_buckets(touched).join(keys, self.key_cols, "inner")
+            if touched
+            else None
+        )
+        # cross-batch redelivery gate: an event at or before the stored
+        # current's position was already applied by an earlier batch —
+        # without this, a redelivered event re-closes the current image
+        # as a spurious zero-width version (in-batch dedup can't see it)
+        fresh = deduped
+        if cur is not None:
+            cur_pos = cur.select(
+                *self.key_cols,
+                F.struct(*[F.col(c) for c in self.order_cols]).alias("_cur_pos"),
+            )
+            fresh = (
+                deduped.join(cur_pos, self.key_cols, "left")
+                .filter(
+                    F.col("_cur_pos").isNull()
+                    | (F.struct(*[F.col(c) for c in self.order_cols]) > F.col("_cur_pos"))
+                )
+                .drop("_cur_pos")
+            )
+        if "_deleted" in fresh.columns:
+            fresh = fresh.drop("_deleted")
+        fresh = fresh.localCheckpoint(eager=True)
 
         bdir = self._bdir(batch_id)
         if not os.path.isfile(os.path.join(bdir, "_SUCCESS")):
-            hist = scd2_history(deduped, self.key_cols, self.order_cols, op_col)
+            hist = scd2_history(fresh, self.key_cols, self.order_cols, op_col)
             intra_closed = hist.filter(
                 F.col(f"valid_to_{self.order_cols[0]}").isNotNull()
             ).drop("is_current")
-            # each touched key's FIRST in-batch position closes the prior
-            # current image (bucket-pruned state lookup)
-            firsts = deduped.groupBy(*self.key_cols).agg(
+            # each touched key's FIRST fresh position closes the prior
+            # current image
+            firsts = fresh.groupBy(*self.key_cols).agg(
                 F.min(F.struct(*[F.col(c) for c in self.order_cols])).alias("_f")
             )
-            keys = firsts.select(*self.key_cols)
-            touched = sorted(
-                r[0]
-                for r in keys.select(
-                    self.state.bucket_of(*[F.col(k) for k in self.key_cols]).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
-            if touched:
-                old = self.state.read_buckets(touched).join(firsts, self.key_cols, "inner")
+            if cur is not None:
+                # a tombstone image has no live version to close — a
+                # re-insert after a delete just starts a new version
+                old = cur.filter(F.col("_deleted") == 0).join(firsts, self.key_cols, "inner")
                 closed_from_state = old.select(
                     *[
                         F.col(c).alias(f"valid_from_{c}") if c in self.order_cols else F.col(c)
                         for c in old.columns
-                        if c != "_f"
+                        if c not in ("_f", "_deleted")
                     ],
                     *[F.col("_f").getField(c).alias(f"valid_to_{c}") for c in self.order_cols],
                 )
@@ -151,14 +191,18 @@ class Scd2Table:
                 closed = intra_closed
             closed.write.mode("overwrite").parquet(bdir)
 
-        # keyed LWW merge installs the batch survivors / removes deletes
-        self.state.apply(deduped, order_cols=self.order_cols, op_col=op_col)
+        # keyed LWW merge installs the batch survivors; deletes persist
+        # as tombstone rows (payload nulled by the feed, position kept)
+        as_upserts = fresh.withColumn(
+            "_deleted", (F.col(op_col) == OP_DELETE).cast("int")
+        ).withColumn(op_col, F.lit("U"))
+        self.state.apply(as_upserts, order_cols=self.order_cols, op_col=op_col)
 
     def history(self) -> DataFrame:
         """The full SCD2 table: closed versions ∪ live versions."""
         import os
 
-        cur = self.state.read()
+        cur = self.state.read().filter(F.col("_deleted") == 0).drop("_deleted")
         live = cur.select(
             *[
                 F.col(c).alias(f"valid_from_{c}") if c in self.order_cols else F.col(c)

@@ -736,12 +736,14 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xxt_cdc_spark.operators.scd2 import Scd2Table
 
     cf = orders_changefeed(spark, sf_dir)
-    cuts = (30_000, 80_000)
-    batches = [
-        cf.filter(F.col("pos_offset") <= cuts[0]),
-        cf.filter((F.col("pos_offset") > cuts[0]) & (F.col("pos_offset") <= cuts[1])),
-        cf.filter(F.col("pos_offset") > cuts[1]),
-    ]
+    # batch by op phase (all inserts, then all updates, then all
+    # deletes — positions are k*10+{1,2,3}, so per-key order is
+    # monotone across batches): EVERY updated/deleted key spans
+    # batches, which is what actually exercises the cross-batch
+    # closed_from_state path — a position-range cut at a multiple of
+    # 10 would keep each key's events in one batch and leave that
+    # path vacuously untested
+    batches = [cf.filter(F.col("pos_offset") % 10 == p) for p in (1, 2, 3)]
     root = tempfile.mkdtemp(prefix="xxt_scd2_")
     try:
         t = Scd2Table(spark, root, ["o_orderkey"], ["pos_file", "pos_offset"], n_buckets=8)

@@ -638,8 +638,8 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one substituted or deleted character — the PII-planting pattern:
     the corpus has no natural near-identical names, so the match set is
     planted IDENTICALLY in both engines). The Spark side runs the
-    lossless q-gram blocking + count filter + levenshtein verify; the
-    oracle brute-forces the cross join — equal output proves the
+    lossless PassJoin segment blocking + threshold-levenshtein verify;
+    the oracle brute-forces the cross join — equal output proves the
     blocking dropped no true pair."""
     from xxt_cdc_spark.operators.fuzzy_join import edit_distance_join
 
