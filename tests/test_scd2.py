@@ -127,3 +127,29 @@ class TestScd2Streaming:
         df = spark.createDataFrame(ROWS, SCHEMA)
         want = _hist_tuples(scd2_history(df, ["id"], ["pos_file", "pos_offset"]))
         assert _hist_tuples(t.history()) == want
+
+
+class TestScd2AsOf:
+    def test_point_reads_match_replay_cuts(self, spark, tmp_path):
+        """as_of(P) must equal a from-scratch LWW replay of events up
+        to P, for cuts inside, between, and after the feed."""
+        from xxt_cdc_spark.operators.apply import apply_changes
+
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        t = Scd2Table(spark, str(tmp_path / "t"), ["id"], ["pos_file", "pos_offset"], n_buckets=4)
+        t.apply_batch(df.filter(F.col("pos_file") == "bin.000001"), 0)
+        t.apply_batch(df.filter(F.col("pos_file") == "bin.000002"), 1)
+        base = df.select("id", "v").limit(0)
+        for cut in (("bin.000001", 15), ("bin.000001", 21), ("bin.000002", 5)):
+            got = sorted(
+                (r.id, r.v) for r in t.as_of(*cut).select("id", "v").collect()
+            )
+            upto = df.filter(
+                (F.col("pos_file") < cut[0])
+                | ((F.col("pos_file") == cut[0]) & (F.col("pos_offset") <= cut[1]))
+            )
+            want = sorted(
+                (r.id, r.v)
+                for r in apply_changes(base, upto, ["id"], ["pos_file", "pos_offset"]).collect()
+            )
+            assert got == want, cut

@@ -198,6 +198,28 @@ class Scd2Table:
         ).withColumn(op_col, F.lit("U"))
         self.state.apply(as_upserts, order_cols=self.order_cols, op_col=op_col)
 
+    def as_of(self, *position) -> DataFrame:
+        """Valid-time point read: the table's rows AS OF ``position``
+        (one value per order column) — the version whose validity
+        interval contains it. Complements the MOR table's as_of (which
+        replays the log to a cut): here the versions are materialized,
+        so the read is a pair of comparisons on the history table, the
+        shape a warehouse dimension query takes."""
+        if len(position) != len(self.order_cols):
+            raise ValueError(f"as_of needs one value per order column {self.order_cols}")
+        h = self.history()
+        # struct comparisons require matching field names on both sides
+        pos_from = F.struct(
+            *[F.lit(v).alias(f"valid_from_{c}") for v, c in zip(position, self.order_cols)]
+        )
+        pos_to = F.struct(
+            *[F.lit(v).alias(f"valid_to_{c}") for v, c in zip(position, self.order_cols)]
+        )
+        vfrom = F.struct(*[F.col(f"valid_from_{c}") for c in self.order_cols])
+        vto = F.struct(*[F.col(f"valid_to_{c}") for c in self.order_cols])
+        vto_open = F.col(f"valid_to_{self.order_cols[0]}").isNull()
+        return h.filter((vfrom <= pos_from) & (vto_open | (pos_to < vto)))
+
     def history(self) -> DataFrame:
         """The full SCD2 table: closed versions ∪ live versions."""
         import os
