@@ -75,6 +75,7 @@ _HEAD = {
     "ts_gap_fill": streaming,
     "ts_downsample_family": streaming,
     "ts_incremental_ohlc": streaming,
+    "ts_range_frame_movavg": streaming,
     "corpus_pack_whole_docs": curation,
     "fuzzy_join_part_names": text,
     "cdc_scd2_history": cdc,

@@ -490,11 +490,74 @@ FROM ranked GROUP BY user_id, b ORDER BY user_id, b
 """
 
 
+# --- RANGE-frame window (value-based frame, not row-based) -------------------
+MOVAVG_DAYS = 7
+
+
+def ts_range_frame_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average per user over daily value sums,
+    as a RANGE frame (``rangeBetween(-6, 0)`` on the day index) — the
+    value-based frame class the rest of the registry's windows (all
+    ROWS frames) don't cover. RANGE vs ROWS matters exactly when the
+    series has gaps: a missing day shrinks the window's row count but
+    not its day span, so the two frames genuinely diverge here (the
+    events series is sparse per user). The frame aggregate accumulates
+    in exact decimal, so the average is order-free on both engines."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select("user_id", bucketize_day(), "value")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sv"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-(MOVAVG_DAYS - 1), 0)
+    )
+    from xxt_cdc_spark.queries._util import DEC
+
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        "sv",
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+        F.round(
+            (F.sum(F.col("sv").cast(DEC)).over(w).cast("double") / F.count(F.lit(1)).over(w)),
+            9,
+        ).alias("mov_avg"),
+    ).orderBy("user_id", "day")
+
+
+def bucketize_day():
+    from xxt_cdc_spark.operators.gap_fill import bucketize
+
+    return bucketize("ts", 86_400).alias("day")
+
+
+RANGE_MOVAVG_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(epoch_us(ts) // {86_400 * 1_000_000} AS BIGINT) AS day,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n_events, sv,
+       COUNT(*) OVER w AS days_in_window,
+       round(CAST(SUM(CAST(sv AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 9) AS mov_avg
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN {MOVAVG_DAYS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
     "ts_incremental_ohlc": ts_incremental_ohlc,
+    "ts_range_frame_movavg": ts_range_frame_movavg,
     "stream_event_profiles": stream_event_profiles,
     "events_salted_agg": events_salted_agg,
     "stream_window_agg": stream_window_agg,
@@ -507,6 +570,7 @@ ORACLE = {
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
     "ts_incremental_ohlc": INCR_OHLC_SQL,
+    "ts_range_frame_movavg": RANGE_MOVAVG_SQL,
     "stream_event_profiles": EVENT_PROFILES_SQL,
     "events_salted_agg": SALTED_AGG_SQL,
     "stream_window_agg": WINDOW_AGG_SQL,
