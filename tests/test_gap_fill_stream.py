@@ -126,3 +126,57 @@ class TestStreamingGapFill:
         # hour-0 bucket holds ONLY the on-time event; the late 99.0 never lands
         first_b = min(b for (b, _o) in rows)
         assert rows[(first_b, 1)] == (1, 2.0)
+
+
+class TestStreamingGapFillAtScale:
+    def test_sf0001_events_match_batch_twin(self, spark, tmp_path):
+        """The whole sf0.001 events table streamed in four files: every
+        watermark-closed bucket matches the batch twin (values to 1e-9
+        — multi-event buckets sum in arrival order on the stream)."""
+        from xxt_cdc_spark.queries.streaming import _events
+
+        ev = _events(spark, "/root/testdata/sf0.001").select("user_id", "ts", "value", "event_id")
+        rows = ev.orderBy("ts", "event_id").collect()
+        src = tmp_path / "src"
+        src.mkdir()
+        chunk = (len(rows) + 3) // 4
+        for i in range(4):
+            with open(src / f"f{i}.json", "w") as f:
+                for r in rows[i * chunk : (i + 1) * chunk]:
+                    f.write(json.dumps({"user_id": r.user_id, "ts": r.ts.isoformat(), "value": r.value}) + "\n")
+        # sentinel far past the data finalizes every real bucket
+        with open(src / "f9.json", "w") as f:
+            for u in {r.user_id for r in rows}:
+                f.write(json.dumps({"user_id": u, "ts": "2030-01-01T00:00:00", "value": 0.0}) + "\n")
+
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
+        )
+        q = (
+            streaming_gap_fill(stream, bucket_seconds=3600, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r.user_id, r.b): (r.observed, r.n_events, r.sum_value)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        observed = (
+            ev.select("user_id", bucketize("ts", 3600).alias("b"), "value")
+            .groupBy("user_id", "b")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+        )
+        want = {
+            (r.user_id, r.b): (r.observed, r.n_events, r.sv_locf)
+            for r in gap_fill(observed, ["user_id"], "b", ["sv"], ["n_events"]).collect()
+        }
+        assert set(got) == set(want) and len(want) > 1000
+        for k, (obs, n, v) in want.items():
+            g_obs, g_n, g_v = got[k]
+            assert (g_obs, g_n) == (obs, n), k
+            assert abs(g_v - v) <= 1e-9 * max(1.0, abs(v)), k
