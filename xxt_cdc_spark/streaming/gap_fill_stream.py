@@ -114,7 +114,7 @@ def streaming_gap_fill(
     # the watermarked event-time column must SURVIVE the projection —
     # dropping it detaches the watermark and getCurrentWatermarkMs()
     # inside the state function raises
-    partial = events.select(
+    partial = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("user_id"),
         F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_us))
         .cast("long")
