@@ -469,6 +469,47 @@ class TestDedupRecall:
         with _pytest.raises(ValueError, match="max_broadcast_rows"):
             S.nsw_topk(emb, queries, k=10, max_broadcast_rows=10)
 
+    def test_hnsw_hierarchy_recall_and_exhaustive_limit(self, spark, sf_dir):
+        """HNSW: the hash-derived level assignment actually builds a
+        hierarchy (>1 layer on the 500-vector corpus), practical-ef
+        search reaches NSW-grade recall deterministically, and the
+        exhaustive-ef limit equals brute force exactly — the property
+        the ann_hnsw_topk oracle gates."""
+        import numpy as np
+        import pytest as _pytest
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+
+        rows = emb.select("vec_id", S.normalized("embedding").alias("v")).orderBy(
+            "vec_id"
+        ).collect()
+        mat = np.array([r.v for r in rows], dtype=np.float64)
+        layers, entry, entry_level = S.hnsw_build_index(mat, m=8)
+        assert entry_level >= 1 and len(layers) >= 2, "no hierarchy built"
+        # upper layers thin geometrically: strictly fewer members per level
+        sizes = [sum(1 for nb in layer if nb) for layer in layers]
+        assert sizes[0] > sizes[-1]
+
+        bf = S.brute_force_topk(emb, queries, k=10)
+        bf_rows = sorted(
+            (r.query_id, r.rank, r.item_id) for r in bf.collect()
+        )
+        # exhaustive limit: ef covering the corpus == brute force, exactly
+        ex = S.hnsw_topk(emb, queries, k=10, ef_search=1_000_000).collect()
+        assert sorted((r.query_id, r.rank, r.item_id) for r in ex) == bf_rows
+
+        h1 = S.hnsw_topk(emb, queries, k=10, m=8, ef_search=48).collect()
+        h2 = S.hnsw_topk(emb, queries, k=10, m=8, ef_search=48).collect()
+        assert sorted((r.query_id, r.rank, r.item_id) for r in h1) == sorted(
+            (r.query_id, r.rank, r.item_id) for r in h2
+        )
+        bf_set = {(r.query_id, r.item_id) for r in bf.collect()}
+        recall = sum(1 for r in h1 if (r.query_id, r.item_id) in bf_set) / len(bf_set)
+        assert recall >= 0.8, f"recall {recall:.2f}"
+        with _pytest.raises(ValueError, match="max_broadcast_rows"):
+            S.hnsw_topk(emb, queries, k=10, max_broadcast_rows=10)
+
     def test_ivf_nsw_composed_recall_and_determinism(self, spark, sf_dir):
         """IVF-routed per-bucket NSW (the above-broadcast-cap composed
         design): recall in flat IVF's neighborhood (same routing, so

@@ -921,3 +921,137 @@ def ivf_nsw_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "cosine")
     )
+
+
+def _hnsw_level(i: int, m: int) -> int:
+    """Deterministic HNSW level for node ``i``: a Knuth multiplicative
+    hash of the id stands in for the uniform draw, then the standard
+    geometric assignment ``floor(-ln(U) / ln(m))`` (Malkov & Yashunin
+    2018, mL = 1/ln(M)). Same distribution as the randomized original,
+    but reproducible across runs/engines — required for the value-hash
+    oracle."""
+    import math
+
+    h = (i * 2654435761) & 0xFFFFFFFF
+    u = (h + 0.5) / 2.0**32
+    return int(-math.log(u) / math.log(m))
+
+
+def hnsw_build_index(vecs, m: int = 8, ef_construction: int = 32):
+    """Hierarchical NSW over unit vectors: per-layer NSW graphs with
+    geometrically thinning membership, searched top-down so long-range
+    hops happen on the sparse upper layers (log-depth entry instead of
+    NSW's flat greedy walk from node 0).
+
+    Layer 0 contains every node and each insertion links to ≥1 existing
+    node there with bidirectional edges, so layer 0 is connected — the
+    property the exhaustive-ef oracle limit relies on (search with
+    ef ≥ n explores the whole component = brute force).
+
+    Returns ``(layers, entry, entry_level)`` where ``layers[l]`` is a
+    neighbor-list table (empty lists for nodes absent from the layer).
+    """
+    n = len(vecs)
+    levels = [_hnsw_level(i, m) for i in range(n)]
+    max_level = max(levels) if n else 0
+    layers: list[list[list[int]]] = [
+        [[] for _ in range(n)] for _ in range(max_level + 1)
+    ]
+    entry, entry_level = 0, levels[0] if n else 0
+    for i in range(1, n):
+        li = levels[i]
+        ep = entry
+        # greedy descent on the layers above the node's level
+        for lev in range(entry_level, li, -1):
+            ep = _nsw_search(vecs, layers[lev], vecs[i], 1, n_existing=i, entry=ep)[0]
+        # link on every layer the node joins
+        for lev in range(min(li, entry_level), -1, -1):
+            found = _nsw_search(
+                vecs, layers[lev], vecs[i], ef_construction, n_existing=i, entry=ep
+            )
+            links = found[:m]
+            layers[lev][i] = list(links)
+            for c in links:
+                layers[lev][c].append(i)
+            ep = found[0]
+        if li > entry_level:
+            entry, entry_level = i, li
+    return layers, entry, entry_level
+
+
+def _hnsw_search(vecs, layers, entry: int, entry_level: int, q, ef: int) -> list[int]:
+    """Top-down HNSW query: greedy ef=1 descent to layer 1, then a full
+    beam search on layer 0. Deterministic (inherits _nsw_search's
+    (score, id) tie-break)."""
+    n = len(vecs)
+    ep = entry
+    for lev in range(entry_level, 0, -1):
+        ep = _nsw_search(vecs, layers[lev], q, 1, n_existing=n, entry=ep)[0]
+    return _nsw_search(vecs, layers[0], q, ef, n_existing=n, entry=ep)
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef_search: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """HNSW ANN with the same serving shape as ``nsw_topk``: index built
+    once on the driver over the (bounded) corpus, broadcast, queries
+    streamed through mapInPandas in Arrow batches with an exact float64
+    cosine re-score. The hierarchy replaces NSW's flat entry walk with
+    log-depth descent — the win grows with corpus size at fixed recall.
+
+    Same broadcast-cap guard as nsw_topk; above it, compose with IVF
+    routing (``ivf_nsw_topk`` is the per-bucket scale design — an HNSW
+    drop-in there changes only the per-bucket build call).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = corpus.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
+            "use ivf_topk/ivf_nsw_topk (or raise the cap) — a driver-built "
+            "HNSW index is for broadcastable corpora"
+        )
+    rows = (
+        corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    layers, entry, entry_level = hnsw_build_index(mat, m=m)
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, layers, entry, entry_level))
+
+    def search(batches):
+        bids, bmat, blayers, bentry, belevel = b.value
+        id_of = {int(v): i for i, v in enumerate(bids)}
+        for pdf in batches:
+            out = []
+            for qid, qv in zip(pdf["query_id"], pdf["qv"]):
+                q = np.asarray(qv, dtype=np.float64)
+                found = _hnsw_search(bmat, blayers, bentry, belevel, q, ef_search)
+                self_idx = id_of.get(int(qid))
+                cand = [c for c in found if c != self_idx]
+                scores = bmat[cand] @ q
+                order = sorted(
+                    range(len(cand)), key=lambda t: (-scores[t], bids[cand[t]])
+                )[:k]
+                for rank, t in enumerate(order, 1):
+                    out.append((int(qid), rank, int(bids[cand[t]]), float(scores[t])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "rank", "item_id", "cosine"]
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv")
+    )
+    return q.mapInPandas(search, "query_id long, rank int, item_id long, cosine double")

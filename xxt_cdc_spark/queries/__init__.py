@@ -71,6 +71,7 @@ ORACLE: dict[str, str] = {}
 _HEAD = {
     "ann_nsw_topk": vector,
     "ann_ivf_nsw_topk": vector,
+    "ann_hnsw_topk": vector,
     "stream_interval_join": streaming,
     "ts_gap_fill": streaming,
     "ts_downsample_family": streaming,

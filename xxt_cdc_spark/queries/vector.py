@@ -84,6 +84,23 @@ ORDER BY query_id, rank
 """
 
 
+# --- HNSW hierarchy ANN, exhaustive-exploration limit ------------------------
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW (layered NSW with deterministic hash-derived levels) in the
+    same exhaustive-ef limit as ann_nsw_topk: layer 0 is connected by
+    construction, so ef covering the corpus makes the beam search equal
+    brute force exactly — gating the hierarchy build, descent, and
+    layer-0 search machinery. Practical-ef recall stays pytest-gated."""
+    e = _emb(spark, sf_dir)
+    out = S.hnsw_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K, ef_search=1_000_000
+    )
+    return out.withColumn("cosine", F.round("cosine", 9)).orderBy("query_id", "rank")
+
+
+ANN_HNSW_SQL = ANN_NSW_SQL
+
+
 # --- LSH-bucketed ANN (scale path) ------------------------------------------
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -505,6 +522,7 @@ ORDER BY i, j
 QUERIES = {
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
+    "ann_hnsw_topk": ann_hnsw_topk,
     "vector_hof_family": vector_hof_family,
     "multimodal_features": multimodal_features,
     "multimodal_process": multimodal_process,
@@ -519,6 +537,7 @@ QUERIES = {
 ORACLE = {
     "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
+    "ann_hnsw_topk": ANN_HNSW_SQL,
     "vector_hof_family": HOF_FAMILY_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_process": MULTIMODAL_PROCESS_SQL,
