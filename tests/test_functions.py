@@ -562,3 +562,13 @@ class TestDedupRecall:
         ).collect()
         key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
         assert key(flat) == key(composed)
+        # the per-bucket HNSW drop-in obeys the same exhaustive identity
+        composed_h = S.ivf_nsw_topk(
+            emb, queries, k=10, n_centroids=4, n_probe=4,
+            m=16, ef_search=10_000, centroids="fixed", graph="hnsw",
+        ).collect()
+        assert key(flat) == key(composed_h)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="graph must be"):
+            S.ivf_nsw_topk(emb, queries, k=10, graph="bogus")

@@ -851,11 +851,14 @@ def ivf_nsw_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: str = "kmeans",
+    graph: str = "nsw",
 ) -> DataFrame:
     """Composed scale-path ANN: IVF centroid routing + an NSW graph
     PER CENTROID PARTITION, built and searched inside the partition's
     own task (ROADMAP item 6 — the design for corpora above
-    ``nsw_topk``'s broadcast cap).
+    ``nsw_topk``'s broadcast cap). ``graph="hnsw"`` swaps the
+    per-bucket index for the layered hierarchy — same routing, same
+    plan shape, log-depth entry inside big buckets.
 
     Plan shape: one groupBy(centroid) ``applyInPandas`` receives each
     inverted list together with the queries routed to it (union of the
@@ -873,6 +876,8 @@ def ivf_nsw_topk(
     """
     import pandas as pd
 
+    if graph not in ("nsw", "hnsw"):
+        raise ValueError(f"graph must be 'nsw' or 'hnsw', got {graph!r}")
     assigned, probes = _ivf_assign(
         corpus, queries, n_centroids, n_probe, id_col, vec_col, seed, centroids
     )
@@ -900,11 +905,17 @@ def ivf_nsw_topk(
             return pd.DataFrame(columns=["query_id", "item_id", "cosine"])
         ids = it["vid"].to_numpy(dtype=np.int64)
         mat = np.array(list(it["v"]), dtype=np.float64)
-        neighbors = nsw_build_index(mat, m=m)
+        if graph == "hnsw":
+            layers, entry, entry_level = hnsw_build_index(mat, m=m)
+        else:
+            neighbors = nsw_build_index(mat, m=m)
         out = []
         for qid, qv in zip(qs["vid"], qs["v"]):
             q = np.asarray(qv, dtype=np.float64)
-            found = _nsw_search(mat, neighbors, q, ef_search, n_existing=len(ids))
+            if graph == "hnsw":
+                found = _hnsw_search(mat, layers, entry, entry_level, q, ef_search)
+            else:
+                found = _nsw_search(mat, neighbors, q, ef_search, n_existing=len(ids))
             for c in found:
                 if int(ids[c]) != int(qid):
                     out.append((int(qid), int(ids[c]), float(np.dot(mat[c], q))))
