@@ -469,6 +469,37 @@ class TestDedupRecall:
         with _pytest.raises(ValueError, match="max_broadcast_rows"):
             S.nsw_topk(emb, queries, k=10, max_broadcast_rows=10)
 
+    def test_incremental_ivf_pruning_replay_and_reopen(self, spark, sf_dir, tmp_path):
+        """IncrementalIVF: updates rewrite only the touched centroid
+        partitions, chunk replay is a no-op merge, partial-probe recall
+        is reasonable, and a reopened index (fresh instance, same path)
+        routes identically via the persisted centroid sidecar."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5)
+        idx = S.IncrementalIVF(spark, str(tmp_path / "ivf"), n_centroids=8)
+        idx.init(emb)
+        stats1 = idx.update(emb.filter(F.col("vec_id") % 2 == 0), chunk_id=0)
+        assert 0 < len(stats1["touched_buckets"]) <= 8
+        idx.update(emb.filter(F.col("vec_id") % 2 == 1), chunk_id=1)
+        n_before = idx.store.read().count()
+        # replaying chunk 0 must not add, drop, or move rows
+        idx.update(emb.filter(F.col("vec_id") % 2 == 0), chunk_id=0)
+        assert idx.store.read().count() == n_before == emb.count()
+
+        bf_set = {
+            (r.query_id, r.item_id)
+            for r in S.brute_force_topk(emb, queries, k=10).collect()
+        }
+        part = idx.topk(queries, k=10, n_probe=3).collect()
+        recall = sum(1 for r in part if (r.query_id, r.item_id) in bf_set) / len(bf_set)
+        assert recall >= 0.5, f"partial-probe recall {recall:.2f}"
+
+        # reopen: a fresh instance on the same path must answer identically
+        idx2 = S.IncrementalIVF(spark, str(tmp_path / "ivf"), n_centroids=8)
+        again = idx2.topk(queries, k=10, n_probe=3).collect()
+        key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
+        assert key(part) == key(again)
+
     def test_hnsw_hierarchy_recall_and_exhaustive_limit(self, spark, sf_dir):
         """HNSW: the hash-derived level assignment actually builds a
         hierarchy (>1 layer on the 500-vector corpus), practical-ef

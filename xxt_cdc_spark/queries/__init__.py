@@ -64,7 +64,7 @@ ORACLE: dict[str, str] = {}
 # family's evidence stays ≤1 round old: r3 swept cdc/text/relational2/
 # streaming-head (CORRECTNESS_r03 50/50 green), so r4 leads with the
 # families r3 cut off — the never-driver-swept queries pinned first
-# (NSW ANN pair + the new HNSW, then every query new in r4: the
+# (NSW ANN pair + the new HNSW and incremental-IVF, then every query new in r4: the
 # stream-stream interval join, the sketch family, the time-series
 # family, whole-doc packing, and the fuzzy join), then vector, corpus,
 # curation, relational, and the streaming tail; cdc/text/relational2
@@ -73,6 +73,7 @@ _HEAD = {
     "ann_nsw_topk": vector,
     "ann_ivf_nsw_topk": vector,
     "ann_hnsw_topk": vector,
+    "ann_incremental_ivf": vector,
     "stream_interval_join": streaming,
     "ts_gap_fill": streaming,
     "ts_downsample_family": streaming,

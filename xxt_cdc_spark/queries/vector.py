@@ -101,6 +101,34 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_HNSW_SQL = ANN_NSW_SQL
 
 
+# --- incremental IVF index, exhaustive-probe limit ----------------------------
+def ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalIVF: the corpus arrives in three chunks folded into a
+    persistent centroid-partitioned index (chunk 0 replayed to prove
+    the merge is idempotent), then queried with n_probe covering every
+    inverted list — which must equal brute force over ALL ingested
+    vectors exactly. Gates routing, bucketed storage, partition-pruned
+    probes, and the LWW chunk merge; partial-probe recall is
+    pytest-gated."""
+    import shutil
+    import tempfile
+
+    e = _emb(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="xxt_incr_ivf_")
+    try:
+        idx = S.IncrementalIVF(spark, state, n_centroids=8)
+        idx.init(e)
+        for c in (0, 1, 2, 0):  # chunk 0 twice: replay must be a no-op
+            idx.update(e.filter(F.col("vec_id") % 3 == c), chunk_id=c)
+        out = idx.topk(e.filter(F.col("vec_id") < N_QUERIES), TOP_K, n_probe=8)
+        return out.orderBy("query_id", "rank").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+ANN_INCR_IVF_SQL = ANN_TOPK_SQL
+
+
 # --- LSH-bucketed ANN (scale path) ------------------------------------------
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -523,6 +551,7 @@ QUERIES = {
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
     "ann_hnsw_topk": ann_hnsw_topk,
+    "ann_incremental_ivf": ann_incremental_ivf,
     "vector_hof_family": vector_hof_family,
     "multimodal_features": multimodal_features,
     "multimodal_process": multimodal_process,
@@ -538,6 +567,7 @@ ORACLE = {
     "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
     "ann_hnsw_topk": ANN_HNSW_SQL,
+    "ann_incremental_ivf": ANN_INCR_IVF_SQL,
     "vector_hof_family": HOF_FAMILY_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_process": MULTIMODAL_PROCESS_SQL,
