@@ -500,6 +500,43 @@ class TestDedupRecall:
         key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
         assert key(part) == key(again)
 
+    def test_incremental_ivf_streaming_composition(self, spark, sf_dir, tmp_path):
+        """End-to-end streaming composition: vector files drained with
+        availableNow fold into the persistent index via foreachBatch
+        (batch id = chunk id, so a replayed batch is idempotent); the
+        exhaustive-probe answer afterwards equals brute force over the
+        whole corpus — same identity the oracle gates, now reached
+        through the streaming path."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        src = str(tmp_path / "src")
+        for c in range(3):
+            emb.filter(F.col("vec_id") % 3 == c).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        idx = S.IncrementalIVF(spark, str(tmp_path / "ivf"), n_centroids=8)
+        idx.init(emb)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch: idx.update(df, chunk_id=epoch)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert idx.store.read().count() == emb.count()
+        queries = emb.filter(F.col("vec_id") < 5)
+        got = idx.topk(queries, k=10, n_probe=8).collect()
+        bf = S.brute_force_topk(emb, queries, k=10).collect()
+        key = lambda rows: sorted((r.query_id, r.rank, r.item_id) for r in rows)
+        assert key(got) == key(bf)
+
     def test_hnsw_hierarchy_recall_and_exhaustive_limit(self, spark, sf_dir):
         """HNSW: the hash-derived level assignment actually builds a
         hierarchy (>1 layer on the 500-vector corpus), practical-ef
