@@ -555,9 +555,17 @@ class TestDedupRecall:
         mat = np.array([r.v for r in rows], dtype=np.float64)
         layers, entry, entry_level = S.hnsw_build_index(mat, m=8)
         assert entry_level >= 1 and len(layers) >= 2, "no hierarchy built"
-        # upper layers thin geometrically: strictly fewer members per level
+        # the level DISTRIBUTION must be real: with m=8 about n/8 nodes
+        # sit on layer 1+ (not just a degenerate hash tail) and upper
+        # layers thin geometrically
         sizes = [sum(1 for nb in layer if nb) for layer in layers]
-        assert sizes[0] > sizes[-1]
+        assert sizes[1] >= len(mat) // 32, f"layer-1 membership {sizes[1]} too thin"
+        assert sizes[0] > sizes[1]
+        import math as _math
+
+        assert len(layers) <= int(_math.log(len(mat)) / _math.log(8)) + 2
+        with _pytest.raises(ValueError, match="m must be"):
+            S.hnsw_build_index(mat, m=1)
 
         bf = S.brute_force_topk(emb, queries, k=10)
         bf_rows = sorted(

@@ -126,6 +126,33 @@ def normalized(vec_col: str) -> Column:
     )
 
 
+def _nearest_centroids(
+    df: DataFrame,
+    cen_df: DataFrame,
+    n_take: int,
+    id_out: str,
+    vec_out: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared centroid routing: rank the (broadcastable) centroid set
+    by cosine per input vector — deterministic ties on centroid id —
+    and keep the ``n_take`` nearest. ``n_take=1`` is corpus assignment;
+    ``n_take=n_probe`` is query probe selection. Returns
+    ``(id_out, vec_out, centroid)``."""
+    scored = (
+        df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out))
+        .crossJoin(F.broadcast(cen_df))
+        .withColumn("csim", dot(vec_out, "cvec") / (norm(vec_out) * norm("cvec")))
+    )
+    w = Window.partitionBy(id_out).orderBy(F.col("csim").desc(), F.col("centroid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_take)
+        .select(id_out, vec_out, "centroid")
+    )
+
+
 def _ivf_assign(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,15 +176,8 @@ def _ivf_assign(
             F.col(id_col).cast("long").alias("centroid"),
             F.col(vec_col).alias("cvec"),
         )
-        c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("cv"))
-        scored_c = c.crossJoin(F.broadcast(cen_df)).withColumn(
-            "csim", dot("cv", "cvec") / (norm("cv") * norm("cvec"))
-        )
-        w_assign = Window.partitionBy("item_id").orderBy(F.col("csim").desc(), F.col("centroid"))
-        assigned = (
-            scored_c.withColumn("arank", F.row_number().over(w_assign))
-            .filter(F.col("arank") == 1)
-            .select("item_id", "cv", "centroid")
+        assigned = _nearest_centroids(
+            corpus, cen_df, 1, "item_id", "cv", id_col, vec_col
         )
     elif centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -182,16 +202,8 @@ def _ivf_assign(
 
     # rank centroids per query by cosine, take n_probe (broadcastable:
     # centroid count is tiny)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    q_cen = (
-        q.crossJoin(F.broadcast(cen_df))
-        .withColumn("csim", dot("qv", "cvec") / (norm("qv") * norm("cvec")))
-    )
-    w_c = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid"))
-    probes = (
-        q_cen.withColumn("crank", F.row_number().over(w_c))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "centroid")
+    probes = _nearest_centroids(
+        queries, cen_df, n_probe, "query_id", "qv", id_col, vec_col
     )
     return assigned, probes
 
@@ -764,33 +776,26 @@ def nsw_build_index(vecs, m: int = 8, ef_construction: int = 32) -> list[list[in
     return neighbors
 
 
-def nsw_topk(
+def _broadcast_graph_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    m: int = 8,
-    ef_search: int = 48,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_broadcast_rows: int = 200_000,
+    k: int,
+    m: int,
+    ef_search: int,
+    id_col: str,
+    vec_col: str,
+    max_broadcast_rows: int,
+    graph: str,
 ) -> DataFrame:
-    """Graph-index ANN: an NSW graph built once on the driver over the
-    (bounded) corpus, broadcast to executors, searched per query batch
-    with a vectorized re-score (ROADMAP round-3 item 4a).
-
-    This is the BROADCASTABLE-INDEX case: graph search is inherently
-    sequential per query (data-dependent hops), so it cannot be a
-    DataFrame plan — but the QUERY side is the big side at serving
-    time, and it streams through mapInPandas in Arrow batches while
-    the index rides the broadcast. Above ``max_broadcast_rows`` the
-    index no longer fits the pattern — the guard refuses and points at
-    ``ivf_topk``/``lsh_bucketed_topk`` (at 100 TB: IVF routing with a
-    per-bucket NSW is the composed design; same guard philosophy as
-    ``cosine_neardup_pairs``).
-
-    Scores are exact cosines re-computed on the normalized float64
-    matrix, so shared pairs match brute force to float precision.
-    """
+    """Shared serving shape for the driver-built broadcast graph
+    indexes (NSW and HNSW): count guard, deterministic id-ordered
+    collect, index build, broadcast, then the query side streamed
+    through mapInPandas in Arrow batches with an exact float64 cosine
+    re-score. Graph search is inherently sequential per query
+    (data-dependent hops), so it cannot be a DataFrame plan — but the
+    QUERY side is the big side at serving time. Above
+    ``max_broadcast_rows`` the guard refuses and points at the IVF
+    composition (same philosophy as ``cosine_neardup_pairs``)."""
     import numpy as np
     import pandas as pd
 
@@ -798,8 +803,8 @@ def nsw_topk(
     if n > max_broadcast_rows:
         raise ValueError(
             f"corpus has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
-            "use ivf_topk/lsh_bucketed_topk (or raise the cap) — a "
-            "driver-built NSW index is for broadcastable corpora"
+            f"use ivf_topk/ivf_nsw_topk (or raise the cap) — a driver-built "
+            f"{graph.upper()} index is for broadcastable corpora"
         )
     rows = (
         corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
@@ -808,19 +813,26 @@ def nsw_topk(
     )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    neighbors = nsw_build_index(mat, m=m)
+    if graph == "hnsw":
+        index = hnsw_build_index(mat, m=m)
+    else:
+        index = nsw_build_index(mat, m=m)
     sc = corpus.sparkSession.sparkContext
-    b = sc.broadcast((ids, mat, neighbors))
+    b = sc.broadcast((ids, mat, index))
 
     def search(batches):
-        bids, bmat, bnb = b.value
+        bids, bmat, bindex = b.value
         n_nodes = len(bids)
         id_of = {int(v): i for i, v in enumerate(bids)}
         for pdf in batches:
             out = []
             for qid, qv in zip(pdf["query_id"], pdf["qv"]):
                 q = np.asarray(qv, dtype=np.float64)
-                found = _nsw_search(bmat, bnb, q, ef_search, n_existing=n_nodes)
+                if graph == "hnsw":
+                    layers, entry, entry_level = bindex
+                    found = _hnsw_search(bmat, layers, entry, entry_level, q, ef_search)
+                else:
+                    found = _nsw_search(bmat, bindex, q, ef_search, n_existing=n_nodes)
                 self_idx = id_of.get(int(qid))
                 cand = [c for c in found if c != self_idx]
                 scores = bmat[cand] @ q
@@ -837,6 +849,29 @@ def nsw_topk(
         F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv")
     )
     return q.mapInPandas(search, "query_id long, rank int, item_id long, cosine double")
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ef_search: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """Graph-index ANN: an NSW graph built once on the driver over the
+    (bounded) corpus, broadcast to executors, searched per query batch
+    with a vectorized re-score (ROADMAP round-3 item 4a). Serving
+    shape and guard: see ``_broadcast_graph_topk``.
+
+    Scores are exact cosines re-computed on the normalized float64
+    matrix, so shared pairs match brute force to float precision.
+    """
+    return _broadcast_graph_topk(
+        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "nsw"
+    )
 
 
 def ivf_nsw_topk(
@@ -940,10 +975,12 @@ def _hnsw_level(i: int, m: int) -> int:
     geometric assignment ``floor(-ln(U) / ln(m))`` (Malkov & Yashunin
     2018, mL = 1/ln(M)). Same distribution as the randomized original,
     but reproducible across runs/engines — required for the value-hash
-    oracle."""
+    oracle. The +1 keeps id 0 off the hash's fixed point (h(0)=0 would
+    deterministically pin node 0 at the distribution's extreme tail,
+    forcing a ~12-layer tower on every index)."""
     import math
 
-    h = (i * 2654435761) & 0xFFFFFFFF
+    h = ((i + 1) * 2654435761) & 0xFFFFFFFF
     u = (h + 0.5) / 2.0**32
     return int(-math.log(u) / math.log(m))
 
@@ -957,18 +994,45 @@ def hnsw_build_index(vecs, m: int = 8, ef_construction: int = 32):
     Layer 0 contains every node and each insertion links to ≥1 existing
     node there with bidirectional edges, so layer 0 is connected — the
     property the exhaustive-ef oracle limit relies on (search with
-    ef ≥ n explores the whole component = brute force).
+    ef ≥ n explores the whole component = brute force). For that same
+    reason degree pruning applies to the UPPER layers only (cap 2m):
+    pruning a layer-0 reverse edge could orphan a node's last in-edge
+    and silently break the exhaustive guarantee, so layer 0 accepts
+    hub degree like flat NSW does — the hierarchy, not layer-0 degree
+    bounds, is what buys the entry speedup.
+
+    Levels are additionally capped at ceil(log_m(n)) + 1: the expected
+    maximum for n draws, so a hash-tail outlier cannot force layers
+    beyond what the corpus size justifies.
 
     Returns ``(layers, entry, entry_level)`` where ``layers[l]`` is a
     neighbor-list table (empty lists for nodes absent from the layer).
     """
+    import math
+
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
     n = len(vecs)
-    levels = [_hnsw_level(i, m) for i in range(n)]
+    cap = int(math.log(max(n, 2)) / math.log(m)) + 1
+    levels = [min(_hnsw_level(i, m), cap) for i in range(n)]
     max_level = max(levels) if n else 0
     layers: list[list[list[int]]] = [
         [[] for _ in range(n)] for _ in range(max_level + 1)
     ]
     entry, entry_level = 0, levels[0] if n else 0
+
+    def prune(lev: int, node: int) -> None:
+        # upper layers only: keep the 2m highest-cosine neighbors
+        # (deterministic tie-break on id)
+        import numpy as np
+
+        nbs = layers[lev][node]
+        if len(nbs) <= 2 * m:
+            return
+        scores = [(float(np.dot(vecs[nb], vecs[node])), -nb) for nb in nbs]
+        order = sorted(zip(scores, nbs), reverse=True)
+        layers[lev][node] = [nb for _, nb in order[: 2 * m]]
+
     for i in range(1, n):
         li = levels[i]
         ep = entry
@@ -984,6 +1048,8 @@ def hnsw_build_index(vecs, m: int = 8, ef_construction: int = 32):
             layers[lev][i] = list(links)
             for c in links:
                 layers[lev][c].append(i)
+                if lev > 0:
+                    prune(lev, c)
             ep = found[0]
         if li > entry_level:
             entry, entry_level = i, li
@@ -1011,76 +1077,29 @@ def hnsw_topk(
     vec_col: str = "embedding",
     max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
-    """HNSW ANN with the same serving shape as ``nsw_topk``: index built
-    once on the driver over the (bounded) corpus, broadcast, queries
-    streamed through mapInPandas in Arrow batches with an exact float64
-    cosine re-score. The hierarchy replaces NSW's flat entry walk with
-    log-depth descent — the win grows with corpus size at fixed recall.
-
-    Same broadcast-cap guard as nsw_topk; above it, compose with IVF
-    routing (``ivf_nsw_topk`` is the per-bucket scale design — an HNSW
-    drop-in there changes only the per-bucket build call).
+    """HNSW ANN with the same serving shape as ``nsw_topk`` (see
+    ``_broadcast_graph_topk`` for the guard and streaming pattern).
+    The hierarchy replaces NSW's flat entry walk with log-depth
+    descent — the win grows with corpus size at fixed recall. Above
+    the broadcast cap, compose with IVF routing
+    (``ivf_nsw_topk(graph='hnsw')`` is the per-bucket scale design).
     """
-    import numpy as np
-    import pandas as pd
-
-    n = corpus.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"corpus has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
-            "use ivf_topk/ivf_nsw_topk (or raise the cap) — a driver-built "
-            "HNSW index is for broadcastable corpora"
-        )
-    rows = (
-        corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
-        .orderBy(id_col)
-        .collect()
+    return _broadcast_graph_topk(
+        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "hnsw"
     )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    layers, entry, entry_level = hnsw_build_index(mat, m=m)
-    sc = corpus.sparkSession.sparkContext
-    b = sc.broadcast((ids, mat, layers, entry, entry_level))
-
-    def search(batches):
-        bids, bmat, blayers, bentry, belevel = b.value
-        id_of = {int(v): i for i, v in enumerate(bids)}
-        for pdf in batches:
-            out = []
-            for qid, qv in zip(pdf["query_id"], pdf["qv"]):
-                q = np.asarray(qv, dtype=np.float64)
-                found = _hnsw_search(bmat, blayers, bentry, belevel, q, ef_search)
-                self_idx = id_of.get(int(qid))
-                cand = [c for c in found if c != self_idx]
-                scores = bmat[cand] @ q
-                order = sorted(
-                    range(len(cand)), key=lambda t: (-scores[t], bids[cand[t]])
-                )[:k]
-                for rank, t in enumerate(order, 1):
-                    out.append((int(qid), rank, int(bids[cand[t]]), float(scores[t])))
-            yield pd.DataFrame(
-                out, columns=["query_id", "rank", "item_id", "cosine"]
-            )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), normalized(vec_col).alias("qv")
-    )
-    return q.mapInPandas(search, "query_id long, rank int, item_id long, cosine double")
 
 
-class _CentroidBucketedState:
+def _centroid_bucketed_state(spark, root: str, id_col: str, n_centroids: int):
     """ParquetStateTable variant whose bucket IS the centroid column —
     the inverted lists become the partition directories, so a probe
     reads exactly its ``n_probe`` lists via partition pruning."""
+    from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
 
-    def __new__(cls, spark, root: str, id_col: str, n_centroids: int):
-        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+    class _CentroidState(ParquetStateTable):
+        def _bucket_col(self):
+            return F.col("centroid").cast("int")
 
-        class _State(ParquetStateTable):
-            def _bucket_col(self):
-                return F.col("centroid").cast("int")
-
-        return _State(spark, root, key_cols=[id_col], n_buckets=n_centroids)
+    return _CentroidState(spark, root, key_cols=[id_col], n_buckets=n_centroids)
 
 
 class IncrementalIVF:
@@ -1122,7 +1141,7 @@ class IncrementalIVF:
         self.n_centroids = n_centroids
         self.id_col = id_col
         self.vec_col = vec_col
-        self.store = _CentroidBucketedState(
+        self.store = _centroid_bucketed_state(
             spark, os.path.join(path, "vectors"), id_col, n_centroids
         )
         self._cen_path = os.path.join(path, "_centroids.json")
@@ -1163,35 +1182,31 @@ class IncrementalIVF:
     def _centroids_df(self) -> DataFrame:
         import json
 
-        with open(self._cen_path) as f:
-            cens = json.load(f)
+        try:
+            with open(self._cen_path) as f:
+                cens = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"IncrementalIVF at {self.path} not initialized; call init() first"
+            ) from None
         return self.spark.createDataFrame(
             [(i, v) for i, v in enumerate(cens)], "centroid int, cvec array<double>"
         )
 
     def _assign(self, df: DataFrame) -> DataFrame:
-        """Nearest-centroid routing (deterministic: cosine desc, then
-        centroid id) via the broadcastable pinned centroid set."""
-        cen = self._centroids_df()
-        scored = (
-            df.select(
-                F.col(self.id_col).cast("long").alias(self.id_col),
-                F.col(self.vec_col),
-            )
-            .crossJoin(F.broadcast(cen))
-            .withColumn(
-                "csim",
-                dot(self.vec_col, "cvec") / (norm(self.vec_col) * norm("cvec")),
-            )
+        """Nearest-centroid routing via the shared
+        ``_nearest_centroids`` kernel (deterministic: cosine desc,
+        then centroid id) against the pinned centroid set."""
+        routed = _nearest_centroids(
+            df.select(F.col(self.id_col).cast("long").alias(self.id_col), self.vec_col),
+            self._centroids_df(),
+            1,
+            self.id_col,
+            self.vec_col,
+            self.id_col,
+            self.vec_col,
         )
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.col("csim").desc(), F.col("centroid")
-        )
-        return (
-            scored.withColumn("arank", F.row_number().over(w))
-            .filter(F.col("arank") == 1)
-            .select(self.id_col, self.vec_col, "centroid")
-        )
+        return routed.select(self.id_col, self.vec_col, "centroid")
 
     def update(self, chunk: DataFrame, chunk_id: int) -> dict:
         """Fold a vector chunk into its inverted lists. Only the
@@ -1209,21 +1224,10 @@ class IncrementalIVF:
         a partition-pruned read of exactly those lists — and rank
         candidates by the exact JVM-fold cosine (bit-identical to the
         DuckDB oracle's in-order fold)."""
-        cen = self._centroids_df()
-        q = queries.select(
-            F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("qv")
-        )
-        q_cen = q.crossJoin(F.broadcast(cen)).withColumn(
-            "csim", dot("qv", "cvec") / (norm("qv") * norm("cvec"))
-        )
-        w_c = Window.partitionBy("query_id").orderBy(
-            F.col("csim").desc(), F.col("centroid")
-        )
-        probes = (
-            q_cen.withColumn("crank", F.row_number().over(w_c))
-            .filter(F.col("crank") <= n_probe)
-            .select("query_id", "qv", "centroid")
-        )
+        probes = _nearest_centroids(
+            queries, self._centroids_df(), n_probe, "query_id", "qv",
+            self.id_col, self.vec_col,
+        ).localCheckpoint(eager=True)  # reused twice below — plan runs once
         # bounded metadata collect: the probed list ids (≤ n_centroids)
         probed = sorted(
             r[0] for r in probes.select("centroid").distinct().collect()
