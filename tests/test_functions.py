@@ -4,6 +4,7 @@ agreement, dedup recall."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xxt_cdc_spark.functions import dedup as D
@@ -151,11 +152,14 @@ class TestSimilarityFastPath:
                 assert abs(bf_scores[(r.query_id, r.item_id)] - r.cosine) < 1e-12
 
     def test_large_corpus_avoids_driver_collect(self, spark, sf_dir):
-        """Above max_broadcast_rows the near-dup default must take the
-        distributed fold plan (no mapInPandas over a driver-collected
-        broadcast matrix) and still return the identical pair set."""
+        """Above max_broadcast_rows the exact near-dup default must
+        REFUSE (the old silent fold fallback was a distributed O(N²)
+        crossJoin — r4 VERDICT wrong-item 2); the explicit 'fold'
+        strategy stays available and identical."""
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        guarded = S.cosine_neardup_pairs(emb, 0.45, max_broadcast_rows=10)
+        with pytest.raises(ValueError, match="max_broadcast_rows"):
+            S.cosine_neardup_pairs(emb, 0.45, max_broadcast_rows=10)
+        guarded = S.cosine_neardup_pairs(emb, 0.45, max_broadcast_rows=10, strategy="fold")
         plan = guarded._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan
         default = sorted((r.i, r.j, r.cosine) for r in S.cosine_neardup_pairs(emb, 0.45).collect())

@@ -485,3 +485,88 @@ class TestSinkFactoryTemplate:
         df = spark.range(1).selectExpr("'d' db")
         with _pytest.raises(ValueError):
             apply_batch_fanout(df)
+
+
+class TestFanoutArrowParity:
+    def test_arrow_equals_row_path(self, spark, tmp_path):
+        """The Arrow-block fanout (default) must converge each target
+        to exactly what the legacy per-row RDD path produces, deletes
+        and unregistered tables included."""
+        import sqlite3
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import (
+            JdbcUpsertWriter,
+            TableSink,
+            apply_batch_fanout,
+        )
+
+        n_tables, n_events = 8, 300
+        base = spark.range(n_events).select(
+            F.lit("d").alias("db"),
+            F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+            # every 10th key becomes a delete of the row its earlier
+            # upsert created (higher pos_offset wins the LWW collapse)
+            F.when(F.col("id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("binlog.000001").alias("pos_file"),
+            (F.col("id") + 1_000_000).alias("pos_offset"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.to_json(F.struct(F.floor(F.col("id") / n_tables).alias("k"))).alias("key"),
+            F.lit(None).cast("string").alias("before"),
+            F.when(
+                F.col("id") % 10 == 0, F.lit(None).cast("string")
+            ).otherwise(
+                F.to_json(
+                    F.struct(
+                        F.floor(F.col("id") / n_tables).alias("k"), F.col("id").alias("v")
+                    )
+                )
+            ).alias("after"),
+        )
+        # one table stays unregistered on both paths
+        registered = [f"t{i}" for i in range(n_tables - 1)]
+
+        def setup_db(path):
+            con = sqlite3.connect(path)
+            for t in registered:
+                con.execute(f"CREATE TABLE {t} (k INTEGER PRIMARY KEY, v INTEGER)")
+            con.commit()
+            con.close()
+
+        def mk_sinks(db):
+            return {
+                t: TableSink(
+                    writer_factory=lambda t=t: JdbcUpsertWriter(
+                        connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                        table=t,
+                        columns=["k", "v"],
+                        key_cols=["k"],
+                        dialect="sqlite",
+                    ),
+                    key_cols=["k"],
+                    schema=None,
+                )
+                for t in registered
+            }
+
+        db_a, db_r = str(tmp_path / "arrow.db"), str(tmp_path / "rowp.db")
+        setup_db(db_a)
+        setup_db(db_r)
+        a_arrow = apply_batch_fanout(base, sinks=mk_sinks(db_a), num_partitions=3)
+        a_rows = apply_batch_fanout(
+            base, sinks=mk_sinks(db_r), num_partitions=3, arrow=False
+        )
+        assert a_arrow == a_rows
+
+        def dump(path):
+            con = sqlite3.connect(path)
+            out = {
+                t: con.execute(f"SELECT k, v FROM {t} ORDER BY k").fetchall()
+                for t in registered
+            }
+            con.close()
+            return out
+
+        assert dump(db_a) == dump(db_r)

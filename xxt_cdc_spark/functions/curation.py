@@ -248,8 +248,12 @@ def pack_bins_whole(
         pdf["bin"] = bins
         return pdf
 
+    # id field type mirrors the input schema (r4 ADVICE: a hardcoded
+    # 'long' broke non-long id columns at execution; pack_bins derives
+    # its schema the same way)
+    id_type = df.schema[id_col].dataType.simpleString()
     return sized.groupBy("shard").applyInPandas(
-        pack, schema=f"{id_col} long, shard string, n_tok long, bin long"
+        pack, schema=f"{id_col} {id_type}, shard string, n_tok long, bin long"
     )
 
 

@@ -297,78 +297,89 @@ def connected_components(
     untouched vertices to themselves. Identical output, zero fixpoint
     shuffles. The distributed loop remains the path for dense graphs.
     """
+    # persist: both paths touch the edge set at least twice (count +
+    # collect, or count + every fixpoint join). Unpersisted in the
+    # finally — both returned plans are edge-independent by then (the
+    # driver path collected eagerly; loop labels are localCheckpoint'd
+    # each iteration) so long pipelines don't leak cached partitions.
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        parent: dict = {}
+    sym = None
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            parent: dict = {}
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
 
-        # collect, not toLocalIterator: the latter fetches partitions
-        # sequentially (one job each); the edge list is driver-bounded
-        for row in edges.select("i", "j").collect():
-            ri, rj = find(row[0]), find(row[1])
-            if ri != rj:
-                # min id becomes the root so the label IS min(reachable)
-                lo, hi = (ri, rj) if ri < rj else (rj, ri)
-                parent[hi] = lo
-        mapping = [(x, find(x)) for x in parent]
-        spark = vertices.sparkSession
-        if mapping:
-            id_field = vertices.schema[id_col].dataType
-            mdf = spark.createDataFrame(
-                mapping, T.StructType([
-                    T.StructField("a", id_field), T.StructField("__comp", id_field),
-                ])
-            )
-            return (
-                vertices.select(F.col(id_col).alias("a"))
-                .join(F.broadcast(mdf), "a", "left")
-                .select(
-                    F.col("a").alias(id_col),
-                    F.coalesce(F.col("__comp"), F.col("a")).alias("component"),
+            # collect, not toLocalIterator: the latter fetches partitions
+            # sequentially (one job each); the edge list is driver-bounded
+            for row in edges.select("i", "j").collect():
+                ri, rj = find(row[0]), find(row[1])
+                if ri != rj:
+                    # min id becomes the root so the label IS min(reachable)
+                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                    parent[hi] = lo
+            mapping = [(x, find(x)) for x in parent]
+            spark = vertices.sparkSession
+            if mapping:
+                id_field = vertices.schema[id_col].dataType
+                mdf = spark.createDataFrame(
+                    mapping, T.StructType([
+                        T.StructField("a", id_field), T.StructField("__comp", id_field),
+                    ])
                 )
+                return (
+                    vertices.select(F.col(id_col).alias("a"))
+                    .join(F.broadcast(mdf), "a", "left")
+                    .select(
+                        F.col("a").alias(id_col),
+                        F.coalesce(F.col("__comp"), F.col("a")).alias("component"),
+                    )
+                )
+            return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+        sym = (
+            edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
+            .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
+            .distinct()
+            .persist()  # re-joined every fixpoint iteration
+        )
+        labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("a", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("component").alias("nmin"))
             )
-        return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
-    sym = (
-        edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
-        .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
-        .distinct()
-        .persist()  # re-joined every fixpoint iteration
-    )
-    labels = vertices.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("a", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "a", "left")
-            .select(
-                "a",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
+            updated = (
+                labels.join(neighbor_min, "a", "left")
+                .select(
+                    "a",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()  # fixpoint loop: cut the growing lineage
             )
-            .localCheckpoint()  # fixpoint loop: cut the growing lineage
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "a")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    return labels.select(F.col("a").alias(id_col), "component")
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "a")
+                .filter(F.col("u.component") != F.col("l.component"))
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                break
+        return labels.select(F.col("a").alias(id_col), "component")
+    finally:
+        edges.unpersist()
+        if sym is not None:
+            sym.unpersist()
 
 
 def dedup_clusters(

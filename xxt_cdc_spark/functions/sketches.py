@@ -389,6 +389,19 @@ def _cm_cell(key_col: str, w: int) -> Column:
     return _h60_of(seed) % F.lit(w)
 
 
+def _cm_cell_at(key_col: str, w: int, j: int):
+    """Cell index for a FIXED hash row ``j`` — the map-side form of
+    ``_cm_cell`` (identical seed string: str(j) == int-cast-to-string),
+    used where no exploded ``j`` column exists."""
+    seed = F.concat(
+        F.lit(CM_SALT),
+        F.lit(str(j)),
+        F.lit("|"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit(CM_NULL_SENTINEL)),
+    )
+    return _h60_of(seed) % F.lit(w)
+
+
 def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> DataFrame:
     """Merge counter tables: union + per-cell sum (the CM sketch is a
     linear projection, so addition composes exactly)."""
@@ -402,30 +415,38 @@ def cm_heavy_hitters(
     threshold: int,
     d: int = CM_D,
     w: int | None = None,
-    max_broadcast_keys: int = 2_000_000,
+    max_broadcast_cells: int = 1 << 22,
 ) -> DataFrame:
     """EXACT heavy hitters (count ≥ threshold) with a sketch-pruned
     plan: (key, n) for every key whose true frequency clears the
     threshold (NULL is a key like any other, matching GROUP BY).
 
-    Losslessness: CM never underestimates, so the candidate set
-    {key : cm_est(key) ≥ threshold} is a SUPERSET of the true heavy
-    hitters; the exact count pass over candidate rows then yields
+    Losslessness: CM never underestimates, so the row set
+    {row : cm_est(row.key) ≥ threshold} is a SUPERSET of the true heavy
+    hitters' rows; the exact count pass over surviving rows then yields
     exactly the true answer — same candidates-then-verify shape as the
     SimHash pigeonhole index (functions/dedup.py).
 
+    Plan shape (r4 ADVICE fix): the ROW-side pruning is map-side — the
+    d counter-table slices are broadcast and each row looks up its d
+    cells via broadcast hash joins on the computed cell index, keeping
+    a row only when min(cells) ≥ threshold. No ``distinct()`` over the
+    key domain anywhere: the only key-domain-sized shuffle in the plan
+    is the final exact aggregation, and it carries ONLY surviving rows
+    (true hitters plus the thin collision fringe), not the long tail.
+    Total cost: one count-only pass (auto-width), one pass building the
+    counter cells (shuffle of ≤ d·w cells), one pruned aggregation.
+
     Width must scale with N for the pruning to EXIST: each cell
     carries ~N/w of collision mass, so with w fixed and N ≫ w·threshold
-    every key's estimate clears the threshold and the "candidates" are
-    the whole domain. ``w=None`` (default) sizes it from the data:
+    every row's estimate clears the threshold and nothing is pruned.
+    ``w=None`` (default) sizes it from the data:
     w = 2^⌈log2(3N/threshold)⌉, putting expected collision mass per
-    cell at ≤ threshold/3 so candidates ≈ true hitters (≤ N/threshold
-    of them) plus a thin collision fringe. The scale win is then real:
-    the exact aggregation's hash maps and shuffle carry only surviving
-    rows, not the long-tail key domain. If the candidate set still
-    exceeds ``max_broadcast_keys`` (adversarial threshold/width), the
-    operator falls back — with a warning — to the plain exact
-    aggregation, which is never wrong, only unpruned.
+    cell at ≤ threshold/3 so survivors ≈ true-hitter rows. If the
+    sized counter table would exceed ``max_broadcast_cells`` (executors
+    could not hold the broadcast slices), the operator falls back —
+    with a warning — to the plain exact aggregation, which is never
+    wrong, only unpruned.
     """
     import math
     import warnings
@@ -433,31 +454,43 @@ def cm_heavy_hitters(
     if w is None:
         n = df.count()
         w = max(CM_W, 1 << math.ceil(math.log2(max(1.0, 3.0 * n / threshold))))
-        w = min(w, 1 << 22)  # cap sketch size at d·4M cells
-    counters = cm_counters(df, key_col, (), d, w)
-    keys = df.select(key_col).distinct()
-    cands = cm_estimate(counters, keys, key_col, d, w).filter(
-        F.col("cm_est") >= threshold
-    )
-    cand_keys = cands.select(F.col(key_col).alias("_cand")).localCheckpoint(eager=True)
-    exact = df.groupBy(key_col).agg(F.count("*").alias("n"))
-    if cand_keys.count() > max_broadcast_keys:
+        w = min(w, max(CM_W, max_broadcast_cells // max(d, 1)))
+    if d * w > max_broadcast_cells:
         warnings.warn(
-            f"cm_heavy_hitters: candidate set exceeds {max_broadcast_keys} keys "
-            f"(threshold {threshold} too low for this data/width); falling back "
-            "to the unpruned exact aggregation",
+            f"cm_heavy_hitters: counter table ({d}x{w} cells) exceeds the "
+            f"{max_broadcast_cells}-cell broadcast cap; falling back to the "
+            "unpruned exact aggregation",
             stacklevel=2,
         )
-        return exact.filter(F.col("n") >= threshold)
-    # null-safe semi-join so a NULL key's rows survive the pruning
-    pruned = df.join(
-        F.broadcast(cand_keys), F.col(key_col).eqNullSafe(F.col("_cand")), "left_semi"
-    )
-    return (
-        pruned.groupBy(key_col)
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= threshold)
-    )
+        return (
+            df.groupBy(key_col)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= threshold)
+        )
+    counters = cm_counters(df, key_col, (), d, w).persist()
+    try:
+        pruned = df
+        for j in range(d):
+            cj = counters.filter(F.col("j") == j).select(
+                F.col("i").alias(f"_i{j}"), F.col("cnt").alias(f"_cnt{j}")
+            )
+            pruned = pruned.withColumn(f"_i{j}", _cm_cell_at(key_col, w, j)).join(
+                F.broadcast(cj), f"_i{j}", "left"
+            )
+        # a key present in df always hit its d cells during the counter
+        # build, so the left-join null arm is unreachable; coalesce is
+        # belt-and-braces against an externally-built counter table
+        est = F.least(*[F.coalesce(F.col(f"_cnt{j}"), F.lit(0)) for j in range(d)])
+        surviving = pruned.filter(est >= threshold)
+        out = (
+            surviving.groupBy(key_col)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        counters.unpersist()
+    return out
 
 
 def cm_estimate(
@@ -472,8 +505,22 @@ def cm_estimate(
     ε·N with probability 1-δ (ε = e/w, δ = e^-d). The probe side
     fans out to d rows per key and joins the counter table on (j, i);
     the counter side is broadcast when sketch-sized (≤ 1M cells) and
-    shuffle-joined above that (auto-sized widths from cm_heavy_hitters
-    can reach d·4M cells)."""
+    shuffle-joined above that (externally-sized widths can reach d·4M
+    cells).
+
+    The counter table must be UNGROUPED — exactly (j, i, cnt). A
+    grouped table from ``cm_counters(group_cols=...)`` would match one
+    row per group per probe cell, and min() would silently mix
+    per-group counts into a wrong global estimate; refuse instead
+    (r4 ADVICE): callers estimate per group by filtering to one group
+    (dropping the group columns) first."""
+    extra = [c for c in counters.columns if c not in ("j", "i", "cnt")]
+    if extra or len(counters.columns) != 3:
+        raise ValueError(
+            f"cm_estimate: counter table must have exactly (j, i, cnt) columns, "
+            f"got {counters.columns} — for a grouped counter table, filter to a "
+            "single group and drop the group columns before estimating"
+        )
     rows = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
     pk = probes.select(F.col(key_col), rows)
     pk = pk.select(key_col, "j", _cm_cell(key_col, w).alias("i"))

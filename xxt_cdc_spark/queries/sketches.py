@@ -186,20 +186,27 @@ def sketch_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once property. The oracle computes the one-shot register
     algebra in SQL — a hash-match proves four merges (plus a replay)
     land on exactly the from-scratch sketch and estimate."""
+    import shutil
     import tempfile
 
     orders = _orders(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="hll_inc_q_")
-    inc = SK.IncrementalHLL(spark, f"{tmp}/state", group_cols=["o_orderstatus"])
-    chunks = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
-    for c in chunks:
-        inc.update(c, "o_custkey")
-    inc.update(chunks[3], "o_custkey")  # foreachBatch crash-replay
-    return (
-        inc.estimate()
-        .select(F.col("o_orderstatus").alias("grp"), "ndv_est")
-        .orderBy("grp")
-    )
+    try:
+        inc = SK.IncrementalHLL(spark, f"{tmp}/state", group_cols=["o_orderstatus"])
+        chunks = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+        for c in chunks:
+            inc.update(c, "o_custkey")
+        inc.update(chunks[3], "o_custkey")  # foreachBatch crash-replay
+        # eager checkpoint so the result survives the state-dir removal
+        # (same posture as the sibling incremental queries)
+        return (
+            inc.estimate()
+            .select(F.col("o_orderstatus").alias("grp"), "ndv_est")
+            .orderBy("grp")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _HLL_STATUS_REG = """

@@ -43,12 +43,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _STATE_SCHEMA = "last_bucket long, last_value double, pending string"
-_OUT_SCHEMA = (
-    "user_id long, b long, observed int, n_events long, sum_value double"
-)
 
 
-def _fill_group(key, pdfs: Iterator[pd.DataFrame], state, bucket_us: int):
+def _fill_group(key, pdfs: Iterator[pd.DataFrame], state, bucket_us: int, key_col: str):
     if state.exists:
         last_b, last_v, pending_json = state.get
         pending = {int(k): v for k, v in json.loads(pending_json).items()}
@@ -85,7 +82,7 @@ def _fill_group(key, pdfs: Iterator[pd.DataFrame], state, bucket_us: int):
         # key — without this, a quiet key's last buckets never flush
         state.setTimeoutTimestamp((min(pending) + 1) * bucket_us // 1000)
     if out:
-        yield pd.DataFrame(out, columns=["user_id", "b", "observed", "n_events", "sum_value"])
+        yield pd.DataFrame(out, columns=[key_col, "b", "observed", "n_events", "sum_value"])
 
 
 def streaming_gap_fill(
@@ -111,11 +108,21 @@ def streaming_gap_fill(
     if watermark:
         events = events.withWatermark(ts_col, watermark)
     bucket_us = bucket_seconds * 1_000_000
+    # output/state schemas derive the key field from the INPUT schema
+    # (r4 ADVICE: a hardcoded 'user_id long' broke non-long keys at
+    # runtime despite the parametrized API); the key keeps its name
+    key_type = events.schema[key_col].dataType.simpleString()
+    for reserved in ("b", "observed", "n_events", "sum_value"):
+        if key_col == reserved:
+            raise ValueError(f"key_col {key_col!r} collides with an output column")
+    out_schema = (
+        f"{key_col} {key_type}, b long, observed int, n_events long, sum_value double"
+    )
     # the watermarked event-time column must SURVIVE the projection —
     # dropping it detaches the watermark and getCurrentWatermarkMs()
     # inside the state function raises
     partial = events.filter(F.col(ts_col).isNotNull()).select(
-        F.col(key_col).alias("user_id"),
+        F.col(key_col),
         F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_us))
         .cast("long")
         .alias("b"),
@@ -125,11 +132,11 @@ def streaming_gap_fill(
     )
 
     def fn(key, pdfs, state):
-        return _fill_group(key, pdfs, state, bucket_us)
+        return _fill_group(key, pdfs, state, bucket_us, key_col)
 
-    return partial.groupBy("user_id").applyInPandasWithState(
+    return partial.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="EventTimeTimeout",
