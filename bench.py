@@ -610,22 +610,69 @@ def _guard(errors: dict, key: str, fn, *args, **kwargs):
         return None
 
 
+def _stream_phase_main() -> None:
+    """Child-process body for the streaming/MOR latency phase: its own
+    JVM, so (a) the latency P50s see zero session residue and (b) the
+    headline loop in the parent never inherits this phase's GC/
+    broadcast/state-store residue. The r4 bench recorded 10 unchanged
+    headline queries 30-70% slower than r3 in the shared session;
+    fresh-process A/Bs (SCALING.md §bench isolation) put them at or
+    below r3, fingering exactly this cross-phase contamination."""
+    from xxt_cdc_spark.session import get_spark
+
+    spark = get_spark(
+        "xxt-cdc-bench-stream", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    errors: dict[str, str] = {}
+    stream = _guard(errors, "stream", bench_streaming, spark)
+    mor = _guard(errors, "mor", bench_mor_latency, spark)
+    out = {"stream": stream, "mor": mor, "errors": errors}
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(json.dumps(out))
+
+
+def _run_stream_phase_isolated() -> dict:
+    """Run the streaming/MOR phase via a subprocess and parse its one
+    JSON line; failures degrade to an error entry, never a dead bench."""
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase=stream"],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env=os.environ,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"stream": None, "mor": None, "errors": {"stream_phase": f"no JSON (rc={p.returncode})"}}
+    except Exception as e:  # noqa: BLE001
+        return {"stream": None, "mor": None, "errors": {"stream_phase": f"{type(e).__name__}: {e}"}}
+
+
 def main() -> None:
     from xxt_cdc_spark.queries import QUERIES
     from xxt_cdc_spark.session import get_spark
+
+    # streaming/MOR latency runs FIRST and in its OWN process: its
+    # P50/P95 are the most session-state-sensitive numbers, and the
+    # headline loop below must not inherit its residue either
+    iso = _run_stream_phase_isolated()
+    stream, mor = iso.get("stream"), iso.get("mor")
+    errors: dict[str, str] = dict(iso.get("errors") or {})
 
     # keep stdout clean: the one JSON line must be parseable
     spark = get_spark("xxt-cdc-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     # warm up the JVM/codegen so per-query numbers measure the plan, not startup
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
-
-    errors: dict[str, str] = {}
-
-    # streaming latency FIRST: its P50/P95 are the most session-state-
-    # sensitive numbers (a 21-query sweep beforehand leaves GC/broadcast
-    # residue worth ~+250 ms of per-batch noise — measured)
-    stream = _guard(errors, "stream", bench_streaming, spark)
-    mor = _guard(errors, "mor", bench_mor_latency, spark)
 
     # best-of-2 per query: the first run pays one-time codegen/JIT and
     # scan-cache costs (measured 2-3x inflation); the min is the
@@ -733,6 +780,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import sys as _sys
+
+    if "--phase=stream" in _sys.argv:
+        _stream_phase_main()
+        raise SystemExit(0)
     try:
         main()
     except BaseException as e:  # last resort: the JSON line must exist

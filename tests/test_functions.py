@@ -177,6 +177,48 @@ class TestSimilarityFastPath:
         assert "MapInPandas" not in plan  # broadcast-matrix kernel absent
         assert "FlatMapGroupsInPandas" in plan  # bucketed kernel present
 
+    def test_semantic_dedup_strategies_and_rule(self, spark, sf_dir):
+        """Both strategies agree; the keep bit matches a brute-force
+        replay of the rule (no smaller-id τ-neighbor in the same
+        cluster); every input id appears exactly once."""
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        tau, nc = 0.38, 8
+        fold = sorted(
+            tuple(r) for r in S.semantic_dedup(emb, tau, n_centroids=nc).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in S.semantic_dedup(
+                emb, tau, n_centroids=nc, strategy="vectorized"
+            ).collect()
+        )
+        assert fold == fast
+        n_in = emb.count()
+        assert len(fold) == n_in and len({r[0] for r in fold}) == n_in
+        assert any(r[2] == 0 for r in fold)  # the operator drops something
+        # brute-force the rule in numpy
+        rows = sorted((r[0], r[1]) for r in emb.select("vec_id", "embedding").collect())
+        ids = np.array([r[0] for r in rows])
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        cen = {r[0]: r[1] for r in fold}  # id -> centroid from the operator
+        want = {}
+        for jpos, j in enumerate(ids):
+            sims = mat[:jpos] @ mat[jpos]
+            dup = any(
+                cen[int(ids[i])] == cen[int(j)] and sims[i] >= tau
+                for i in range(jpos)
+            )
+            want[int(j)] = 0 if dup else 1
+        assert {r[0]: r[2] for r in fold} == want
+
+    def test_semantic_dedup_unknown_strategy(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="strategy"):
+            S.semantic_dedup(emb, strategy="nope")
+
     def test_bucketed_neardup_recall_and_precision(self, spark, sf_dir):
         """The bucketed kernel's pairs are a subset of the exact pairs
         (precision 1 up to BLAS ulp) with high recall on this corpus;

@@ -67,6 +67,21 @@ class TestEditDistanceJoin:
         planted = {(i, i + 1000) for i, _ in base if i % 2 == 0}
         assert planted <= {(a, b) for a, b, _ in got}
 
+    def test_matches_brute_force_d3(self, spark):
+        """Position-aware probe selection must stay lossless at a
+        distance bound other than the registered query's d=2 (the
+        δ-range algebra is parameterized over d and k)."""
+        left = _rand_strings(7, 50, "abcd", 6, 22)
+        right = _rand_strings(8, 50, "abcd", 6, 22)
+        l = spark.createDataFrame(left, "id long, s string")
+        r = spark.createDataFrame(right, "id long, s string")
+        got = sorted(
+            (x.l_key, x.r_key, x.dist)
+            for x in edit_distance_join(l, r, "id", "id", "s", "s", 3).collect()
+        )
+        want = _brute(spark, left, right, 3)
+        assert got == want and len(want) > 0
+
     def test_zero_distance_and_empty_strings(self, spark):
         left = [(0, ""), (1, "ab"), (2, "abcdefghijkl")]
         right = [(0, ""), (1, "ab"), (2, "abcdefghijkl")]

@@ -554,10 +554,21 @@ class TestFanoutArrowParity:
         db_a, db_r = str(tmp_path / "arrow.db"), str(tmp_path / "rowp.db")
         setup_db(db_a)
         setup_db(db_r)
-        a_arrow = apply_batch_fanout(base, sinks=mk_sinks(db_a), num_partitions=3)
+        # tiny Arrow batches force every table to span several blocks —
+        # the shape where a per-block apply_rows would double-count
+        # (writer stats are cumulative; caught by the fanout bench)
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+        try:
+            a_arrow = apply_batch_fanout(base, sinks=mk_sinks(db_a), num_partitions=3)
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
         a_rows = apply_batch_fanout(
             base, sinks=mk_sinks(db_r), num_partitions=3, arrow=False
         )
+        # equality of per-table applied counts is the double-count
+        # gate: the row path applies once per table, so any repeated
+        # per-block accounting on the arrow side breaks it
         assert a_arrow == a_rows
 
         def dump(path):

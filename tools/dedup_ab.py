@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+# runnable as `python tools/dedup_ab.py` from anywhere — the repo root
+# is one level up from this file (same as tools/sweep.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

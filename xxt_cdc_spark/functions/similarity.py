@@ -733,6 +733,101 @@ def cosine_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    strategy: str = "fold",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, drop near-semantic
+    duplicates WITHIN each cluster, keep one representative.
+
+    Rule, stated precisely so it is deterministic and SQL-expressible:
+    a document is KEPT iff its cluster contains no smaller-id document
+    with cosine ≥ ``threshold`` to it — the greedy min-id sweep. Pairs
+    in different clusters are never compared: that is the documented
+    approximation that makes the operator sub-quadratic, and the
+    clustering is deterministic (lowest-id seed centroids, ties on
+    centroid id — the ``ivf_topk(centroids='fixed')`` posture), so the
+    DuckDB oracle replays the exact same cluster boundaries and the
+    keep/drop answer is value-hash comparable.
+
+    Returns every input id: ``(id, centroid, kept)`` with kept ∈ {0,1}.
+
+    Strategies (identical answers up to BLAS-vs-fold last-ulp at the
+    threshold boundary):
+
+    - ``fold`` (default, the oracle-exact form): within-cluster pairs
+      via an equi-join on centroid with the ordered JVM fold cosine —
+      the same bit-determinism argument as ``cosine_neardup_pairs``.
+    - ``vectorized``: per-cluster ``applyInPandas`` BLAS — each task
+      normalizes its cluster block and marks every row with a
+      smaller-id τ-neighbor in one chunked matmul; the 100 TB form
+      (clusters are the unit of parallelism and nothing is
+      driver-collected).
+
+    Scale: Σ_clusters sz² pairwise work either way — ``n_centroids``
+    must grow ∝ N to hold cluster size constant (the caller's knob,
+    same economics as ``cosine_neardup_pairs_bucketed``); assignment
+    is the O(N·C) broadcast crossJoin with the same two-level-tree
+    escape hatch documented there.
+    """
+    cen_df = corpus.orderBy(F.col(id_col)).limit(n_centroids).select(
+        F.col(id_col).cast("long").alias("centroid"),
+        F.col(vec_col).alias("cvec"),
+    )
+    assigned = _nearest_centroids(corpus, cen_df, 1, "item_id", "cv", id_col, vec_col)
+    if strategy == "fold":
+        a = assigned.select(
+            "centroid", F.col("item_id").alias("i"), F.col("cv").alias("va")
+        )
+        b = assigned.select(
+            "centroid", F.col("item_id").alias("j"), F.col("cv").alias("vb")
+        )
+        dups = (
+            a.join(b, "centroid")
+            .filter(F.col("i") < F.col("j"))
+            .filter(cosine("va", "vb") >= threshold)
+            .select(F.col("j").alias("item_id"))
+            .distinct()
+        )
+    elif strategy == "vectorized":
+        import numpy as np
+        import pandas as pd
+
+        def cluster_dups(pdf):
+            pdf = pdf.sort_values("item_id").reset_index(drop=True)
+            ids = pdf["item_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            dup = np.zeros(len(ids), dtype=bool)
+            step = max(1, 10_000_000 // max(len(ids), 1))
+            for s in range(0, len(ids), step):
+                sims = mat[s : s + step] @ mat.T  # (chunk, sz)
+                for r in range(sims.shape[0]):
+                    j = s + r
+                    if j > 0 and (sims[r, :j] >= threshold).any():
+                        dup[j] = True
+            return pd.DataFrame({"item_id": ids[dup]})
+
+        dups = assigned.groupBy("centroid").applyInPandas(
+            cluster_dups, "item_id long"
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (use 'fold' or 'vectorized')")
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(1)), "item_id", "left")
+        .select(
+            F.col("item_id").alias(id_col),
+            "centroid",
+            F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 def _nsw_search(
     vecs, neighbors, q, ef: int, n_existing: int, entry: int = 0
 ) -> list[int]:

@@ -15,9 +15,18 @@ the edits before it). Therefore:
    substring) keys — one row per segment;
 2. **left probes**: each left string emits, for every admissible right
    LENGTH L in [len−d, len+d] and every segment id, the substrings at
-   the 2d+1 admissible positions — O((2d+1)²·(d+1)) ≈ 75 short probes
-   for d = 2, computed as one generated array + explode, no shuffle
-   amplification beyond the constant;
+   the admissible positions. Position-aware selection (PassJoin's
+   substring-selection bound) prunes the naive (2d+1)²(d+1) ≈ 75
+   probe set to 29 at d = 2: writing Δ = len(l) − L for the length
+   drift and δ for the segment's shift, a match in which segment k is
+   the FIRST surviving segment obeys |δ| + |Δ−δ| ≤ d (the edits before
+   the segment number at least |δ|, those after at least |Δ−δ|) and
+   |Δ−δ| ≤ d−k (each of the k earlier segments was touched by at
+   least one edit — were one untouched, IT would be the first
+   survivor). Restricting each k's probes to that δ-range stays
+   lossless because every true pair has SOME first surviving segment.
+   Computed as one generated array + explode, no shuffle amplification
+   beyond the constant;
 3. **candidates**: an exact equi-join on (L, segment-id, substring) —
    segment keys are ~len/(d+1) characters, long enough to be
    near-unique even on LOW-ENTROPY composite records (brand/type/size
@@ -88,61 +97,103 @@ def edit_distance_join(
         )
     rg = (
         r_names.filter(rlen >= _MIN_SEG_LEN)
-        .select("r_key", rlen.alias("L"), F.explode(F.array(*r_segs)).alias("s"))
-        .select("r_key", "L", F.col("s.k").alias("k"), F.col("s.seg").alias("seg"))
+        .select("r_key", "r_str", rlen.alias("L"), F.explode(F.array(*r_segs)).alias("s"))
+        .select("r_key", "r_str", "L", F.col("s.k").alias("k"), F.col("s.seg").alias("seg"))
     )
 
     # --- left probes: for each admissible right length and segment,
-    # the substrings at the 2d+1 admissible start positions. ONE
-    # generated transform-over-sequence expression, not (2d+1)²(d+1)
-    # inline structs — the inline form overflows janino's 64 KB method
-    # limit and drops the whole projection out of codegen
+    # the substrings at the admissible start positions. The admissible
+    # (L, k, position, seg-length) tuples depend ONLY on length(l_str),
+    # so the probe SPEC is enumerated once per DISTINCT length (a
+    # higher-order transform-over-sequence — interpreted, but over
+    # dozens of rows instead of the corpus) and broadcast-joined back
+    # on the length; the per-row substring then runs inside whole-stage
+    # codegen. Evaluating the same lambda per corpus row was the
+    # operator's bottleneck once the join was inlined (~4 s of 6 at
+    # sf0.1: 75 interpreted elements × every row).
+    #
+    # Position-aware probe selection (PassJoin's substring-selection
+    # bound, derived in the module docstring): with Δ = l_len − L = −dL
+    # and shift δ = dp, a real match with segment k as the FIRST
+    # surviving segment satisfies
+    #   |δ| + |Δ − δ| ≤ d       (edits before ≥ |δ|, after ≥ |Δ − δ|)
+    #   |Δ − δ| ≤ d − k        (each of the k earlier segments eats ≥1 edit)
+    # which cuts the admissible probe count from (2d+1)²(d+1) = 75 to
+    # 29 at d = 2 with an unchanged (brute-force-equal) result.
     n_p = 2 * d + 1
     tot = n_p * parts * n_p
     _dL = f"((i DIV {parts * n_p}) - {d})"
     _k = f"((i DIV {n_p}) % {parts})"
     _dp = f"((i % {n_p}) - {d})"
-    _L = f"(length(l_str) + {_dL})"
+    _L = f"(n + {_dL})"
     _st = f"(CAST(FLOOR({_L} * {_k} / {parts}) AS INT) + 1)"
     _en = f"CAST(FLOOR({_L} * ({_k} + 1) / {parts}) AS INT)"
     _ln = f"({_en} - {_st} + 1)"
     _pp = f"({_st} + {_dp})"
-    _valid = f"({_L} >= {_MIN_SEG_LEN} AND {_pp} >= 1 AND {_pp} + {_ln} - 1 <= length(l_str))"
-    probes = (
+    _pos_ok = (
+        f"(abs({_dp}) + abs({_dL} + {_dp}) <= {d} "
+        f"AND abs({_dL} + {_dp}) <= {d} - {_k})"
+    )
+    _valid = (
+        f"({_L} >= {_MIN_SEG_LEN} AND {_pos_ok} "
+        f"AND {_pp} >= 1 AND {_pp} + {_ln} - 1 <= n)"
+    )
+    spec_expr = (
         f"filter(transform(sequence(0, {tot - 1}), i -> "
         f"CASE WHEN {_valid} THEN named_struct("
-        f"'L', CAST({_L} AS INT), 'k', {_k}, 'seg', substring(l_str, {_pp}, {_ln})) "
+        f"'L', CAST({_L} AS INT), 'k', CAST({_k} AS INT), "
+        f"'pp', CAST({_pp} AS INT), 'ln', CAST({_ln} AS INT)) "
         f"ELSE NULL END), x -> x IS NOT NULL)"
     )
-    lg = (
-        l_names.select("l_key", F.explode(F.expr(probes)).alias("s"))
-        .select("l_key", F.col("s.L").alias("L"), F.col("s.k").alias("k"), F.col("s.seg").alias("seg"))
-    )
-
-    cand_long = lg.join(rg, ["L", "k", "seg"]).select("l_key", "r_key").distinct()
-
-    # --- short branch: right strings below the segment threshold
-    cand_short = (
-        l_names.filter(F.length("l_str") <= _MIN_SEG_LEN - 1 + d)
-        .crossJoin(
-            r_names.filter(F.length("r_str") < _MIN_SEG_LEN).select(
-                "r_key", F.length("r_str").alias("_rl")
-            )
+    spec = (
+        l_names.select(F.length("l_str").alias("n"))
+        .distinct()
+        .select("n", F.explode(F.expr(spec_expr)).alias("s"))
+        .select(
+            "n", F.col("s.L").alias("L"), F.col("s.k").alias("k"),
+            F.col("s.pp").alias("pp"), F.col("s.ln").alias("ln"),
         )
-        # length band: one comparison here beats a levenshtein call in
-        # the verify stage for every impossible short-short pair
-        .filter(F.abs(F.length("l_str") - F.col("_rl")) <= d)
-        .select("l_key", "r_key")
     )
-    cand = cand_long.unionByName(cand_short)
-    # threshold-bounded levenshtein: O(d·n) banded DP with early exit
-    # (returns -1 above the bound) instead of the full O(n²) matrix —
-    # the verify stage is candidate-sized, and candidates can be ~100×
-    # the true pairs when records share low-entropy segments
-    verified = (
-        cand.join(l_names, "l_key")
-        .join(r_names, "r_key")
+    lg = (
+        l_names.withColumn("n", F.length("l_str"))
+        .join(F.broadcast(spec), "n")
+        .select(
+            "l_key", "l_str", "L", "k",
+            F.expr("substring(l_str, pp, ln)").alias("seg"),
+        )
+    )
+
+    # verify INLINE on the probe join — strings ride along, so the
+    # threshold-bounded levenshtein (O(d·n) banded DP, -1 above the
+    # bound) runs in the same stage as the equi-join and only the
+    # verified pairs (tiny) reach the dedup shuffle. The previous shape
+    # (distinct the candidate PAIR LIST, then two join-backs to refetch
+    # the strings) shuffled the candidate set three times — and on
+    # low-entropy composite records candidates run ~200× the true
+    # pairs (measured 1.76M candidates → 8.4k pairs at sf0.1), so the
+    # candidate-sized shuffles dominated the operator. A pair matching
+    # on several segments pays levenshtein once per matching segment
+    # (≤ d+1, deterministic result); distinct collapses it after the
+    # filter, where rows are few.
+    ver_long = (
+        lg.join(rg, ["L", "k", "seg"])
         .withColumn("dist", F.levenshtein("l_str", "r_str", d))
         .filter(F.col("dist") >= 0)
+        .select("l_key", "r_key", "dist")
+        .distinct()
     )
-    return verified.select("l_key", "r_key", "dist")
+
+    # --- short branch: right strings below the segment threshold
+    ver_short = (
+        l_names.filter(F.length("l_str") <= _MIN_SEG_LEN - 1 + d)
+        .crossJoin(r_names.filter(F.length("r_str") < _MIN_SEG_LEN))
+        # length band: one comparison here beats a levenshtein call
+        # for every impossible short-short pair
+        .filter(F.abs(F.length("l_str") - F.length("r_str")) <= d)
+        .withColumn("dist", F.levenshtein("l_str", "r_str", d))
+        .filter(F.col("dist") >= 0)
+        .select("l_key", "r_key", "dist")
+    )
+    # branches are disjoint (split on the right length alone) and the
+    # short branch emits each pair exactly once — no cross-branch dedup
+    return ver_long.unionByName(ver_short)

@@ -66,9 +66,11 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (41): relational2 + cdc + text — swept when _ROUND is odd.
+#   group A (42): relational2 + cdc + text — swept when _ROUND is odd.
 #   group B (44): vector + streaming + sketches + corpus + curation +
 #                 relational — swept when _ROUND is even.
+# New queries join the group whose lead round comes next (keeps their
+# first driver row ≤1 round away) as long as that group stays ≤ 50.
 #
 # Within group A, `grouping_analytics` and `orders_priority_profile`
 # stay pinned at positions 1-2 (the only 2 of 85 queries with no driver

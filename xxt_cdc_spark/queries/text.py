@@ -691,7 +691,61 @@ ORDER BY a_key, b_key
 """
 
 
+# --- semantic (embedding-cluster) dedup --------------------------------------
+# 0.38 drops ~4% of the sf0.01 corpus (21/500) — a realistic SemDeDup
+# rate on this synthetic embedding space (0.45 drops only 4)
+SEMDEDUP_T = 0.38
+SEMDEDUP_CENTROIDS = 16
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions/similarity.py::
+    semantic_dedup): deterministic fixed-seed clustering, then the
+    greedy min-id sweep within each cluster — a document is dropped iff
+    a smaller-id cluster-mate sits at cosine ≥ τ. The fold strategy's
+    ordered JVM cosine is bit-identical to the DuckDB list-fold, so the
+    keep/drop bit for every document is value-hash gated (the
+    vectorized BLAS twin is pytest-gated against this one)."""
+    from xxt_cdc_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.semantic_dedup(
+        emb, SEMDEDUP_T, n_centroids=SEMDEDUP_CENTROIDS, strategy="fold"
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    # the cosine SQL mirror lives with the ANN oracles; reuse it so the
+    # fold-vs-list determinism argument has a single source of truth
+    from xxt_cdc_spark.queries.vector import _cos_sql
+
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_CENTROIDS}
+),
+assigned AS (
+  SELECT item_id, cv, centroid FROM (
+    SELECT c.vec_id AS item_id, c.embedding AS cv, s.centroid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('c.embedding', 's.cvec')} DESC, s.centroid) AS arank
+    FROM embeddings c CROSS JOIN seeds s
+  ) WHERE arank = 1
+),
+dups AS (
+  SELECT DISTINCT b.item_id
+  FROM assigned a JOIN assigned b ON a.centroid = b.centroid AND a.item_id < b.item_id
+  WHERE {_cos_sql('a.cv', 'b.cv')} >= {SEMDEDUP_T}
+)
+SELECT a.item_id AS vec_id, CAST(a.centroid AS BIGINT) AS centroid,
+       CAST(CASE WHEN d.item_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assigned a LEFT JOIN dups d ON d.item_id = a.item_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "dedup_semantic": dedup_semantic,
     "text_profile": text_profile,
     "fuzzy_join_part_names": fuzzy_join_part_names,
     "dedup_incremental_family": dedup_incremental_family,
@@ -705,6 +759,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_semantic": _semdedup_sql(),
     "text_profile": TEXT_PROFILE_SQL,
     "fuzzy_join_part_names": FUZZY_JOIN_SQL,
     "dedup_incremental_family": DEDUP_INCREMENTAL_FAMILY_SQL,

@@ -545,20 +545,43 @@ def apply_batch_fanout(
             return v if isinstance(v, str) and v else None
 
         def _run_blocks(blocks):
+            # ONE concat + ONE groupby per partition, ONE apply_rows
+            # per table. Two bugs this shape avoids (both caught by the
+            # fanout bench, not the small-data parity test): a
+            # per-block apply_rows double-counts tables spanning
+            # several Arrow blocks (writer stats are cumulative —
+            # 339,964 "applied" of 100,000 events), and a per-block
+            # groupby pays pandas' per-group slicing overhead
+            # blocks × tables times (halved 10k-table throughput).
+            # Memory matches the row path, which buffered the whole
+            # partition as pickled Rows.
+            # the row-path dispatch loop fed from Arrow blocks: one
+            # itertuples pass per block (C iteration, no pickled Rows),
+            # then ONE apply_rows per table. Two rejected shapes, both
+            # measured on the 10k-table fanout bench: per-block
+            # apply_rows double-counts tables spanning blocks (writer
+            # stats are cumulative — 339,964 "applied" of 100,000
+            # events), and a pandas groupby pays per-group slicing that
+            # HALVES throughput when tables are tiny (10 rows/table:
+            # 15.3k ev/s itertuples vs 11.5k groupby; at ≥100
+            # rows/table the two tie and the Arrow transfer wins either
+            # way). Memory matches the row path, which buffered the
+            # whole partition as pickled Rows.
             writers: dict[str, object] = {}
-            applied_local: dict[str, int] = {}
+            by_table: dict[str, list] = {}
             deferred_keys: set[str] = set()
-            unregistered: set[str] = set()
             for pdf in blocks:
-                for t, sub in pdf.groupby("table", sort=False):
-                    if t in unregistered:
-                        continue
+                for t, op, key, before, after in pdf[
+                    ["table", "op", "key", "before", "after"]
+                ].itertuples(index=False, name=None):
                     writer = writers.get(t)
                     if writer is None:
+                        if t in by_table:
+                            continue  # unregistered table: skip, as ever
                         if sinks is not None:
                             if t not in sinks:
-                                unregistered.add(t)
-                                continue  # unregistered table: skip, as ever
+                                by_table[t] = None  # remember the skip
+                                continue
                             sink = sinks[t]
                         else:
                             sink = sink_factory(t)
@@ -567,27 +590,25 @@ def apply_batch_fanout(
                             writer.defer_commit = True
                             deferred_keys.add(writer.pool_key)
                         writers[t] = writer
-                    cols = writer.columns
-                    dicts = []
-                    for op, key, before, after in zip(
-                        sub["op"], sub["key"], sub["before"], sub["after"]
-                    ):
-                        if op == OP_DELETE:
-                            k = _s(key)
-                            src = json.loads(k) if k else {}
-                            b = _s(before)
-                            if b:
-                                src = {**json.loads(b), **src}
-                        else:
-                            a = _s(after)
-                            src = json.loads(a) if a else {}
-                        d = {c: src.get(c) for c in cols}
-                        d["op"] = op
-                        dicts.append(d)
-                    stats = writer.apply_rows(dicts)
-                    applied_local[t] = (
-                        applied_local.get(t, 0) + stats["upserts"] + stats["deletes"]
-                    )
+                        by_table[t] = []
+                    if op == OP_DELETE:
+                        k = _s(key)
+                        src = json.loads(k) if k else {}
+                        b = _s(before)
+                        if b:
+                            src = {**json.loads(b), **src}
+                    else:
+                        a = _s(after)
+                        src = json.loads(a) if a else {}
+                    d = {c: src.get(c) for c in writer.columns}
+                    d["op"] = op
+                    by_table[t].append(d)
+            applied_local: dict[str, int] = {}
+            for t, dicts in by_table.items():
+                if dicts is None:
+                    continue  # unregistered
+                stats = writers[t].apply_rows(dicts)
+                applied_local[t] = stats["upserts"] + stats["deletes"]
             if deferred_keys:
                 commit_pooled(deferred_keys)
             yield pd.DataFrame(
