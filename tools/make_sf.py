@@ -21,6 +21,12 @@ Usage: python tools/make_sf.py [out_dir] [factor] [src_dir]
 
 from __future__ import annotations
 
+# runnable as `python tools/<name>.py` from anywhere — the repo
+# root is one level up from this file (same as tools/sweep.py)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 

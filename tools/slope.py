@@ -15,6 +15,12 @@ Usage: python tools/slope.py <query_name|sink_apply> <sf_dir> [runs]
 
 from __future__ import annotations
 
+# runnable as `python tools/<name>.py` from anywhere — the repo
+# root is one level up from this file (same as tools/sweep.py)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

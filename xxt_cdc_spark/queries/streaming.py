@@ -552,7 +552,50 @@ ORDER BY user_id, day
 """
 
 
+# --- windowed top-k heavy hitters (batch twin of streaming/topk_stream) ------
+TOPK_WINDOW_K = 5
+
+
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-k event types by count — the BATCH TWIN of the
+    streaming windowed top-k operator (streaming/topk_stream.py, which
+    emits exactly these rows for every watermark-closed window; the
+    equivalence is pinned in tests/test_topk_stream.py). Deterministic
+    rank ties on the key."""
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").cast("string").alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TOPK_WINDOW_K)
+        .select(F.col("w.start").alias("window_start"), "rank", "event_type", "n")
+        .orderBy("window_start", "rank")
+    )
+
+
+STREAM_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT window_start, CAST(rank AS INT) AS rank, event_type, n FROM (
+  SELECT window_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+  FROM counts
+) WHERE rank <= {TOPK_WINDOW_K}
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = {
+    "stream_topk_per_window": stream_topk_per_window,
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
@@ -566,6 +609,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_topk_per_window": STREAM_TOPK_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
