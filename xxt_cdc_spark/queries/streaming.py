@@ -594,8 +594,39 @@ ORDER BY window_start, rank
 """
 
 
+def stream_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage windowed top-k (operators/topk_store.WindowedTopK —
+    the open-domain scale form of streaming/topk_stream) built
+    INCREMENTALLY: events arrive in three interleaved chunks plus one
+    full replay of chunk 1 (the sum-merge is NOT naturally idempotent,
+    so this exercises the versioned-dir + commit-marker protocol), then
+    the store is ranked at read time. The oracle computes the one-shot
+    top-k in SQL — hash-equality proves chunked maintenance ≡
+    from-scratch."""
+    import shutil
+    import tempfile
+
+    from xxt_cdc_spark.operators.topk_store import WindowedTopK
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id")
+    state = tempfile.mkdtemp(prefix="xxt_topk_store_")
+    try:
+        store = WindowedTopK(spark, state, windows_per_bucket=64)
+        for i in range(3):
+            store.apply_batch(ev.filter(F.col("event_id") % 3 == i), i)
+        store.apply_batch(ev.filter(F.col("event_id") % 3 == 1), 1)  # replay
+        out = (
+            store.topk(TOPK_WINDOW_K, include_open=True)
+            .orderBy("window_start", "rank")
+        )
+        return out.localCheckpoint(eager=True)  # survive the state cleanup
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 QUERIES = {
     "stream_topk_per_window": stream_topk_per_window,
+    "stream_topk_incremental": stream_topk_incremental,
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
@@ -610,6 +641,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_topk_per_window": STREAM_TOPK_SQL,
+    "stream_topk_incremental": STREAM_TOPK_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
