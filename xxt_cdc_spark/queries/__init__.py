@@ -23,6 +23,7 @@ from xxt_cdc_spark.queries import (
     cdc,
     corpus,
     curation,
+    layout,
     relational,
     relational2,
     sketches,
@@ -66,8 +67,9 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (42): relational2 + cdc + text — swept when _ROUND is odd.
-#   group B (44): vector + streaming + sketches + corpus + curation +
+#   group A (43): relational2 + cdc + text + layout — swept when
+#                 _ROUND is odd.
+#   group B (46): vector + streaming + sketches + corpus + curation +
 #                 relational — swept when _ROUND is even.
 # New queries join the group whose lead round comes next (keeps their
 # first driver row ≤1 round away) as long as that group stays ≤ 50.
@@ -78,7 +80,7 @@ ORACLE: dict[str, str] = {}
 # the remaining sweep slots (50 − |lead|), giving its head a bonus
 # refresh. Bump _ROUND once per driver round when rotating.
 _ROUND = 5
-_GROUP_A = (relational2, cdc, text)
+_GROUP_A = (relational2, cdc, text, layout)
 _GROUP_B = (vector, streaming, sketches, corpus, curation, relational)
 _ORDERED = _GROUP_A + _GROUP_B if _ROUND % 2 == 1 else _GROUP_B + _GROUP_A
 for mod in _ORDERED:
