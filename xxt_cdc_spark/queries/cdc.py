@@ -27,6 +27,10 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
 - cdc_scd2_history           → SCD Type-2 version table, built
                                incrementally (3 batches + replay) and
                                hash-checked against the one-shot window
+- cdc_reconcile_drift        → source/target convergence check
+                               (chunk checksums + row drill-down;
+                               oracle derives the expected report
+                               independently of the protocol)
 """
 
 from __future__ import annotations
@@ -784,7 +788,60 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+# --- table reconciliation (pt-table-checksum workflow) -----------------------
+RECON_MOD = 997
+
+
+def cdc_reconcile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence check for a replication target (operators/
+    reconcile.py — chunk checksums, then row drill-down on mismatched
+    chunks only): a synthetic target drifts from ``orders`` by
+    deterministic deletes / updates / spurious inserts keyed off
+    ``o_orderkey % 997``; the report must name exactly those keys with
+    the right status. The oracle DERIVES the expected report directly
+    from the drift rule — it shares no code path with the checksum
+    protocol, so hash equality proves the protocol finds precisely the
+    true diff set (no false negatives from chunking or hashing, no
+    false positives from NULL handling)."""
+    from xxt_cdc_spark.operators.reconcile import reconcile
+    from xxt_cdc_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    src = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    m = F.col("o_orderkey") % RECON_MOD
+    target = (
+        src.filter(m != 0)  # deletes never applied
+        .withColumn(
+            "o_totalprice",
+            F.when(m == 1, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(  # spurious rows the source never had
+            src.filter(m == 2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    return (
+        reconcile(src, target, ["o_orderkey"], n_chunks=256)
+        .orderBy("o_orderkey", "status")
+    )
+
+
+CDC_RECONCILE_SQL = f"""
+SELECT o_orderkey, 'missing_in_target' AS status FROM orders WHERE o_orderkey % {RECON_MOD} = 0
+UNION ALL
+SELECT o_orderkey, 'differs' AS status FROM orders WHERE o_orderkey % {RECON_MOD} = 1
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, 'missing_in_source' AS status
+FROM orders WHERE o_orderkey % {RECON_MOD} = 2
+ORDER BY o_orderkey, status
+"""
+
+
 QUERIES = {
+    "cdc_reconcile_drift": cdc_reconcile_drift,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "cdc_multirow_explode": cdc_multirow_explode,
@@ -806,6 +863,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_reconcile_drift": CDC_RECONCILE_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_multirow_explode": CDC_MULTIROW_SQL,
