@@ -316,6 +316,51 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    n: int = DECON_N,
+    benchmark_split: str = "test",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter on the corpus side —
+    IDENTICAL results (false positives are re-verified by the exact
+    semi-join; the Bloom has no false negatives), different economics:
+    the regime where the benchmark gram set is too large to broadcast
+    as a join hash table (~60 B/key) but fits as a bitmap
+    (~1.2 B/key at 1% FPP), so the corpus-side gram stream is cut to
+    ~contamination-rate + FPP BEFORE the only wide shuffle instead of
+    shuffling every gram hash. See functions/bloom.py for the build.
+    """
+    from xxt_cdc_spark.functions.bloom import build_bloom, might_contain
+
+    grams = df.select(
+        F.col(id_col),
+        F.col(split_col).alias("_split"),
+        F.explode(ngram_keys(text_col, n)).alias("gram"),
+    ).select(id_col, "_split", F.xxhash64("gram").alias("gh"))
+    bench = (
+        grams.filter(F.col("_split") == benchmark_split).select("gh").distinct()
+    ).localCheckpoint(eager=True)  # built once, probed twice
+    bloom = build_bloom(bench, "gh", expected_items=max(bench.count(), 1), fpp=fpp)
+    spark = df.sparkSession
+    hit = (
+        grams.filter(F.col("_split") != benchmark_split)
+        .filter(might_contain(spark, bloom, F.col("gh")))  # no-shuffle prefilter
+        .join(bench, "gh", "left_semi")  # exact verify over survivors only
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        df.filter(F.col(split_col) != benchmark_split)
+        .join(hit, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
+    )
+
+
 # --- domain mixture weights --------------------------------------------------
 
 MIX_ALPHA = 0.3

@@ -403,6 +403,26 @@ ORDER BY family, key
 """
 
 
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_decontaminate` through the Bloom-prefiltered plan
+    (functions/bloom.py: distributed bitmap build, Arrow-batched
+    membership, exact semi-join verify over survivors) — same oracle
+    SQL as the exact path, because the composition IS exact; what
+    changes is the shuffle economics when the benchmark gram set
+    outgrows the broadcast-hash-table regime."""
+    d = _docs(spark, sf_dir).withColumn("split", TX.split_assign("doc_id"))
+    out = CU.decontaminate_bloom(d, "text", "doc_id", "split")
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contaminated").alias("n_contaminated"),
+            F.round(F.sum("contaminated") / F.count("*"), 9).alias("contamination_rate"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 QUERIES = {
     "text_quality_gates": text_quality_gates,
     "corpus_sampling_mix": corpus_sampling_mix,
@@ -410,6 +430,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_pack_whole_docs": corpus_pack_whole_docs,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
 }
 
 ORACLE = {
@@ -419,4 +440,5 @@ ORACLE = {
     "corpus_pack_sequences": PACK_SQL,
     "corpus_pack_whole_docs": PACK_WHOLE_SQL,
     "corpus_decontaminate": DECON_SQL,
+    "corpus_decontaminate_bloom": DECON_SQL,
 }
