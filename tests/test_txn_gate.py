@@ -1,0 +1,162 @@
+"""Transactional-offsets apply: exactly-once for non-idempotent sinks.
+
+The target here is deliberately a PLAIN-INSERT sink into a table with
+no primary key (the 'starrocks' dialect renders bare INSERTs) — the
+class of sink where the engine's usual PK-upsert idempotence argument
+does NOT hold and only the offsets-in-target transaction protects a
+foreachBatch replay from duplicating rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+
+from xxt_cdc_spark.sinks.upsert import (
+    OFFSETS_TABLE,
+    JdbcUpsertWriter,
+    apply_batch,
+    apply_batch_txn,
+    close_pooled_connections,
+)
+
+COLS = ["id", "v"]
+
+
+def _mk_target(db):
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE IF NOT EXISTS t (id INTEGER, v TEXT)")  # no PK!
+    con.commit()
+    con.close()
+
+
+def _factory(db, pool_key, defer=True):
+    def make():
+        return JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(db, timeout=60),
+            table="t",
+            columns=COLS,
+            key_cols=["id"],
+            dialect="starrocks",  # plain INSERT — non-idempotent
+            pool_key=pool_key,
+            defer_commit=defer,
+        )
+
+    return make
+
+
+def _batch(spark, ids, offset0=0):
+    rows = [("I", "f1", offset0 + i, i, f"v{i}") for i in ids]
+    return spark.createDataFrame(
+        rows, "op string, pos_file string, pos_offset long, id long, v string"
+    )
+
+
+def _count(db, sql="SELECT COUNT(*) FROM t"):
+    con = sqlite3.connect(db)
+    try:
+        return con.execute(sql).fetchone()[0]
+    finally:
+        con.close()
+
+
+@pytest.fixture(autouse=True)
+def _clean_pool():
+    yield
+    close_pooled_connections()
+
+
+class TestTxnGate:
+    def test_replay_without_gate_duplicates(self, spark, tmp_path):
+        """The counterfactual: a plain-insert sink really does double
+        on replay under the ordinary apply path."""
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=None, defer=False)
+        df = _batch(spark, range(50))
+        apply_batch(df, fac, ["id"], num_partitions=2)
+        apply_batch(df, fac, ["id"], num_partitions=2)
+        assert _count(db) == 100  # duplicated — the gate is load-bearing
+
+    def test_exactly_once_under_replay(self, spark, tmp_path):
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=f"txn-{tmp_path.name}")
+        df = _batch(spark, range(50))
+        s1 = apply_batch_txn(df, fac, ["id"], batch_id=0, num_partitions=2)
+        s2 = apply_batch_txn(df, fac, ["id"], batch_id=0, num_partitions=2)
+        assert _count(db) == 50
+        assert s1["upserts"] == 50 and s1["skipped"] == 0
+        assert s2["upserts"] == 0 and s2["skipped"] == 2  # both partitions gated
+        # the next batch advances normally
+        apply_batch_txn(_batch(spark, range(50, 70), 100), fac, ["id"], batch_id=1, num_partitions=2)
+        assert _count(db) == 70
+        assert _count(db, f"SELECT MAX(batch_id) FROM {OFFSETS_TABLE}") == 1
+
+    def test_partial_job_crash_then_replay_is_exact(self, spark, tmp_path):
+        """One partition commits, the other crashes before its commit:
+        the replay must skip the committed partition (its gate row is
+        in the target) and apply only the crashed one — final state
+        exact, no duplicates, no holes. This is the crash window the
+        per-partition gate exists for."""
+        db = str(tmp_path / "t.db")
+        marker = str(tmp_path / "crashed.once")
+        _mk_target(db)
+        key = f"txn-crash-{tmp_path.name}"
+
+        # fully self-contained (no test-module globals): the factory
+        # body executes INSIDE worker tasks, where this module is not
+        # importable
+        def crashing_factory(db=db, key=key, marker=marker):
+            import sqlite3 as _sq
+
+            from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter as _W
+
+            base = _W(
+                connect_fn=lambda: _sq.connect(db, timeout=60),
+                table="t",
+                columns=["id", "v"],
+                key_cols=["id"],
+                dialect="starrocks",
+                pool_key=key,
+                defer_commit=True,
+            )
+            orig = base.apply_rows
+
+            def apply_rows(rows):
+                import os as _os
+                import time as _time
+
+                rows = list(rows)
+                if rows and not _os.path.exists(marker):
+                    from pyspark import TaskContext
+
+                    if TaskContext.get().partitionId() == 1:
+                        open(marker, "w").close()
+                        _time.sleep(2)  # let partition 0 reach its commit
+                        orig(iter(rows))  # statements applied, uncommitted
+                        raise RuntimeError("simulated sink crash before commit")
+                return orig(iter(rows))
+
+            base.apply_rows = apply_rows
+            return base
+
+        df = _batch(spark, range(40))
+        with pytest.raises(Exception, match="simulated sink crash"):
+            apply_batch_txn(df, crashing_factory, ["id"], batch_id=0, num_partitions=2)
+        n_after_crash = _count(db)
+        assert n_after_crash < 40  # partition 1 rolled back entirely
+
+        stats = apply_batch_txn(df, crashing_factory, ["id"], batch_id=0, num_partitions=2)
+        assert _count(db) == 40
+        assert _count(db, "SELECT COUNT(*) FROM (SELECT DISTINCT id FROM t)") == 40
+        assert stats["skipped"] >= 1  # the committed partition was gated
+
+    def test_requires_defer_commit_pool(self, spark, tmp_path):
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=None, defer=False)
+        with pytest.raises(Exception, match="defer_commit"):
+            apply_batch_txn(_batch(spark, range(4)), fac, ["id"], batch_id=0, num_partitions=1)

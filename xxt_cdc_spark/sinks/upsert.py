@@ -774,3 +774,107 @@ def apply_batch(
         for k in totals:
             totals[k] += part_stats.get(k, 0)
     return totals
+
+
+# --- exactly-once for NON-idempotent sinks (transactional offsets) -----------
+OFFSETS_TABLE = "__xxt_applied_batches"
+
+
+def _gate_ph(dialect: str) -> str:
+    return "%s" if dialect == "mysql" else "?"
+
+
+def apply_batch_txn(
+    batch_df: DataFrame,
+    writer_factory: Callable[[], JdbcUpsertWriter],
+    key_cols: list[str],
+    batch_id: int,
+    pipeline: str = "default",
+    order_cols: list[str] | None = None,
+    num_partitions: int = 8,
+) -> dict:
+    """``apply_batch`` with EXACTLY-ONCE semantics for sinks whose
+    statements are NOT idempotent (append-only tables, increment
+    counters, audit logs): the batch position rides in the SAME target
+    transaction as the data — the offsets-in-target pattern (Kafka
+    Connect JDBC / Flink XA sinks use the same protocol).
+
+    Per partition: (1) the gate row for (pipeline, partition) is read —
+    a batch id at or past this one means the partition already applied
+    (a foreachBatch REPLAY after a crash between the target commit and
+    the streaming checkpoint advance) and is skipped whole; (2) the
+    writer applies its slice with ``defer_commit`` — nothing commits;
+    (3) the gate row is rewritten to this batch id; (4) ONE commit
+    lands data + position atomically. A crash anywhere before (4)
+    rolls the whole partition back; a crash after (4) makes the replay
+    hit the gate. No idempotence assumption anywhere.
+
+    ``writer_factory`` must produce pooled, defer-commit writers (the
+    transaction needs one connection that outlives apply_rows).
+    The gate table is created (and committed) BEFORE the data
+    transaction opens — MySQL DDL auto-commits, so in-transaction
+    creation would tear the atomicity; pre-create it in production.
+    """
+    order_cols = order_cols or ["pos_file", "pos_offset"]
+    collapsed = last_write_wins(batch_df, key_cols, order_cols)
+    routed = route(collapsed, num_partitions, key_cols, order_cols)
+
+    def _run(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = writer_factory()
+        if not (writer.defer_commit and writer.pool_key):
+            raise ValueError(
+                "apply_batch_txn requires defer_commit + pool_key writers "
+                "(one connection must carry data and offsets to one commit)"
+            )
+        conn, pooled = writer._acquire()
+        ph = _gate_ph(writer.dialect)
+        try:
+            cur = conn.cursor()  # DB-API portable (conn.execute is sqlite-only)
+            # gate table: ensured OUTSIDE the data transaction
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {OFFSETS_TABLE} ("
+                "pipeline TEXT NOT NULL, partition_id INTEGER NOT NULL, "
+                "batch_id INTEGER NOT NULL, PRIMARY KEY (pipeline, partition_id))"
+            )
+            conn.commit()
+
+            cur.execute(
+                f"SELECT batch_id FROM {OFFSETS_TABLE} WHERE pipeline = {ph} "
+                f"AND partition_id = {ph}",
+                (pipeline, pid),
+            )
+            row = cur.fetchone()
+            if row is not None and row[0] >= batch_id:
+                yield {"upserts": 0, "deletes": 0, "retries": 0, "failures": 0, "skipped": 1}
+                return
+
+            stats = writer.apply_rows(rows)  # uncommitted (defer_commit)
+            cur.execute(
+                f"DELETE FROM {OFFSETS_TABLE} WHERE pipeline = {ph} AND partition_id = {ph}",
+                (pipeline, pid),
+            )
+            cur.execute(
+                f"INSERT INTO {OFFSETS_TABLE} (pipeline, partition_id, batch_id) "
+                f"VALUES ({ph}, {ph}, {ph})",
+                (pipeline, pid, batch_id),
+            )
+            conn.commit()  # data + position, atomically
+            stats["skipped"] = 0
+            yield stats
+        except BaseException:
+            try:
+                conn.rollback()
+            except Exception:  # noqa: BLE001
+                pass
+            if pooled:
+                writer._evict(conn)
+            raise
+
+    totals = {"upserts": 0, "deletes": 0, "retries": 0, "failures": 0, "skipped": 0}
+    for part_stats in routed.rdd.mapPartitions(_run).collect():
+        for k in totals:
+            totals[k] += part_stats.get(k, 0)
+    return totals
