@@ -31,6 +31,9 @@ oracle reproducing the same history in ANSI SQL. Coverage map:
                                (chunk checksums + row drill-down;
                                oracle derives the expected report
                                independently of the protocol)
+- cdc_temporal_join          → point-in-time join vs the SCD2
+                               history (union-tag + running-last, no
+                               join operator in the plan)
 """
 
 from __future__ import annotations
@@ -788,6 +791,66 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+# --- temporal (point-in-time) join vs the SCD2 history -----------------------
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-style temporal table join (operators/temporal_join.py):
+    every changefeed position probes the orders SCD2 history at itself
+    AND at +4 (positions are k*10+{1,2,3}, so +4 probes land mid-
+    interval and, for deleted keys, in the post-delete GAP — the case
+    the running-last trick alone would get wrong). Inner join: probes
+    before the key existed or past its delete match nothing. The
+    oracle is the naive range join over the LEAD-built history."""
+    from xxt_cdc_spark.operators.scd2 import scd2_history
+    from xxt_cdc_spark.operators.temporal_join import temporal_join
+
+    cf = orders_changefeed(spark, sf_dir)
+    hist = scd2_history(
+        cf.select("op", "pos_file", "pos_offset", "o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderkey"],
+        ["pos_file", "pos_offset"],
+    )
+    probes = cf.select(
+        "o_orderkey",
+        "pos_file",
+        "pos_offset",
+        F.explode(F.array(F.lit(0), F.lit(4))).alias("_d"),
+    ).select(
+        "o_orderkey",
+        "pos_file",
+        (F.col("pos_offset") + F.col("_d")).alias("pos_offset"),
+    ).distinct()  # the feed carries transport-duplicated updates; probe once
+    out = temporal_join(probes, hist, ["o_orderkey"], ["pos_file", "pos_offset"], how="inner")
+    return out.select(
+        "o_orderkey",
+        F.col("pos_offset").alias("probe_pos"),
+        F.col("valid_from_pos_offset").alias("valid_from"),
+        "o_orderstatus",
+        "o_totalprice",
+    ).orderBy("o_orderkey", "probe_pos")
+
+
+CDC_TEMPORAL_SQL = f"""{_CF},
+dedup AS (SELECT DISTINCT * FROM cf),
+v AS (
+  SELECT *, LEAD(pos_offset) OVER (PARTITION BY o_orderkey
+                                   ORDER BY pos_file, pos_offset) AS valid_to
+  FROM dedup
+),
+hist AS (SELECT * FROM v WHERE op <> 'D'),
+probes AS (
+  SELECT o_orderkey, pos_offset + d.d AS p
+  FROM dedup CROSS JOIN (VALUES (0), (4)) AS d(d)
+)
+SELECT p.o_orderkey, p.p AS probe_pos, h.pos_offset AS valid_from,
+       h.o_orderstatus, h.o_totalprice
+FROM probes p
+JOIN hist h ON p.o_orderkey = h.o_orderkey
+           AND h.pos_offset <= p.p
+           AND (h.valid_to IS NULL OR p.p < h.valid_to)
+ORDER BY p.o_orderkey, probe_pos
+"""
+
+
 # --- table reconciliation (pt-table-checksum workflow) -----------------------
 RECON_MOD = 997
 
@@ -841,6 +904,7 @@ ORDER BY o_orderkey, status
 
 
 QUERIES = {
+    "cdc_temporal_join": cdc_temporal_join,
     "cdc_reconcile_drift": cdc_reconcile_drift,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
@@ -863,6 +927,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_temporal_join": CDC_TEMPORAL_SQL,
     "cdc_reconcile_drift": CDC_RECONCILE_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_envelope_roundtrip": CDC_ROUNDTRIP_SQL,
