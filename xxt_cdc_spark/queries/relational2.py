@@ -426,7 +426,51 @@ def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # folded/new entries lead so the driver's 50-entry sweep certifies them
 # in their first round on the registry
+# --- recursive CTE: hierarchical rollup (Spark 4 WITH RECURSIVE) -------------
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal — the relational capability
+    class (org charts, BOM explosions, graph reachability) that only
+    became expressible in Spark SQL with 4.0's WITH RECURSIVE. The
+    hierarchy is synthetic but total: each customer's parent is its
+    key with the last digit stripped (k DIV 10), roots are keys < 10,
+    so every key terminates at a root in O(digits) iterations — each
+    recursion step is one distributed join, no driver loops. Rolls up
+    subtree size, exact-decimal balance, and max depth per root."""
+    load_tables(spark, sf_dir, ["customer"])
+    return spark.sql("""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth, c_acctbal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1, c.c_acctbal
+  FROM customer c JOIN chain ON c.c_custkey DIV 10 = chain.k
+  WHERE c.c_custkey >= 10
+)
+SELECT root, COUNT(*) AS n_members,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       MAX(depth) AS max_depth
+FROM chain GROUP BY root ORDER BY root
+""")
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth, c_acctbal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1, c.c_acctbal
+  FROM customer c JOIN chain ON c.c_custkey // 10 = chain.k
+  WHERE c.c_custkey >= 10
+)
+SELECT root, COUNT(*) AS n_members,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       CAST(MAX(depth) AS INT) AS max_depth
+FROM chain GROUP BY root ORDER BY root
+"""
+
+
 QUERIES = {
+    "hierarchy_rollup": hierarchy_rollup,
     "grouping_analytics": grouping_analytics,
     "orders_priority_profile": orders_priority_profile,
     "lead_lag_user_gaps": lead_lag_user_gaps,
@@ -443,6 +487,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "hierarchy_rollup": HIERARCHY_SQL,
     "grouping_analytics": GROUPING_ANALYTICS_ORACLE,
     "orders_priority_profile": ORDERS_PRIORITY_PROFILE_SQL,
     "lead_lag_user_gaps": LEAD_LAG_ORACLE,
