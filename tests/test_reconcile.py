@@ -50,6 +50,18 @@ class TestReconcile:
         got = [(r.id, r.status) for r in reconcile(src, dst, ["id"], 8).collect()]
         assert got == [(1, "differs")]
 
+    def test_salt_value_realignment_not_a_collision(self, spark):
+        """r5 review finding: with FLAT positional salting, int columns
+        whose value equals the adjacent salt index re-align the hash
+        stream after a NULL skip — (7, 2, NULL) vs (7, NULL, 2) hashed
+        equal and reconcile reported converged. The two-level row hash
+        must see the drift."""
+        schema = "id long, a int, b int"
+        src = spark.createDataFrame([(7, 2, None)], schema)
+        dst = spark.createDataFrame([(7, None, 2)], schema)
+        got = [(r.id, r.status) for r in reconcile(src, dst, ["id"], 8).collect()]
+        assert got == [(7, "differs")]
+
     def test_checksum_shape(self, spark):
         """The wire format of the protocol: O(chunks) rows regardless
         of table size, counts partition across chunks."""

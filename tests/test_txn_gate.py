@@ -154,6 +154,21 @@ class TestTxnGate:
         assert _count(db, "SELECT COUNT(*) FROM (SELECT DISTINCT id FROM t)") == 40
         assert stats["skipped"] >= 1  # the committed partition was gated
 
+    def test_no_collapse_by_default_every_event_lands(self, spark, tmp_path):
+        """r5 review finding: the gate exists for append-only/audit
+        sinks where EVERY event matters — an implicit LWW collapse
+        would silently drop a key's intermediate history. Two events
+        for the same key must both reach the target."""
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=f"txn-nc-{tmp_path.name}")
+        rows = [("I", "f1", 1, 5, "first"), ("U", "f1", 2, 5, "second")]
+        df = spark.createDataFrame(
+            rows, "op string, pos_file string, pos_offset long, id long, v string"
+        )
+        apply_batch_txn(df, fac, ["id"], batch_id=0, num_partitions=1)
+        assert _count(db) == 2  # audit history intact
+
     def test_requires_defer_commit_pool(self, spark, tmp_path):
         db = str(tmp_path / "t.db")
         _mk_target(db)

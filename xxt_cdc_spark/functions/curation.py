@@ -282,6 +282,7 @@ def decontaminate(
     split_col: str,
     n: int = DECON_N,
     benchmark_split: str = "test",
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Flag training documents sharing ANY token n-gram with the
     benchmark split — the dataset-decontamination gate every serious
@@ -293,18 +294,31 @@ def decontaminate(
     `xxhash64` key, so the corpus shuffles its gram hashes once and
     the join is broadcastable. Returns non-benchmark rows with a
     `contaminated` flag (benchmark rows are the reference set, not
-    candidates)."""
+    candidates).
+
+    ``bloom_fpp`` set = Bloom-prefiltered variant, IDENTICAL results
+    (the bitmap has no false negatives; its false positives are
+    removed by the exact semi-join that follows): for the regime where
+    the benchmark gram set is too large to broadcast as a join hash
+    table (~60 B/key) but fits as a bitmap (~1.2 B/key at 1% FPP),
+    the corpus-side gram stream is cut to ~contamination-rate + FPP
+    BEFORE the only wide shuffle. See functions/bloom.py."""
     grams = df.select(
         F.col(id_col),
         F.col(split_col).alias("_split"),
         F.explode(ngram_keys(text_col, n)).alias("gram"),
     ).select(id_col, "_split", F.xxhash64("gram").alias("gh"))
-    bench = (
-        grams.filter(F.col("_split") == benchmark_split).select("gh").distinct()
-    )
+    bench = grams.filter(F.col("_split") == benchmark_split).select("gh").distinct()
+    corpus = grams.filter(F.col("_split") != benchmark_split)
+    if bloom_fpp is not None:
+        from xxt_cdc_spark.functions.bloom import build_bloom, might_contain
+
+        bench = bench.localCheckpoint(eager=True)  # built once, probed twice
+        bloom = build_bloom(bench, "gh", expected_items=max(bench.count(), 1), fpp=bloom_fpp)
+        # no-shuffle prefilter; the semi-join below stays the exact verify
+        corpus = corpus.filter(might_contain(df.sparkSession, bloom, F.col("gh")))
     hit = (
-        grams.filter(F.col("_split") != benchmark_split)
-        .join(bench, "gh", "left_semi")
+        corpus.join(bench, "gh", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(1))
@@ -325,39 +339,10 @@ def decontaminate_bloom(
     benchmark_split: str = "test",
     fpp: float = 0.01,
 ) -> DataFrame:
-    """`decontaminate` with a Bloom prefilter on the corpus side —
-    IDENTICAL results (false positives are re-verified by the exact
-    semi-join; the Bloom has no false negatives), different economics:
-    the regime where the benchmark gram set is too large to broadcast
-    as a join hash table (~60 B/key) but fits as a bitmap
-    (~1.2 B/key at 1% FPP), so the corpus-side gram stream is cut to
-    ~contamination-rate + FPP BEFORE the only wide shuffle instead of
-    shuffling every gram hash. See functions/bloom.py for the build.
-    """
-    from xxt_cdc_spark.functions.bloom import build_bloom, might_contain
-
-    grams = df.select(
-        F.col(id_col),
-        F.col(split_col).alias("_split"),
-        F.explode(ngram_keys(text_col, n)).alias("gram"),
-    ).select(id_col, "_split", F.xxhash64("gram").alias("gh"))
-    bench = (
-        grams.filter(F.col("_split") == benchmark_split).select("gh").distinct()
-    ).localCheckpoint(eager=True)  # built once, probed twice
-    bloom = build_bloom(bench, "gh", expected_items=max(bench.count(), 1), fpp=fpp)
-    spark = df.sparkSession
-    hit = (
-        grams.filter(F.col("_split") != benchmark_split)
-        .filter(might_contain(spark, bloom, F.col("gh")))  # no-shuffle prefilter
-        .join(bench, "gh", "left_semi")  # exact verify over survivors only
-        .select(id_col)
-        .distinct()
-        .withColumn("contaminated", F.lit(1))
-    )
-    return (
-        df.filter(F.col(split_col) != benchmark_split)
-        .join(hit, id_col, "left")
-        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
+    """``decontaminate`` with the Bloom prefilter on (kept as a named
+    entry point; one implementation — review finding r5)."""
+    return decontaminate(
+        df, text_col, id_col, split_col, n, benchmark_split, bloom_fpp=fpp
     )
 
 

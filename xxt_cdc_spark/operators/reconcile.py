@@ -19,9 +19,11 @@ where pt-table-checksum's PK ranges hot-spot on monotonic keys), the
 chunk checksum is COUNT + BIT_XOR of row hashes (XOR is order- and
 partition-insensitive and cannot overflow under ANSI arithmetic; PK
 uniqueness within a chunk makes cancellation impossible). Row hashes
-interleave a positional literal between columns so a NULL in column i
-cannot collide with the same value shifted into column i+1 (Spark's
-hash functions skip NULLs, leaving the accumulator unchanged).
+are TWO-LEVEL — each column hashed with its position, then the
+per-column digests hashed together — so a NULL in column i cannot
+collide with the same value shifted into column i+1 (Spark's hash
+functions skip NULLs; a flat salted stream would re-align when an
+integer value equals an adjacent salt).
 
 Reference parity: the reference ships changes (connector/sink) but has
 no convergence checker; this closes the operational loop around its
@@ -42,10 +44,15 @@ STATUS_DIFFERS = "differs"
 
 
 def _row_hash(cols: list[str]) -> F.Column:
-    parts: list = []
-    for i, c in enumerate(cols):
-        parts.append(F.lit(i))
-        parts.append(F.col(c))
+    # two-level: hash each column WITH its position first, then hash
+    # the per-column digests. A NULL column leaves xxhash64(lit(i)) —
+    # a concrete, position-specific value — so the outer hash always
+    # sees exactly len(cols) non-null longs and NULL-adjacent value
+    # shifts cannot line up. (A single flat xxhash64(i0, c0, i1, c1, …)
+    # is NOT enough: the NULL skip deletes the column slot and an int
+    # column whose value equals the next salt index re-aligns the
+    # stream — found by review, pinned in tests.)
+    parts = [F.xxhash64(F.lit(i), F.col(c)) for i, c in enumerate(cols)]
     return F.xxhash64(*parts)
 
 
@@ -108,7 +115,11 @@ def reconcile(
     chunk-bucketed) meet in a keyed full-outer join and compare their
     row hashes. A converged table exits at phase 1 with an empty plan.
     """
-    bad = mismatched_chunks(src, dst, key_cols, n_chunks)
+    # materialize the O(n_chunks) mismatch set ONCE: it feeds both
+    # sides' drill-down semi-joins, and un-materialized it would embed
+    # the full-table checksum subtree twice in the final plan (four
+    # scans instead of two)
+    bad = mismatched_chunks(src, dst, key_cols, n_chunks).localCheckpoint(eager=True)
     value_cols = list(src.columns)
 
     def prep(df: DataFrame, side: str) -> DataFrame:

@@ -67,10 +67,13 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (43): relational2 + cdc + text + layout — swept when
-#                 _ROUND is odd.
-#   group B (46): vector + streaming + sketches + corpus + curation +
+#   group A (46): relational2 + cdc + text + layout — swept when
+#                 _ROUND is odd. (r5 end state: relational2 14 +
+#                 cdc 20 + text 11 + layout 1.)
+#   group B (47): vector + streaming + sketches + corpus + curation +
 #                 relational — swept when _ROUND is even.
+# tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
+# these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their
 # first driver row ≤1 round away) as long as that group stays ≤ 50.
 #

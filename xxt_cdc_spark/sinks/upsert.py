@@ -792,6 +792,7 @@ def apply_batch_txn(
     pipeline: str = "default",
     order_cols: list[str] | None = None,
     num_partitions: int = 8,
+    collapse: bool = False,
 ) -> dict:
     """``apply_batch`` with EXACTLY-ONCE semantics for sinks whose
     statements are NOT idempotent (append-only tables, increment
@@ -816,7 +817,12 @@ def apply_batch_txn(
     creation would tear the atomicity; pre-create it in production.
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
-    collapsed = last_write_wins(batch_df, key_cols, order_cols)
+    # collapse defaults OFF here — the sinks this gate exists for
+    # (append-only, counters, audit logs) need EVERY event, and an LWW
+    # collapse would silently drop a key's intermediate history; turn
+    # it on only for PK-upsert targets riding the gate for its
+    # skip-the-replay economics
+    collapsed = last_write_wins(batch_df, key_cols, order_cols) if collapse else batch_df
     routed = route(collapsed, num_partitions, key_cols, order_cols)
 
     def _run(rows):
@@ -836,7 +842,7 @@ def apply_batch_txn(
             # gate table: ensured OUTSIDE the data transaction
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {OFFSETS_TABLE} ("
-                "pipeline TEXT NOT NULL, partition_id INTEGER NOT NULL, "
+                "pipeline VARCHAR(128) NOT NULL, partition_id INTEGER NOT NULL, "
                 "batch_id INTEGER NOT NULL, PRIMARY KEY (pipeline, partition_id))"
             )
             conn.commit()
