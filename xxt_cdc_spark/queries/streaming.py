@@ -624,9 +624,51 @@ def stream_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+# --- VARIANT (Spark 4 semi-structured type) ----------------------------------
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary-encoded variant, then typed
+    ``variant_get`` path extractions — the engine-native successor to
+    per-access ``get_json_object`` string re-parsing (which
+    stream_event_profiles covers): parse once, extract many, typed at
+    the extraction site. Missing paths yield typed NULLs (counted here
+    to pin that semantic). Oracle: DuckDB JSON extraction."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.absent', 'string')").alias("missing"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS INT) AS max_k,
+       COUNT(json_extract_string(props, '$.absent')) AS n_absent
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "stream_topk_per_window": stream_topk_per_window,
     "stream_topk_incremental": stream_topk_incremental,
+    "variant_props_profile": variant_props_profile,
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
@@ -642,6 +684,7 @@ QUERIES = {
 ORACLE = {
     "stream_topk_per_window": STREAM_TOPK_SQL,
     "stream_topk_incremental": STREAM_TOPK_SQL,
+    "variant_props_profile": VARIANT_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
