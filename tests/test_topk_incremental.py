@@ -86,6 +86,28 @@ class TestWindowedTopKStore:
         assert v1[wb0] == 0 and len(v1) == 2
         assert os.path.isdir(tmp_path / "st" / "b0" / f"wb={wb0}")
 
+    def test_retention_drops_only_fully_expired_buckets(self, spark, tmp_path):
+        store = WindowedTopK(
+            spark, str(tmp_path / "st"), window_seconds=3600, windows_per_bucket=2
+        )
+        store.apply_batch(_df(spark, [("a", H0.format(m=5))]), 0)
+        store.apply_batch(_df(spark, [("b", "2024-01-05 00:05:00")]), 1)
+        v = dict(store._meta()["versions"])
+        assert len(v) == 2
+        # keep 4 windows: the Jan-1 bucket (95 windows behind) expires,
+        # the Jan-5 bucket (holds max_w) survives
+        dropped = store.expire(keep_windows=4)
+        assert len(dropped) == 1
+        left = store._meta()["versions"]
+        assert len(left) == 1 and str(dropped[0]) not in left
+        import os as _os
+
+        assert not _os.path.isdir(tmp_path / "st" / "b0" / f"wb={dropped[0]}")
+        # reads keep working on the survivor
+        assert store.topk(1, include_open=True).count() == 1
+        # idempotent / nothing more to drop
+        assert store.expire(keep_windows=4) == []
+
     def test_streaming_foreachbatch_restart_matches_twin(self, spark, tmp_path):
         """Real foreachBatch feed with a checkpoint restart mid-stream:
         the store must equal the one-shot batch twin (the streaming

@@ -174,6 +174,36 @@ class WindowedTopK:
         for wb, old in superseded:
             shutil.rmtree(self._wb_dir(old, wb), ignore_errors=True)
 
+    def expire(self, keep_windows: int) -> list[int]:
+        """Retention: drop range buckets whose ENTIRE window span lies
+        more than ``keep_windows`` behind the newest observed window.
+        O(dropped buckets) directory removals + one marker rewrite — no
+        data read; without this the store grows one bucket per
+        ``windows_per_bucket`` windows forever. Returns dropped wb ids.
+
+        Whole-bucket granularity is deliberate: a partial trim would
+        rewrite a bucket's surviving windows (a data job) to save at
+        most windows_per_bucket-1 windows of cheap parquet."""
+        meta = self._meta()
+        cutoff_w = meta["max_w"] - keep_windows
+        # bucket wb spans windows [wb*wpb, (wb+1)*wpb): fully expired
+        # iff its last window is below the cutoff
+        dropped = [
+            int(wb)
+            for wb in meta["versions"]
+            if (int(wb) + 1) * self.windows_per_bucket - 1 < cutoff_w
+        ]
+        if not dropped:
+            return []
+        doomed = [(wb, meta["versions"].pop(str(wb))) for wb in dropped]
+        # commit the narrowed manifest FIRST: a crash between commit and
+        # rmtree strands readable-but-unreferenced dirs (same posture as
+        # the apply GC), never a referenced-but-deleted one
+        self._commit(meta)
+        for wb, ver in doomed:
+            shutil.rmtree(self._wb_dir(ver, wb), ignore_errors=True)
+        return sorted(wb for wb, _ in doomed)
+
     # -- stage 2: serving ---------------------------------------------------
     def counts(self, include_open: bool = False) -> DataFrame:
         """The maintained (window, key, n) table — partition-pruned to
