@@ -56,6 +56,14 @@ HEADLINE = [
     "ts_downsample_family",
     "corpus_pack_whole_docs",
     "fuzzy_join_part_names",
+    # r5 additions (the cheap single-query forms; the incremental
+    # stores and the z-order rewrite are covered by tools/slope.py —
+    # their wall measures store-build loops, not query latency)
+    "stream_topk_per_window",
+    "cdc_temporal_join",
+    "cdc_reconcile_drift",
+    "variant_props_profile",
+    "hierarchy_rollup",
     # dedup_incremental_simhash is deliberately NOT a headline entry:
     # it replays a 5-batch incremental pipeline (persistent store,
     # per-batch jobs), so its wall-clock measures batch-loop overhead,
