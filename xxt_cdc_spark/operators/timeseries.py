@@ -57,6 +57,42 @@ def ohlc(
     )
 
 
+def ohlc_coarsen(
+    candles: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    factor: int,
+    coarse_bucket_col: str = "B",
+) -> DataFrame:
+    """Fold fine candles into ``factor``-times-coarser ones WITHOUT
+    re-reading the raw samples — the continuous-aggregate hierarchy
+    (TimescaleDB's 1m → 1h → 1d rollup chain). Correct because every
+    OHLC field is a lattice over the fine candles: coarse high/low are
+    max/min, coarse open/close are the open of the EARLIEST and close
+    of the LATEST contributing fine bucket (bucket ids are unique per
+    key, so the (bucket, value) struct order is total — deterministic
+    with no tie rule needed). At 100 TB this is the point: each rollup
+    level aggregates candle rows (keys × buckets), never the raw
+    samples, so a refresh of the coarse level costs O(fine candles
+    touched), exactly like :class:`IncrementalOHLC`'s per-batch merge.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    b = F.col(bucket_col)
+    return (
+        candles.groupBy(
+            *key_cols, F.floor(b / factor).cast("long").alias(coarse_bucket_col)
+        )
+        .agg(
+            F.min(F.struct(b, F.col("open"))).getField("open").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max(F.struct(b, F.col("close"))).getField("close").alias("close"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     key_cols: list[str],

@@ -624,6 +624,47 @@ def stream_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+# --- hierarchical OHLC rollup (continuous-aggregate hierarchy) ---------------
+def ts_ohlc_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily candles built BY FOLDING HOURLY CANDLES
+    (operators/timeseries.ohlc_coarsen — the TimescaleDB 1m→1h→1d
+    rollup chain: every OHLC field is a lattice over the finer level,
+    so each level aggregates candle rows, never raw samples). The
+    oracle computes daily OHLC directly from the raw events — hash
+    equality proves the hierarchy is lossless."""
+    from xxt_cdc_spark.operators.gap_fill import bucketize
+    from xxt_cdc_spark.operators.timeseries import ohlc, ohlc_coarsen
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", bucketize("ts", 3600).alias("b"), "value"
+    )
+    hourly = ohlc(ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id")
+    daily = ohlc_coarsen(hourly, ["user_id"], "b", factor=24)
+    return daily.select(
+        "user_id", "B", "n_samples", "open", "high", "low", "close"
+    ).orderBy("user_id", "B")
+
+
+OHLC_HIERARCHY_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS B, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, B, value,
+         row_number() OVER (PARTITION BY user_id, B ORDER BY ts, event_id, value) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, B ORDER BY ts DESC, event_id DESC, value DESC) AS rn_d
+  FROM base
+)
+SELECT user_id, B, COUNT(*) AS n_samples,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM ranked GROUP BY user_id, B ORDER BY user_id, B
+"""
+
+
 # --- VARIANT (Spark 4 semi-structured type) ----------------------------------
 def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics through the VARIANT type (Spark 4):
@@ -669,6 +710,7 @@ QUERIES = {
     "stream_topk_per_window": stream_topk_per_window,
     "stream_topk_incremental": stream_topk_incremental,
     "variant_props_profile": variant_props_profile,
+    "ts_ohlc_hierarchy": ts_ohlc_hierarchy,
     "stream_interval_join": stream_interval_join,
     "ts_gap_fill": ts_gap_fill,
     "ts_downsample_family": ts_downsample_family,
@@ -685,6 +727,7 @@ ORACLE = {
     "stream_topk_per_window": STREAM_TOPK_SQL,
     "stream_topk_incremental": STREAM_TOPK_SQL,
     "variant_props_profile": VARIANT_SQL,
+    "ts_ohlc_hierarchy": OHLC_HIERARCHY_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "ts_gap_fill": GAPFILL_SQL,
     "ts_downsample_family": DOWNSAMPLE_SQL,
