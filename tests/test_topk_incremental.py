@@ -139,6 +139,12 @@ class TestWindowedTopKStore:
         store = WindowedTopK(spark, str(tmp_path / "st"), window_seconds=3600)
 
         def run():
+            # strictly increasing mtimes in filename order: the file
+            # source's equal-mtime tie-break is not path-ascending
+            # (see test_session_stream._stamp)
+            for i, p in enumerate(sorted(os.listdir(src))):
+                t = 1_700_000_000 + i
+                os.utime(os.path.join(src, p), (t, t))
             stream = (
                 spark.readStream.schema(SCHEMA)
                 .option("maxFilesPerTrigger", "1")
