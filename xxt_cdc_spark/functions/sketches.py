@@ -409,6 +409,81 @@ def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> Data
     return u.groupBy(*group_cols, "j", "i").agg(F.sum("cnt").alias("cnt"))
 
 
+class IncrementalCM:
+    """Persistent count-min state over a stream: per-batch cell deltas
+    (each one `cm_counters` output — sketch-sized) SUM-merged into a
+    committed counter table. Completes the incremental-sketch family
+    next to :class:`IncrementalHLL`, with the OTHER exactly-once
+    mechanism: HLL's max-merge is naturally idempotent, CM's sum-merge
+    is not, so this store rides the versioned-dir + commit-marker
+    protocol (operators/incremental_agg.ContinuousAggregate — see its
+    crash-point analysis; operators/topk_store.py uses the same). The
+    whole state is d·w cells per group, so every version write is
+    O(sketch), never O(stream)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        key_col: str,
+        group_cols: Sequence[str] = (),
+        d: int = CM_D,
+        w: int = CM_W,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.group_cols = list(group_cols)
+        self.d = d
+        self.w = w
+        self.marker_path = os.path.join(root, "_commit.json")
+
+    def _last(self) -> int:
+        import json as _json
+
+        try:
+            with open(self.marker_path) as f:
+                return _json.load(f)["batch_id"]
+        except FileNotFoundError:
+            return -1
+
+    def _vdir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"b{batch_id}")
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+        import os
+        import shutil
+
+        last = self._last()
+        if batch_id <= last:
+            return  # committed earlier; replay is a no-op
+        vdir = self._vdir(batch_id)
+        if not os.path.isfile(os.path.join(vdir, "_SUCCESS")):
+            delta = cm_counters(batch_df, self.key_col, self.group_cols, self.d, self.w)
+            parts = [delta]
+            if last >= 0:
+                parts.append(self.spark.read.parquet(self._vdir(last)))
+            cm_merge(parts, self.group_cols).write.mode("overwrite").parquet(vdir)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self.marker_path)
+        if last >= 1 and os.path.isdir(self._vdir(last - 1)):
+            shutil.rmtree(self._vdir(last - 1), ignore_errors=True)
+
+    def counters(self) -> DataFrame:
+        last = self._last()
+        if last < 0:
+            raise RuntimeError("no committed sketch yet")
+        return self.spark.read.parquet(self._vdir(last))
+
+
 def cm_heavy_hitters(
     df: DataFrame,
     key_col: str,

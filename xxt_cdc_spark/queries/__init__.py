@@ -27,6 +27,7 @@ from xxt_cdc_spark.queries import (
     relational,
     relational2,
     sketches,
+    sketches2,
     streaming,
     text,
     vector,
@@ -67,9 +68,10 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (46): relational2 + cdc + text + layout — swept when
-#                 _ROUND is odd. (r5 end state: relational2 14 +
-#                 cdc 20 + text 11 + layout 1.)
+#   group A (47): relational2 + cdc + text + layout + sketches2 —
+#                 swept when _ROUND is odd. (r5 end state:
+#                 relational2 14 + cdc 20 + text 11 + layout 1 +
+#                 sketches2 1.)
 #   group B (47): vector + streaming + sketches + corpus + curation +
 #                 relational — swept when _ROUND is even.
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
@@ -83,7 +85,7 @@ ORACLE: dict[str, str] = {}
 # the remaining sweep slots (50 − |lead|), giving its head a bonus
 # refresh. Bump _ROUND once per driver round when rotating.
 _ROUND = 5
-_GROUP_A = (relational2, cdc, text, layout)
+_GROUP_A = (relational2, cdc, text, layout, sketches2)
 _GROUP_B = (vector, streaming, sketches, corpus, curation, relational)
 _ORDERED = _GROUP_A + _GROUP_B if _ROUND % 2 == 1 else _GROUP_B + _GROUP_A
 for mod in _ORDERED:
