@@ -409,6 +409,57 @@ def cm_merge(parts: Sequence[DataFrame], group_cols: Sequence[str] = ()) -> Data
     return u.groupBy(*group_cols, "j", "i").agg(F.sum("cnt").alias("cnt"))
 
 
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    half_life_s: int,
+    group_cols: Sequence[str] = (),
+    cap: int = 32,
+) -> DataFrame:
+    """Exponentially-decayed event counts per key — the recency-
+    weighted frequency behind "trending now" heavy hitters: an event
+    ``age`` half-lives old contributes 2^-age to the key's score.
+
+    Engineered for CROSS-ENGINE bit-exactness (the oracle gate): the
+    naive Σ 0.5^age float sum is summation-order-dependent and
+    pow()-library-dependent. Here age is whole half-life buckets
+    relative to the stream's max bucket, weights are the INTEGERS
+    2^(cap − age) (ages past ``cap`` contribute zero — a weight below
+    2^-cap ≈ 2e-10 of the newest event's), the per-key sum runs in
+    decimal (exact integer arithmetic, order-free), and one final
+    division by 2^cap produces the score. Plan shape: one groupBy on
+    (key, age-bucket) with map-side partials, then a key-level sum of
+    ≤ cap rows — scan-shaped, no windows."""
+    if not (1 <= cap <= 62):
+        raise ValueError("cap must be in [1, 62]")
+    bucket = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(half_life_s * 1_000_000)).cast("long")
+    b = df.select(*[F.col(c) for c in group_cols], F.col(key_col).alias("_k"), bucket.alias("_b"))
+    maxb = b.groupBy(*group_cols).agg(F.max("_b").alias("_maxb")) if group_cols else None
+    if group_cols:
+        b = b.join(maxb, list(group_cols))
+    else:
+        b = b.crossJoin(F.broadcast(b.agg(F.max("_b").alias("_maxb"))))
+    age = (F.col("_maxb") - F.col("_b")).cast("long")
+    weighted = (
+        b.withColumn("_age", age)
+        .filter(F.col("_age") <= cap)
+        .groupBy(*group_cols, "_k", "_age")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            "_k",
+            (
+                F.col("_n").cast("decimal(38,0)")
+                * F.pow(F.lit(2.0), (F.lit(cap) - F.col("_age")).cast("double")).cast("decimal(38,0)")
+            ).alias("_w"),
+        )
+    )
+    return weighted.groupBy(*group_cols, "_k").agg(
+        (F.sum("_w").cast("double") / F.lit(float(2**cap))).alias("decayed_count")
+    ).withColumnRenamed("_k", key_col)
+
+
 class IncrementalCM:
     """Persistent count-min state over a stream: per-batch cell deltas
     (each one `cm_counters` output — sketch-sized) SUM-merged into a

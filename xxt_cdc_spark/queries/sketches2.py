@@ -57,5 +57,63 @@ def sketch_incremental_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-QUERIES = {"sketch_incremental_cm": sketch_incremental_cm}
-ORACLE = {"sketch_incremental_cm": SKETCH_CM_SQL}
+DECAY_HL_S = 86_400  # daily half-life
+DECAY_CAP = 30
+DECAY_TOPK = 20
+
+
+def stream_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted heavy hitters ("trending now"): per-user event
+    counts decayed with a daily half-life (functions/sketches.py
+    ``decayed_counts`` — exact integer weights 2^(cap−age) summed in
+    decimal, so the score is order-free and engine-exact), top 20 by
+    decayed score with deterministic ties."""
+    from pyspark.sql import Window
+
+    from xxt_cdc_spark.queries.streaming import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    scores = SK.decayed_counts(ev, "user_id", "ts", DECAY_HL_S, cap=DECAY_CAP)
+    w = Window.orderBy(F.col("decayed_count").desc(), "user_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DECAY_TOPK)
+        .select("rank", "user_id", F.round("decayed_count", 6).alias("score"))
+        .orderBy("rank")
+    )
+
+
+DECAYED_TOPK_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // {DECAY_HL_S * 1_000_000} AS BIGINT) AS bkt
+  FROM events
+),
+m AS (SELECT MAX(bkt) AS maxb FROM b),
+aged AS (
+  SELECT user_id, (SELECT maxb FROM m) - bkt AS age FROM b
+  WHERE (SELECT maxb FROM m) - bkt <= {DECAY_CAP}
+),
+scores AS (
+  SELECT user_id,
+         CAST(SUM(CAST(pow(2, {DECAY_CAP} - age) AS HUGEINT)) AS DOUBLE)
+           / pow(2, {DECAY_CAP}) AS decayed
+  FROM aged GROUP BY user_id
+)
+SELECT CAST(rank AS INT) AS rank, user_id, ROUND(decayed, 6) AS score FROM (
+  SELECT user_id, decayed,
+         ROW_NUMBER() OVER (ORDER BY decayed DESC, user_id) AS rank
+  FROM scores
+) WHERE rank <= {DECAY_TOPK}
+ORDER BY rank
+"""
+
+
+QUERIES = {
+    "sketch_incremental_cm": sketch_incremental_cm,
+    "stream_decayed_topk": stream_decayed_topk,
+}
+ORACLE = {
+    "sketch_incremental_cm": SKETCH_CM_SQL,
+    "stream_decayed_topk": DECAYED_TOPK_SQL,
+}
