@@ -24,6 +24,7 @@ from xxt_cdc_spark.queries import (
     corpus,
     curation,
     layout,
+    quality,
     relational,
     relational2,
     sketches,
@@ -68,10 +69,11 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (47): relational2 + cdc + text + layout + sketches2 —
-#                 swept when _ROUND is odd. (r5 end state:
+#   group A (50): relational2 + cdc + text + layout + sketches2 +
+#                 quality — swept when _ROUND is odd. (r5 end state:
 #                 relational2 14 + cdc 20 + text 11 + layout 1 +
-#                 sketches2 1.)
+#                 sketches2 2 + quality 1. BOTH groups now AT the
+#                 cap: the next query must fold a family first.)
 #   group B (47): vector + streaming + sketches + corpus + curation +
 #                 relational — swept when _ROUND is even.
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
@@ -85,7 +87,7 @@ ORACLE: dict[str, str] = {}
 # the remaining sweep slots (50 − |lead|), giving its head a bonus
 # refresh. Bump _ROUND once per driver round when rotating.
 _ROUND = 5
-_GROUP_A = (relational2, cdc, text, layout, sketches2)
+_GROUP_A = (relational2, cdc, text, layout, sketches2, quality)
 _GROUP_B = (vector, streaming, sketches, corpus, curation, relational)
 _ORDERED = _GROUP_A + _GROUP_B if _ROUND % 2 == 1 else _GROUP_B + _GROUP_A
 for mod in _ORDERED:
