@@ -28,16 +28,9 @@ def _write(src, name, rows):
     with open(src / name, "w") as f:
         for (u, ts, v) in rows:
             f.write(json.dumps({"user_id": u, "ts": ts, "value": v}) + "\n")
-    # strictly increasing mtimes in filename order: files written in the
-    # same millisecond share an mtime and FileStreamSource's equal-mtime
-    # tie-break is NOT path-ascending — a sentinel processed before a
-    # data file advances the watermark and drops the data as late
-    # (see test_session_stream._stamp)
-    import os
+    from conftest import stamp_feed
 
-    for i, p in enumerate(sorted(os.listdir(src))):
-        t = 1_700_000_000 + i
-        os.utime(os.path.join(src, p), (t, t))
+    stamp_feed(src)
 
 
 class TestStreamingGapFill:

@@ -12,22 +12,11 @@ from xxt_cdc_spark.streaming.session_stream import streaming_sessionize
 SCHEMA = "user_id long, ts timestamp"
 
 
-def _stamp(src):
-    """Strictly increasing mtimes in filename order: files written in
-    the same millisecond share an mtime, and FileStreamSource's
-    equal-mtime tie-break is NOT path-ascending — observed processing
-    f9, f8, f3, which advances the watermark past the data file and
-    silently drops all its rows as late (root cause of a 50%-flaky
-    239-session loss)."""
-    import os
-
-    for i, p in enumerate(sorted(os.listdir(src))):
-        t = 1_700_000_000 + i
-        os.utime(os.path.join(src, p), (t, t))
+from conftest import stamp_feed
 
 
 def _run(spark, src, out, ck, gap_minutes=30):
-    _stamp(src)
+    stamp_feed(src)
     stream = (
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
     )

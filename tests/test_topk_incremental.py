@@ -108,6 +108,13 @@ class TestWindowedTopKStore:
         # idempotent / nothing more to drop
         assert store.expire(keep_windows=4) == []
 
+        # r5 review finding: a straggler below the retention floor must
+        # NOT resurrect the dropped bucket as a fresh (wrong) count map
+        store.apply_batch(_df(spark, [("ghost", H0.format(m=30))]), 2)
+        assert str(dropped[0]) not in store._meta()["versions"]
+        got = [r.event_type for r in store.topk(5, include_open=True).collect()]
+        assert got == ["b"]  # only the surviving bucket's key
+
     def test_streaming_foreachbatch_restart_matches_twin(self, spark, tmp_path):
         """Real foreachBatch feed with a checkpoint restart mid-stream:
         the store must equal the one-shot batch twin (the streaming
@@ -139,12 +146,9 @@ class TestWindowedTopKStore:
         store = WindowedTopK(spark, str(tmp_path / "st"), window_seconds=3600)
 
         def run():
-            # strictly increasing mtimes in filename order: the file
-            # source's equal-mtime tie-break is not path-ascending
-            # (see test_session_stream._stamp)
-            for i, p in enumerate(sorted(os.listdir(src))):
-                t = 1_700_000_000 + i
-                os.utime(os.path.join(src, p), (t, t))
+            from conftest import stamp_feed
+
+            stamp_feed(src)
             stream = (
                 spark.readStream.schema(SCHEMA)
                 .option("maxFilesPerTrigger", "1")

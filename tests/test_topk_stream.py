@@ -41,20 +41,11 @@ def _write(src, name, rows):
             f.write(json.dumps({"event_type": k, "ts": ts}) + "\n")
 
 
-def _stamp(src):
-    """Strictly increasing mtimes in filename order — same-millisecond
-    writes share an mtime and FileStreamSource's equal-mtime tie-break
-    is NOT path-ascending, so a sentinel can process BEFORE a data
-    file and its rows get dropped as late (see test_session_stream)."""
-    import os
-
-    for i, p in enumerate(sorted(os.listdir(src))):
-        t = 1_700_000_000 + i
-        os.utime(os.path.join(src, p), (t, t))
+from conftest import stamp_feed
 
 
 def _run(spark, src, out, ck, k=2):
-    _stamp(src)
+    stamp_feed(src)
     stream = (
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
     )
@@ -134,7 +125,7 @@ class TestStreamingTopK:
         src.mkdir()
         _write(src, "f0.json", [(f"k{i}", "2024-01-01 00:30:00") for i in range(40)])
         _write(src, "f1.json", SENTINEL)
-        _stamp(src)
+        stamp_feed(src)
         stream = (
             spark.readStream.schema(SCHEMA)
             .option("maxFilesPerTrigger", "1")

@@ -28,15 +28,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame, columns: list[str] | None = None, approx_ndv: bool = False
+) -> DataFrame:
     """Per-column profile: (column, n_rows, n_null, n_distinct,
-    min_str, max_str). One job; every statistic is a plain aggregate
-    so the exchange carries O(columns) cells."""
+    min_str, max_str), one aggregate job with an O(columns) result.
+
+    Cost honesty (review finding r5): with EXACT distinct counts
+    (default — what the oracle gate needs), Spark's multi-distinct
+    rewrite expands each row ×(N_cols+1) and funnels every column's
+    distinct values through ONE final-aggregation task — an O(Σ NDV)
+    single-task reduction, fine at report cadence but not a per-batch
+    hot path. ``approx_ndv=True`` swaps in HLL
+    (``approx_count_distinct``), which keeps partials sketch-sized
+    map-side — the form to run at 100 TB widths."""
+    ndv = F.approx_count_distinct if approx_ndv else F.countDistinct
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+        aggs.append(ndv(c).alias(f"{c}__ndv"))
         aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
         aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
     row = df.agg(*aggs)
@@ -56,15 +67,18 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 def pk_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Keys appearing more than once (or with a NULL part) — the
-    uniqueness + not-null test in one grouped pass."""
+    uniqueness + not-null test in one grouped pass. SQL uniqueness
+    semantics: NULLs are never equal, so null-keyed rows are reported
+    ONLY as ``null_key``, never as duplicates of each other."""
+    null_pred = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
+    )
     dup = (
-        df.groupBy(*key_cols)
+        df.filter(~null_pred)
+        .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select(*key_cols, F.lit("duplicate").alias("violation"))
-    )
-    null_pred = reduce(
-        lambda a, b: a | b, [F.col(k).isNull() for k in key_cols]
     )
     nulls = (
         df.filter(null_pred)

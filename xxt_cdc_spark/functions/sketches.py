@@ -451,13 +451,23 @@ def decayed_counts(
             "_k",
             (
                 F.col("_n").cast("decimal(38,0)")
-                * F.pow(F.lit(2.0), (F.lit(cap) - F.col("_age")).cast("double")).cast("decimal(38,0)")
+                # weight via BIT SHIFT, not pow(): libm pow is not
+                # required to be correctly rounded, and this function's
+                # whole design brief is no-libm-in-the-path (review
+                # finding r5); cap ≤ 62 keeps the shift in a long
+                * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({cap} - _age AS INT))").cast(
+                    "decimal(38,0)"
+                )
             ).alias("_w"),
         )
     )
-    return weighted.groupBy(*group_cols, "_k").agg(
-        (F.sum("_w").cast("double") / F.lit(float(2**cap))).alias("decayed_count")
-    ).withColumnRenamed("_k", key_col)
+    return (
+        weighted.groupBy(*group_cols, "_k")
+        .agg(
+            (F.sum("_w").cast("double") / F.lit(float(2**cap))).alias("decayed_count")
+        )
+        .withColumnRenamed("_k", key_col)
+    )
 
 
 class IncrementalCM:
@@ -492,25 +502,29 @@ class IncrementalCM:
         self.marker_path = os.path.join(root, "_commit.json")
 
     def _last(self) -> int:
-        import json as _json
-
-        try:
-            with open(self.marker_path) as f:
-                return _json.load(f)["batch_id"]
-        except FileNotFoundError:
-            return -1
+        return self._meta()["batch_id"]
 
     def _vdir(self, batch_id: int) -> str:
         import os
 
         return os.path.join(self.root, f"b{batch_id}")
 
+    def _meta(self) -> dict:
+        import json as _json
+
+        try:
+            with open(self.marker_path) as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return {"batch_id": -1, "prev": None}
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         import json as _json
         import os
         import shutil
 
-        last = self._last()
+        meta = self._meta()
+        last = meta["batch_id"]
         if batch_id <= last:
             return  # committed earlier; replay is a no-op
         vdir = self._vdir(batch_id)
@@ -523,10 +537,16 @@ class IncrementalCM:
         os.makedirs(self.root, exist_ok=True)
         tmp = self.marker_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"batch_id": batch_id}, f)
+            # record the ACTUAL previous version id — GC keyed off
+            # `batch_id - 1` would leak dirs under non-consecutive ids
+            # (restart at a later epoch; review finding r5)
+            _json.dump({"batch_id": batch_id, "prev": last if last >= 0 else None}, f)
         os.replace(tmp, self.marker_path)
-        if last >= 1 and os.path.isdir(self._vdir(last - 1)):
-            shutil.rmtree(self._vdir(last - 1), ignore_errors=True)
+        # keep two versions (current + prev, the ContinuousAggregate
+        # posture); drop the version BEFORE prev
+        old_prev = meta.get("prev")
+        if old_prev is not None and os.path.isdir(self._vdir(old_prev)):
+            shutil.rmtree(self._vdir(old_prev), ignore_errors=True)
 
     def counters(self) -> DataFrame:
         last = self._last()

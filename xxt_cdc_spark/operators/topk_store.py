@@ -112,6 +112,20 @@ class WindowedTopK:
             return  # committed earlier; replay is a no-op
 
         wpb = self.windows_per_bucket
+        # retention floor: events below the persisted expire() cutoff
+        # must NOT resurrect a dropped bucket — a fresh bucket holding
+        # only the straggler's counts would be served as a (wrong)
+        # closed window (same posture as topk_stream's finalized-window
+        # gate; review finding r5)
+        floor_w = meta.get("floor_w")
+        if floor_w is not None:
+            df = df.filter(
+                F.floor(
+                    F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                    / F.lit(self.window_us)
+                )
+                >= F.lit(int(floor_w))
+            )
         delta = (
             df.filter(F.col(self.ts_col).isNotNull() & F.col(self.key_col).isNotNull())
             .select(
@@ -196,6 +210,13 @@ class WindowedTopK:
         if not dropped:
             return []
         doomed = [(wb, meta["versions"].pop(str(wb))) for wb in dropped]
+        # persist the retention floor so apply_batch filters stragglers
+        # below it — an expired bucket must stay expired, not come back
+        # as a fresh (wrong) count map
+        meta["floor_w"] = max(
+            meta.get("floor_w") or -(1 << 62),
+            (max(wb for wb, _ in doomed) + 1) * self.windows_per_bucket,
+        )
         # commit the narrowed manifest FIRST: a crash between commit and
         # rmtree strands readable-but-unreferenced dirs (same posture as
         # the apply GC), never a referenced-but-deleted one

@@ -69,13 +69,12 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (50): relational2 + cdc + text + layout + sketches2 +
-#                 quality — swept when _ROUND is odd. (r5 end state:
-#                 relational2 14 + cdc 20 + text 11 + layout 1 +
-#                 sketches2 2 + quality 1. BOTH groups now AT the
-#                 cap: the next query must fold a family first.)
-#   group B (47): vector + streaming + sketches + corpus + curation +
-#                 relational — swept when _ROUND is even.
+#   group A (49): relational2 14 + cdc 20 + text 11 + layout 1 +
+#                 sketches2 2 + quality 1 — swept when _ROUND is odd.
+#   group B (49): vector 13 + streaming 14 + sketches 5 + corpus 4 +
+#                 curation 7 + relational 6 — swept when _ROUND is
+#                 even. (r5 end state: 98 total, ONE free slot per
+#                 group; beyond that, fold a family first.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their

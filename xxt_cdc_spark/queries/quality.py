@@ -37,6 +37,9 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionByName(orders.select(*PROFILE_COLS).filter(k % DUP_MOD == 0))
+        # the report embeds `dirty` in 5 branches (profile + 3 checks ×
+        # their subplans) — materialize once instead of ~10 orders scans
+        .localCheckpoint(eager=True)
     )
 
     prof = Q.profile(dirty, PROFILE_COLS).select(

@@ -96,8 +96,8 @@ aged AS (
 ),
 scores AS (
   SELECT user_id,
-         CAST(SUM(CAST(pow(2, {DECAY_CAP} - age) AS HUGEINT)) AS DOUBLE)
-           / pow(2, {DECAY_CAP}) AS decayed
+         CAST(SUM(CAST(CAST(1 AS BIGINT) << ({DECAY_CAP} - age) AS HUGEINT)) AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << {DECAY_CAP} AS DOUBLE) AS decayed
   FROM aged GROUP BY user_id
 )
 SELECT CAST(rank AS INT) AS rank, user_id, ROUND(decayed, 6) AS score FROM (
