@@ -437,6 +437,13 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion step is one distributed join, no driver loops. Rolls up
     subtree size, exact-decimal balance, and max depth per root."""
     load_tables(spark, sf_dir, ["customer"])
+    # the recursion accumulates one row per customer; the default
+    # guard (spark.sql.cteRecursionRowLimit = 1,000,000) trips at
+    # sf10's 1.5M customers — size it to the input (found by the sf10
+    # slope run, not by reasoning; the level limit of 100 is ample for
+    # the O(digits) depth)
+    n = spark.table("customer").count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n)))
     return spark.sql("""
 WITH RECURSIVE chain AS (
   SELECT c_custkey AS k, c_custkey AS root, 0 AS depth, c_acctbal
