@@ -33,7 +33,7 @@ HEADLINE = [
     "cdc_envelope_roundtrip",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "ann_topk_cosine",
+    "ann_flat_family",
     "emb_neardup_fast",
     "text_profile",
     "stream_window_agg",

@@ -71,10 +71,10 @@ ORACLE: dict[str, str] = {}
 #
 #   group A (49): relational2 14 + cdc 20 + text 11 + layout 1 +
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
-#   group B (49): vector 13 + streaming 14 + sketches 5 + corpus 4 +
+#   group B (46): vector 10 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 7 + relational 6 — swept when _ROUND is
-#                 even. (r5 end state: 98 total, ONE free slot per
-#                 group; beyond that, fold a family first.)
+#                 even. (r5 end state: 95 total after the flat-ANN
+#                 fold — group A has 1 free slot, group B has 4.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their

@@ -547,6 +547,45 @@ ORDER BY i, j
 
 # the two NSW queries lead (queries/__init__ pins them first for the
 # driver sweep — the only entries that had no driver row after r3)
+# --- flat-ANN family fold (r5 — sweep-cap headroom) --------------------------
+def ann_flat_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four flat ANN strategies (brute-force baseline, LSH-bucketed,
+    IVF with fixed centroids, PQ/ADC) in one keyed result — folded from
+    the ann_topk_cosine / ann_lsh_topk / ann_ivf_topk / ann_pq_topk
+    singles for sweep-cap headroom (same operators, same oracles,
+    r4-fold precedent); ``family`` discriminates, ``score`` carries the
+    (approx-)cosine each strategy ranks by."""
+    parts = [
+        ("brute", ann_topk_cosine(spark, sf_dir), "cosine"),
+        ("lsh", ann_lsh_topk(spark, sf_dir), "cosine"),
+        ("ivf", ann_ivf_topk(spark, sf_dir), "cosine"),
+        ("pq", ann_pq_topk(spark, sf_dir), "approx_cosine"),
+    ]
+    out = None
+    for fam, df, score_col in parts:
+        d = df.select(
+            F.lit(fam).alias("family"),
+            "query_id",
+            "rank",
+            "item_id",
+            F.col(score_col).alias("score"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("family", "query_id", "rank")
+
+
+ANN_FLAT_SQL = f"""
+SELECT 'brute' AS family, query_id, rank, item_id, cosine AS score FROM ({ANN_TOPK_SQL})
+UNION ALL
+SELECT 'lsh' AS family, query_id, rank, item_id, cosine AS score FROM ({ANN_LSH_SQL})
+UNION ALL
+SELECT 'ivf' AS family, query_id, rank, item_id, cosine AS score FROM ({ANN_IVF_SQL})
+UNION ALL
+SELECT 'pq' AS family, query_id, rank, item_id, approx_cosine AS score FROM ({ANN_PQ_SQL})
+ORDER BY family, query_id, rank
+"""
+
+
 QUERIES = {
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
@@ -556,10 +595,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_process": multimodal_process,
     "multimodal_decode": multimodal_decode,
-    "ann_topk_cosine": ann_topk_cosine,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_pq_topk": ann_pq_topk,
+    "ann_flat_family": ann_flat_family,
     "emb_neardup_fast": emb_neardup_fast,
 }
 
@@ -572,9 +608,6 @@ ORACLE = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_process": MULTIMODAL_PROCESS_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
-    "ann_topk_cosine": ANN_TOPK_SQL,
-    "ann_lsh_topk": ANN_LSH_SQL,
-    "ann_ivf_topk": ANN_IVF_SQL,
-    "ann_pq_topk": ANN_PQ_SQL,
+    "ann_flat_family": ANN_FLAT_SQL,
     "emb_neardup_fast": EMB_NEARDUP_FAST_SQL,
 }
