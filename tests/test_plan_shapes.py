@@ -60,7 +60,14 @@ class TestPlanShapes:
         assert "xxhash64" in plan
 
     def test_pq_uses_broadcast_joins_only(self, spark, sf_dir):
-        plan = _plan(spark, sf_dir, "ann_pq_topk")
+        # ann_pq_topk folded into ann_flat_family (r5) — the plan guard
+        # targets the module function directly
+        from xxt_cdc_spark.queries.vector import ann_pq_topk
+
+        df = ann_pq_topk(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
         # codebook/table sides are broadcast; the code scan must never
         # degrade to a nested-loop or cartesian pair join
         assert "BroadcastHashJoin" in plan
