@@ -65,6 +65,35 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def shingle_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct 64-bit shingle keys, one row per (doc, sh64) — the
+    string-free fast path for joins that only need shingle IDENTITY
+    (Jaccard candidate generation), not the shingle text.
+
+    ``xxhash64(tok_i, …, tok_{i+n-1})`` hashes the n tokens directly
+    (seed-chained, length-prefixed per element, so ("ab","c") and
+    ("a","bc") differ) — skipping the slice + array_join string
+    allocation of ``shingles()``, which profiling put at ~80% of the
+    whole jaccard_pairs cost at sf0.1 (interpreted HOF building 260k
+    ~30-byte strings). Distinct-on-hash equals distinct-on-string up to
+    64-bit collisions WITHIN one document (~1e-19 per doc) — the same
+    phantom-shared-count argument jaccard_pairs already makes for
+    joining on xxhash64(shingle).
+    """
+    toks = ", ".join(f"element_at(__toks, i + {k + 1})" for k in range(n))
+    keys_arr = (
+        f"IF(size(__toks) >= {n}, "
+        f"transform(sequence(0, size(__toks) - {n}), i -> xxhash64({toks})), "
+        f"array())"
+    )
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return (
+        df.repartition(n_parts)
+        .select(F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(keys_arr))).alias("sh64"))
+    )
+
+
 def shingle_sizes(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
@@ -98,14 +127,13 @@ def jaccard_pairs(
     # split/transform/explode per subtree (persist, not localCheckpoint:
     # lineage truncation makes the DAGScheduler log spurious
     # lost-accumulator errors on reuse)
-    # self-join on the 8-byte xxhash64 of the shingle, not the string:
-    # the join shuffles each shingle row twice and a word n-gram is
-    # ~20-40 bytes, so hashing cuts shuffle volume ~3× (a phantom
-    # shared-count needs two distinct shingles of the SAME doc pair to
-    # collide in 64 bits — ~1e-9 across the whole corpus)
-    sh = shingles(df, text_col, id_col, n).select(
-        id_col, "shingle", F.xxhash64("shingle").alias("sh64")
-    )
+    # self-join on the 8-byte shingle KEY, never the string: the join
+    # shuffles each shingle row twice and a word n-gram is ~20-40
+    # bytes. shingle_keys() hashes the n tokens directly without ever
+    # materializing the n-gram string (a phantom shared-count needs two
+    # distinct shingles of the SAME doc pair to collide in 64 bits —
+    # ~1e-9 across the whole corpus)
+    sh = shingle_keys(df, text_col, id_col, n)
     if df_cap is not None:
         # stop-shingle filter: drop DF > cap rows BEFORE the self-join
         # AND from the size denominators (Jaccard over rare shingles);
@@ -297,52 +325,56 @@ def connected_components(
     untouched vertices to themselves. Identical output, zero fixpoint
     shuffles. The distributed loop remains the path for dense graphs.
     """
-    # persist: both paths touch the edge set at least twice (count +
-    # collect, or count + every fixpoint join). Unpersisted in the
-    # finally — both returned plans are edge-independent by then (the
-    # driver path collected eagerly; loop labels are localCheckpoint'd
-    # each iteration) so long pipelines don't leak cached partitions.
+    # Probe the driver path with ONE job: collect at most threshold+1
+    # edge rows through CollectLimit (no persist, no separate count —
+    # the r4 count+collect double-pass paid a full cache materialization
+    # that the common sparse-edge path never reads again). If the limit
+    # row arrives, the edge set is too big for the driver: fall through
+    # to the distributed loop, persisting edges only THEN (the loop
+    # re-joins them every fixpoint iteration). Unpersisted in the
+    # finally — the loop labels are localCheckpoint'd each iteration so
+    # the returned plan is edge-independent and long pipelines don't
+    # leak cached partitions.
+    probe = edges.select("i", "j").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            ri, rj = find(row[0]), find(row[1])
+            if ri != rj:
+                # min id becomes the root so the label IS min(reachable)
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        spark = vertices.sparkSession
+        if mapping:
+            id_field = vertices.schema[id_col].dataType
+            mdf = spark.createDataFrame(
+                mapping, T.StructType([
+                    T.StructField("a", id_field), T.StructField("__comp", id_field),
+                ])
+            )
+            return (
+                vertices.select(F.col(id_col).alias("a"))
+                .join(F.broadcast(mdf), "a", "left")
+                .select(
+                    F.col("a").alias(id_col),
+                    F.coalesce(F.col("__comp"), F.col("a")).alias("component"),
+                )
+            )
+        return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    del probe
     edges = edges.persist()
     sym = None
     try:
-        n_edges = edges.count()
-        if n_edges <= driver_threshold:
-            parent: dict = {}
-
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            # collect, not toLocalIterator: the latter fetches partitions
-            # sequentially (one job each); the edge list is driver-bounded
-            for row in edges.select("i", "j").collect():
-                ri, rj = find(row[0]), find(row[1])
-                if ri != rj:
-                    # min id becomes the root so the label IS min(reachable)
-                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
-                    parent[hi] = lo
-            mapping = [(x, find(x)) for x in parent]
-            spark = vertices.sparkSession
-            if mapping:
-                id_field = vertices.schema[id_col].dataType
-                mdf = spark.createDataFrame(
-                    mapping, T.StructType([
-                        T.StructField("a", id_field), T.StructField("__comp", id_field),
-                    ])
-                )
-                return (
-                    vertices.select(F.col(id_col).alias("a"))
-                    .join(F.broadcast(mdf), "a", "left")
-                    .select(
-                        F.col("a").alias(id_col),
-                        F.coalesce(F.col("__comp"), F.col("a")).alias("component"),
-                    )
-                )
-            return vertices.select(F.col(id_col), F.col(id_col).alias("component"))
         sym = (
             edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
             .unionByName(edges.select(F.col("j").alias("a"), F.col("i").alias("b")))
