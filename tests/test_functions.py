@@ -177,6 +177,29 @@ class TestSimilarityFastPath:
         assert "MapInPandas" not in plan  # broadcast-matrix kernel absent
         assert "FlatMapGroupsInPandas" in plan  # bucketed kernel present
 
+    def test_broadcast_guard_is_byte_aware(self, spark, sf_dir, monkeypatch):
+        """A small-ROW corpus with production-scale dims must trip the
+        broadcast guard (rows × dims × 8 bytes), while today's fixtures
+        (dim-32) pass untouched — r5 verdict #4: the row-only cap would
+        admit a 6.5 GB broadcast at 200k × 4096 float64."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n, dims, est, over = S._broadcast_budget(emb, "embedding", 200_000)
+        assert not over and est == n * dims * 8  # fixtures stay inside budget
+        # shrink the byte budget below the fixture matrix: every
+        # broadcast-matrix kernel must now refuse/switch on BYTES even
+        # though the row cap is far away
+        monkeypatch.setattr(S, "MAX_BROADCAST_BYTES", est - 1)
+        with pytest.raises(ValueError, match="MiB"):
+            S.cosine_neardup_pairs(emb, 0.45, max_broadcast_rows=200_000)
+        with pytest.raises(ValueError, match="MiB"):
+            S.nsw_topk(emb, emb.limit(2), k=2, max_broadcast_rows=200_000)
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            S.cosine_neardup_pairs_fast(emb, 0.45, max_broadcast_rows=200_000)
+        assert any("bucketed" in str(c.message) for c in caught)
+
     def test_semantic_dedup_strategies_and_rule(self, spark, sf_dir):
         """Both strategies agree; the keep bit matches a brute-force
         replay of the rule (no smaller-id τ-neighbor in the same

@@ -17,6 +17,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Driver/executor budget for a collected-and-broadcast float64 embedding
+# matrix. The row cap alone is byte-blind: 200k rows of dim-32 test
+# vectors is 51 MB, but 200k rows at production dims (768-4096 float64)
+# is 1.2-6.5 GB on the driver AND in every executor — a guard that
+# admits that broadcast OOMs exactly where it matters (r5 verdict #4).
+MAX_BROADCAST_BYTES = 512 * 2**20
+
+
+def _broadcast_budget(
+    corpus: DataFrame,
+    vec_col: str,
+    max_broadcast_rows: int,
+    max_broadcast_bytes: int | None = None,
+) -> tuple[int, int, int, bool]:
+    """(rows, dims, est_bytes, over_budget) for collecting ``corpus``'s
+    vectors into a driver-side float64 matrix. dims comes from one
+    ``first()`` probe (the schema's array type carries no length);
+    est_bytes = rows × dims × 8. Over budget when EITHER the row cap or
+    the byte cap is exceeded — rows bound the python-object overhead
+    and result fan-out, bytes bound the matrix itself."""
+    if max_broadcast_bytes is None:
+        max_broadcast_bytes = MAX_BROADCAST_BYTES  # read at call time (testable)
+    n = corpus.count()
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dims = int(first["d"]) if first and first["d"] is not None else 0
+    est_bytes = n * dims * 8
+    return n, dims, est_bytes, (n > max_broadcast_rows or est_bytes > max_broadcast_bytes)
+
+
 def dot(a: str, b: str) -> Column:
     """Σ a[i]·b[i] as an ordered JVM-side fold (bit-deterministic)."""
     return F.expr(
@@ -487,14 +516,16 @@ def cosine_neardup_pairs_fast(
     import pandas as pd
 
     # same adaptive guard as cosine_neardup_pairs: never collect an
-    # unbounded corpus to the driver
-    n = corpus.count()
-    if n > max_broadcast_rows:
+    # unbounded corpus to the driver. Byte-aware: rows × dims × 8 must
+    # fit the broadcast budget, not just the row cap (r5 verdict #4).
+    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    if over:
         import warnings
 
         warnings.warn(
-            f"corpus has {n} > {max_broadcast_rows} vectors: switching to the "
-            "bucketed (approximate, recall<1) near-dup kernel",
+            f"corpus is {n} vectors × {dims} dims ≈ {est_bytes >> 20} MiB "
+            f"(caps: {max_broadcast_rows} rows / {MAX_BROADCAST_BYTES >> 20} MiB): "
+            "switching to the bucketed (approximate, recall<1) near-dup kernel",
             stacklevel=2,
         )
         # ~20k vectors per centroid bucket keeps each group's chunked
@@ -671,12 +702,15 @@ def cosine_neardup_pairs(
     # distributed crossJoin — is a quietly-quadratic plan that looks
     # fine at sf0.1 and melts a cluster at 100×. Refuse and make the
     # caller pick the trade-off explicitly (r4 VERDICT wrong-item 2).
-    n = corpus.count()
-    if n > max_broadcast_rows:
+    # Byte-aware: the matrix is rows × dims × 8, so huge-dim corpora
+    # trip the guard long before the row cap (r5 verdict #4).
+    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    if over:
         raise ValueError(
-            f"cosine_neardup_pairs: corpus has {n} > max_broadcast_rows="
-            f"{max_broadcast_rows} vectors; exact all-pairs above the broadcast cap "
-            "is O(N²) by definition. Choose explicitly: "
+            f"cosine_neardup_pairs: corpus is {n} vectors × {dims} dims ≈ "
+            f"{est_bytes >> 20} MiB > the broadcast budget (max_broadcast_rows="
+            f"{max_broadcast_rows}, {MAX_BROADCAST_BYTES >> 20} MiB); exact all-pairs "
+            "above the broadcast cap is O(N²) by definition. Choose explicitly: "
             "cosine_neardup_pairs_bucketed / cosine_neardup_pairs_fast for the "
             "scalable approximate kernel, strategy='fold' to accept the "
             "distributed quadratic plan, or raise max_broadcast_rows if the "
@@ -906,12 +940,13 @@ def _broadcast_graph_topk(
     import numpy as np
     import pandas as pd
 
-    n = corpus.count()
-    if n > max_broadcast_rows:
+    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    if over:
         raise ValueError(
-            f"corpus has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
-            f"use ivf_topk/ivf_nsw_topk (or raise the cap) — a driver-built "
-            f"{graph.upper()} index is for broadcastable corpora"
+            f"corpus is {n} rows × {dims} dims ≈ {est_bytes >> 20} MiB, over the "
+            f"broadcast budget (max_broadcast_rows={max_broadcast_rows}, "
+            f"{MAX_BROADCAST_BYTES >> 20} MiB); use ivf_topk/ivf_nsw_topk (or raise "
+            f"the cap) — a driver-built {graph.upper()} index is for broadcastable corpora"
         )
     rows = (
         corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
