@@ -595,11 +595,27 @@ def bench_fanout_tables(spark) -> dict:
                     pool_key=f"fan:{db}",
                 )
 
-            sinks = {
-                f"t{i}": TableSink(factory(f"t{i}"), ["k"], None) for i in range(n_tables)
-            }
-            t0 = time.monotonic()
-            applied = apply_batch_fanout(env, sinks, num_partitions=2, coalesce_commits=True)
+            # ≤1000 tables: the explicit per-table registry (a bounded
+            # dict in the task closure). At 10000 the registry itself
+            # becomes the workload — cloudpickle of 10k factory closures
+            # is ~0.8 s serialize + 0.23 s/task deserialize, measuring
+            # serialization, not apply — so the widest point runs the
+            # sink_factory template, the documented 100k-active-tables
+            # shape (apply_batch_fanout docstring).
+            if n_tables >= 10_000:
+                def sink_factory(table: str, _db=db):
+                    return TableSink(factory(table), ["k"], None)
+
+                t0 = time.monotonic()
+                applied = apply_batch_fanout(
+                    env, sink_factory=sink_factory, num_partitions=2, coalesce_commits=True
+                )
+            else:
+                sinks = {
+                    f"t{i}": TableSink(factory(f"t{i}"), ["k"], None) for i in range(n_tables)
+                }
+                t0 = time.monotonic()
+                applied = apply_batch_fanout(env, sinks, num_partitions=2, coalesce_commits=True)
             dt = time.monotonic() - t0
             n_applied = sum(applied.values())
             assert n_applied == n_events, (n_applied, n_events)

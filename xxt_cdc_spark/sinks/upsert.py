@@ -533,8 +533,15 @@ def apply_batch_fanout(
     if (sinks is None) == (sink_factory is None):
         raise ValueError("pass exactly one of sinks= or sink_factory=")
 
-    collapsed = last_write_wins(env_df, ["db", "table", "key"], ["pos_file", "pos_offset"])
-    routed = route(collapsed, num_partitions, ["db", "table", "key"], ["pos_file", "pos_offset"])
+    # ONE exchange: hash-route + in-partition position sort only. The
+    # LWW collapse happens INSIDE the dispatch loop below — rows arrive
+    # sorted by (pos_file, pos_offset), so "last write per (table, key)
+    # dict entry wins" IS the window's row_number()=1 result, at zero
+    # extra shuffle. (A window before the route would re-exchange at
+    # spark.sql.shuffle.partitions; a window after it reuses the
+    # exchange ONLY while no key column is foldable — a single-table
+    # batch with a literal table column silently re-exchanged.)
+    routed = route(env_df, num_partitions, ["db", "table", "key"], ["pos_file", "pos_offset"])
 
     if arrow:
         import pandas as pd
@@ -568,8 +575,9 @@ def apply_batch_fanout(
             # way). Memory matches the row path, which buffered the
             # whole partition as pickled Rows.
             writers: dict[str, object] = {}
-            by_table: dict[str, list] = {}
+            by_table: dict[str, dict] = {}
             deferred_keys: set[str] = set()
+            uniq = 0  # sentinel for keyless rows (never collapsed)
             for pdf in blocks:
                 for t, op, key, before, after in pdf[
                     ["table", "op", "key", "before", "after"]
@@ -590,7 +598,7 @@ def apply_batch_fanout(
                             writer.defer_commit = True
                             deferred_keys.add(writer.pool_key)
                         writers[t] = writer
-                        by_table[t] = []
+                        by_table[t] = {}
                     if op == OP_DELETE:
                         k = _s(key)
                         src = json.loads(k) if k else {}
@@ -602,12 +610,20 @@ def apply_batch_fanout(
                         src = json.loads(a) if a else {}
                     d = {c: src.get(c) for c in writer.columns}
                     d["op"] = op
-                    by_table[t].append(d)
+                    # LWW collapse, free: rows run in ascending position
+                    # order (route sorted the partition), so the last
+                    # dict-put per (table, key) IS row_number()=1 of the
+                    # old pre-route window
+                    k = _s(key)
+                    if k is None:
+                        uniq += 1
+                        k = uniq
+                    by_table[t][k] = d
             applied_local: dict[str, int] = {}
             for t, dicts in by_table.items():
                 if dicts is None:
                     continue  # unregistered
-                stats = writers[t].apply_rows(dicts)
+                stats = writers[t].apply_rows(list(dicts.values()))
                 applied_local[t] = stats["upserts"] + stats["deletes"]
             if deferred_keys:
                 commit_pooled(deferred_keys)
@@ -622,9 +638,12 @@ def apply_batch_fanout(
 
     def _run(rows):
         # group per table, preserving in-partition (binlog) order; keys
-        # never span tables so per-key order is intact inside each group
+        # never span tables so per-key order is intact inside each group.
+        # LWW-collapsed per (table, key) exactly like the Arrow path —
+        # rows arrive position-sorted, so the last row per key wins.
         local_sinks: dict[str, TableSink] = {}
-        by_table: dict[str, list] = {}
+        by_table: dict[str, dict] = {}
+        uniq = 0
         for row in rows:
             t = row["table"]
             if t not in local_sinks:
@@ -634,7 +653,11 @@ def apply_batch_fanout(
                     local_sinks[t] = sinks[t]
                 else:
                     local_sinks[t] = sink_factory(t)
-            by_table.setdefault(t, []).append(row)
+            k = row["key"]
+            if not k:
+                uniq += 1
+                k = uniq
+            by_table.setdefault(t, {})[k] = row
         deferred_keys: set[str] = set()
         for table, trows in by_table.items():
             sink = local_sinks[table]
@@ -643,7 +666,7 @@ def apply_batch_fanout(
                 writer.defer_commit = True
                 deferred_keys.add(writer.pool_key)
             dicts = []
-            for row in trows:
+            for row in trows.values():
                 if row["op"] == OP_DELETE:
                     # pk values live in the key JSON (before image may be
                     # minimal or absent)
@@ -718,6 +741,13 @@ def apply_batch(
             raise ValueError("num_partitions=None (transport-aligned apply) requires collapse=False")
         routed = batch_df.sortWithinPartitions(*order_cols)
     else:
+        # collapse BEFORE the route: the window runs at
+        # shuffle.partitions and pays a second exchange, but Spark's
+        # WindowGroupLimit PARTIAL prunes duplicate-key rows MAP-SIDE
+        # before the first shuffle — a win whenever the batch has many
+        # events per key (the normal changefeed shape; measured 86k vs
+        # 72k ev/s against the one-exchange repartition-first form,
+        # which only wins when keys are ~unique, as in the fanout path).
         collapsed = last_write_wins(batch_df, key_cols, order_cols) if collapse else batch_df
         routed = route(collapsed, num_partitions, key_cols, order_cols)
 
