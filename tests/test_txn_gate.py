@@ -175,3 +175,48 @@ class TestTxnGate:
         fac = _factory(db, pool_key=None, defer=False)
         with pytest.raises(Exception, match="defer_commit"):
             apply_batch_txn(_batch(spark, range(4)), fac, ["id"], batch_id=0, num_partitions=1)
+
+
+class TestTxnGateConcurrencyAndTopology:
+    def test_racing_committer_fails_on_gate_pk(self, spark, tmp_path):
+        """The gate is INSERT-only with PK (pipeline, partition, batch):
+        a racing twin that passed the pre-read and applies the same
+        (partition, batch) must die on the PK at commit time — the
+        pre-read is an optimization, the PK is the correctness
+        mechanism (r5 ADVICE item 1)."""
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=f"txn:{db}")
+        apply_batch_txn(_batch(spark, range(10)), fac, ["id"], batch_id=7, num_partitions=1)
+        con = sqlite3.connect(db)
+        try:
+            with pytest.raises(sqlite3.IntegrityError):
+                # what the loser of the race executes inside its txn
+                con.execute(
+                    f"INSERT INTO {OFFSETS_TABLE} (pipeline, partition_id, batch_id) "
+                    "VALUES ('default@1', 0, 7)"
+                )
+        finally:
+            con.close()
+
+    def test_topology_change_does_not_inherit_gates(self, spark, tmp_path):
+        """num_partitions is part of the gate identity: after running at
+        2 partitions up to batch 5, a 1-partition layout replays from
+        batch 0 WITHOUT being vetoed by the old topology's gates
+        (r5 ADVICE item 2: the old key shape skipped it forever)."""
+        db = str(tmp_path / "t.db")
+        _mk_target(db)
+        fac = _factory(db, pool_key=f"txn:{db}")
+        apply_batch_txn(_batch(spark, range(20)), fac, ["id"], batch_id=5, num_partitions=2)
+        n_before = _count(db)
+        stats = apply_batch_txn(
+            _batch(spark, range(20, 30), offset0=100), fac, ["id"], batch_id=0, num_partitions=1
+        )
+        assert stats["skipped"] == 0 and stats["upserts"] == 10
+        assert _count(db) == n_before + 10
+        # and the same (identity, batch) REPLAY still skips
+        stats = apply_batch_txn(
+            _batch(spark, range(20, 30), offset0=100), fac, ["id"], batch_id=0, num_partitions=1
+        )
+        assert stats["skipped"] == 1
+        assert _count(db) == n_before + 10

@@ -81,7 +81,12 @@ def _quantile_bin_expr(c: Column, boundaries: list[float]) -> Column:
             .otherwise(tree(bounds[mid + 1 :], lo_bin + mid + 1))
         )
 
-    return F.coalesce(tree(boundaries, 0), F.lit(0).cast("long"))
+    # NULLs bin to 0 EXPLICITLY: inside the tree a NULL comparison
+    # makes every when() fall through to otherwise(), landing at the
+    # deepest non-null leaf — i.e. nulls would silently cluster with
+    # the MAX values and the trailing coalesce would never fire
+    # (r5 ADVICE item 4). SQL sorts NULLS FIRST; bin 0 matches.
+    return F.when(c.isNull(), F.lit(0).cast("long")).otherwise(tree(boundaries, 0))
 
 
 def zorder_write(

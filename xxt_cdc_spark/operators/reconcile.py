@@ -115,6 +115,23 @@ def reconcile(
     chunk-bucketed) meet in a keyed full-outer join and compare their
     row hashes. A converged table exits at phase 1 with an empty plan.
     """
+    # both sides hash src's column list, so a column present only in
+    # dst would be silently EXCLUDED from comparison (drift in it
+    # invisible) and a column missing from dst would fail only deep in
+    # execution with an unresolved-column error — validate up front
+    # (r5 ADVICE item 3)
+    src_cols, dst_cols = set(src.columns), set(dst.columns)
+    if src_cols != dst_cols:
+        raise ValueError(
+            "reconcile: src and dst column sets differ — "
+            f"only in src: {sorted(src_cols - dst_cols)}, "
+            f"only in dst: {sorted(dst_cols - src_cols)}; "
+            "project both sides to the columns you want compared"
+        )
+    # normalize dst to src's column ORDER: the row hash is position-
+    # salted, so a reordered dst would flag every chunk in phase 1
+    # (correct result, but the drill-down reads the whole table)
+    dst = dst.select(*src.columns)
     # materialize the O(n_chunks) mismatch set ONCE: it feeds both
     # sides' drill-down semi-joins, and un-materialized it would embed
     # the full-table checksum subtree twice in the final plan (four

@@ -163,17 +163,21 @@ def commit_pooled(pool_keys) -> None:
     propagates so the micro-batch replays — convergence is guaranteed
     by the PK-upsert idempotence, same as every other retry path."""
     with _POOL_LOCK:
-        by_conn: dict[int, tuple[object, str]] = {}
+        by_conn: dict[int, tuple[object, list[str]]] = {}
         for k in pool_keys:
             conn = _CONN_POOL.get(k)
             if conn is not None:
-                by_conn[id(conn)] = (conn, k)
-    for conn, key in by_conn.values():
+                by_conn.setdefault(id(conn), (conn, []))[1].append(k)
+    for conn, keys in by_conn.values():
         try:
             conn.commit()
         except Exception:
+            # evict EVERY pool_key pointing at the failed connection —
+            # including keys outside this commit set — evicting just
+            # one would leave siblings handing out a closed/wedged
+            # handle to later writers (r5 ADVICE item 5)
             with _POOL_LOCK:
-                if _CONN_POOL.get(key) is conn:
+                for key in [k for k, c in _CONN_POOL.items() if c is conn]:
                     del _CONN_POOL[key]
             try:
                 conn.close()
@@ -845,6 +849,24 @@ def apply_batch_txn(
     The gate table is created (and committed) BEFORE the data
     transaction opens — MySQL DDL auto-commits, so in-transaction
     creation would tear the atomicity; pre-create it in production.
+
+    Concurrency: the gate is INSERT-only — PRIMARY KEY (pipeline,
+    partition_id, batch_id), one row inserted per applied batch inside
+    the data transaction. Two racing attempts for the same partition
+    (Spark speculative execution, a zombie task surviving a network
+    partition) can BOTH pass the pre-read, but only the first commit's
+    INSERT survives; the loser hits the PK conflict and its whole
+    transaction (data included) rolls back — the pre-read is a fast-
+    skip optimization, never the correctness mechanism. Older rows for
+    the partition are pruned in the same transaction, keeping the gate
+    at one row per partition.
+
+    Topology: the stored pipeline identity is ``{pipeline}@{num_
+    partitions}`` — changing the partition count remaps keys to
+    different partition ids, so gates from the old topology must not
+    veto the new one. A checkpoint RESET (batch ids restart at 0)
+    still requires a new pipeline name or clearing the offsets table:
+    the gate cannot distinguish a replay from a reset by design.
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
     # collapse defaults OFF here — the sinks this gate exists for
@@ -867,35 +889,45 @@ def apply_batch_txn(
             )
         conn, pooled = writer._acquire()
         ph = _gate_ph(writer.dialect)
+        # num_partitions is part of the stored identity: a topology
+        # change remaps keys to different partition ids, and old gates
+        # must not veto (or be mistaken for) the new layout's batches
+        gate_id = f"{pipeline}@{num_partitions}"
         try:
             cur = conn.cursor()  # DB-API portable (conn.execute is sqlite-only)
-            # gate table: ensured OUTSIDE the data transaction
+            # gate table: ensured OUTSIDE the data transaction.
+            # INSERT-only rows keyed by (pipeline, partition, batch) —
+            # the PK is what makes racing committers safe (see docstring)
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {OFFSETS_TABLE} ("
                 "pipeline VARCHAR(128) NOT NULL, partition_id INTEGER NOT NULL, "
-                "batch_id INTEGER NOT NULL, PRIMARY KEY (pipeline, partition_id))"
+                "batch_id INTEGER NOT NULL, PRIMARY KEY (pipeline, partition_id, batch_id))"
             )
             conn.commit()
 
             cur.execute(
-                f"SELECT batch_id FROM {OFFSETS_TABLE} WHERE pipeline = {ph} "
+                f"SELECT MAX(batch_id) FROM {OFFSETS_TABLE} WHERE pipeline = {ph} "
                 f"AND partition_id = {ph}",
-                (pipeline, pid),
+                (gate_id, pid),
             )
             row = cur.fetchone()
-            if row is not None and row[0] >= batch_id:
+            if row is not None and row[0] is not None and row[0] >= batch_id:
                 yield {"upserts": 0, "deletes": 0, "retries": 0, "failures": 0, "skipped": 1}
                 return
 
             stats = writer.apply_rows(rows)  # uncommitted (defer_commit)
+            # prune superseded gate rows (same txn), then INSERT this
+            # batch's row: a racing twin that also passed the pre-read
+            # fails HERE on the PK and rolls back its data with it
             cur.execute(
-                f"DELETE FROM {OFFSETS_TABLE} WHERE pipeline = {ph} AND partition_id = {ph}",
-                (pipeline, pid),
+                f"DELETE FROM {OFFSETS_TABLE} WHERE pipeline = {ph} AND partition_id = {ph} "
+                f"AND batch_id < {ph}",
+                (gate_id, pid, batch_id),
             )
             cur.execute(
                 f"INSERT INTO {OFFSETS_TABLE} (pipeline, partition_id, batch_id) "
                 f"VALUES ({ph}, {ph}, {ph})",
-                (pipeline, pid, batch_id),
+                (gate_id, pid, batch_id),
             )
             conn.commit()  # data + position, atomically
             stats["skipped"] = 0
