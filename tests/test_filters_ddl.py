@@ -84,4 +84,79 @@ class TestDDLClassifier:
         assert e.database == "mydb"
 
     def test_strategies_exist(self):
-        assert {s.value for s in DDLStrategy} == {"IGNORE", "LOG", "ALERT", "FAIL"}
+        assert {s.value for s in DDLStrategy} == {"IGNORE", "LOG", "ALERT", "FAIL", "APPLY"}
+
+
+class TestAdditiveDdlApply:
+    """The beyond-reference DDLStrategy.APPLY: additive ALTERs evolve
+    the sink; EVERYTHING else — destructive or ambiguous — still only
+    alerts, exactly the reference's detect-only posture."""
+
+    def _handle(self, sql, strategy, applied, alerted):
+        from xxt_cdc_spark.operators.ddl import classify_ddl, handle_ddl
+
+        return handle_ddl(
+            classify_ddl(sql),
+            strategy,
+            apply_fn=lambda e, cols: applied.append((e.table, cols)),
+            alert_fn=lambda e: alerted.append(e.sql),
+        )
+
+    def test_additive_alter_applies(self):
+        from xxt_cdc_spark.operators.ddl import DDLStrategy
+
+        applied, alerted = [], []
+        action = self._handle(
+            "ALTER TABLE orders ADD COLUMN x BIGINT, ADD y DECIMAL(10,2)",
+            DDLStrategy.APPLY, applied, alerted,
+        )
+        assert action == "applied"
+        assert applied == [("orders", [("x", "BIGINT"), ("y", "DECIMAL(10,2)")])]
+        assert alerted == []
+
+    def test_destructive_ddl_still_only_alerts_under_apply(self):
+        from xxt_cdc_spark.operators.ddl import DDLStrategy
+
+        for sql in (
+            "DROP TABLE orders",
+            "TRUNCATE TABLE orders",
+            "ALTER TABLE orders DROP COLUMN x",
+            "ALTER TABLE orders ADD COLUMN a INT, DROP COLUMN b",  # mixed: all-or-nothing
+            "RENAME TABLE orders TO orders2",
+        ):
+            applied, alerted = [], []
+            assert self._handle(sql, DDLStrategy.APPLY, applied, alerted) == "alerted"
+            assert applied == [] and alerted == [sql]
+
+    def test_ignore_log_fail_parity_preserved(self):
+        import pytest
+
+        from xxt_cdc_spark.operators.ddl import DDLStrategy, classify_ddl, handle_ddl
+
+        ev = classify_ddl("ALTER TABLE orders ADD COLUMN x INT")
+        assert handle_ddl(ev, DDLStrategy.IGNORE) == "ignored"
+        logged = []
+        assert handle_ddl(ev, DDLStrategy.LOG, log_fn=logged.append) == "logged"
+        assert logged == [ev]
+        with pytest.raises(RuntimeError, match="strategy=FAIL"):
+            handle_ddl(ev, DDLStrategy.FAIL)
+
+    def test_apply_is_idempotent_on_replay(self, tmp_path):
+        """Re-delivering the same additive DDL (micro-batch replay)
+        must be a no-op, not a duplicate-column error."""
+        import sqlite3
+
+        from xxt_cdc_spark.sinks.schema_evolution import apply_additive_ddl
+
+        db = str(tmp_path / "evo.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+        con.commit()
+        con.close()
+        cols = [("x", "BIGINT"), ("y", "TEXT")]
+        assert apply_additive_ddl(lambda: sqlite3.connect(db), "t", cols) == ["x", "y"]
+        assert apply_additive_ddl(lambda: sqlite3.connect(db), "t", cols) == []
+        con = sqlite3.connect(db)
+        names = [r[1] for r in con.execute("PRAGMA table_info(t)").fetchall()]
+        con.close()
+        assert names == ["id", "x", "y"]

@@ -1,13 +1,18 @@
-"""DDL detection / classification — detect-and-alert only, no propagation.
+"""DDL detection / classification / handling.
 
 Parity targets: T6 DDL statement detector (reference
 reader/MySQLBinlogReader.scala:232-249 prefix match; richer regex
 classifier ddl/DDLHandler.scala:105-194 — type patterns :108-116,
 table-name extraction :119-125) and C31 handling strategies
 Ignore/Log/Alert/Fail with severity Critical for DROP/TRUNCATE
-(ddl/DDLHandler.scala:71-75, 229-243). Like the reference, DDL is a
-side channel: detected, classified, logged — never auto-applied
-(reference README.md:32, 717).
+(ddl/DDLHandler.scala:71-75, 229-243).
+
+Beyond the reference (which is detect-only, its README.md:32, 717):
+an explicit opt-in ``DDLStrategy.APPLY`` auto-applies the SAFE subset
+— an ALTER TABLE consisting purely of ADD COLUMN clauses — through
+``sinks/schema_evolution.py``'s additive policy. Everything else
+(DROP/TRUNCATE, non-additive ALTERs, renames) falls back to ALERT
+even under APPLY: destructive evolution always needs a human.
 """
 
 from __future__ import annotations
@@ -40,6 +45,9 @@ class DDLStrategy(str, Enum):
     LOG = "LOG"
     ALERT = "ALERT"
     FAIL = "FAIL"
+    # opt-in: auto-apply purely-additive ALTERs (ADD COLUMN only);
+    # everything else still alerts — see handle_ddl
+    APPLY = "APPLY"
 
 
 @dataclass(frozen=True)
@@ -103,3 +111,84 @@ def classify_ddl_df(df: DataFrame, sql_col: str = "sql") -> DataFrame:
             F.when(ddl_type.isin(*CRITICAL_TYPES), F.lit("CRITICAL")).otherwise(F.lit("INFO")),
         )
     )
+
+
+# --- additive-ALTER parsing + strategy dispatch (beyond-reference APPLY) ------
+
+# one ADD COLUMN clause: name + type (optional precision args), then
+# optionally NULL / NOT NULL / DEFAULT <literal> — anything else makes
+# the clause (and so the whole statement) non-additive
+_ADD_CLAUSE_RE = re.compile(
+    r"(?i)^ADD\s+(?:COLUMN\s+)?([`\"\w]+)\s+"
+    r"([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s+(?:NOT\s+)?NULL)?(?:\s+DEFAULT\s+[\w.'\"-]+)?\s*$"
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses (DECIMAL(10,2) stays whole)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_add_columns(sql: str) -> list[tuple[str, str]] | None:
+    """(column, ddl_type) list iff ``sql`` is a PURELY additive ALTER
+    TABLE — every top-level clause an ADD COLUMN — else None.
+
+    Conservative by design: a statement mixing ADD with any other
+    clause (DROP/MODIFY/RENAME COLUMN, index changes) returns None and
+    is handled as alert-only, because auto-applying half an ALTER
+    would leave the sink in a state the source never had.
+    """
+    m = re.match(r"(?i)^\s*ALTER\s+TABLE\s+[`\"\w.]+\s+(.*)$", (sql or "").strip())
+    if not m:
+        return None
+    cols: list[tuple[str, str]] = []
+    for clause in _split_top_level(m.group(1)):
+        cm = _ADD_CLAUSE_RE.match(clause)
+        if not cm:
+            return None
+        name = cm.group(1).replace("`", "").replace('"', "")
+        cols.append((name, re.sub(r"\s+", "", cm.group(2)).upper()))
+    return cols or None
+
+
+def handle_ddl(
+    event: DDLEvent,
+    strategy: DDLStrategy,
+    apply_fn=None,
+    log_fn=None,
+    alert_fn=None,
+) -> str:
+    """C31 strategy dispatch; returns the action taken.
+
+    Ignore/Log/Alert/Fail keep the reference's semantics exactly
+    (ddl/DDLHandler.scala:71-75). APPLY — the beyond-reference opt-in —
+    applies ONLY a purely-additive ALTER (``parse_add_columns``)
+    through ``apply_fn(event, cols)``; every other statement under
+    APPLY falls back to ALERT, so DROP/TRUNCATE (severity CRITICAL)
+    and non-additive ALTERs can never mutate the sink automatically.
+    """
+    if strategy is DDLStrategy.IGNORE:
+        return "ignored"
+    if strategy is DDLStrategy.LOG:
+        (log_fn or (lambda e: None))(event)
+        return "logged"
+    if strategy is DDLStrategy.FAIL:
+        raise RuntimeError(f"DDL detected with strategy=FAIL: {event.sql!r}")
+    if strategy is DDLStrategy.APPLY:
+        cols = parse_add_columns(event.sql) if event.ddl_type == "ALTER_TABLE" else None
+        if cols and apply_fn is not None:
+            apply_fn(event, cols)
+            return "applied"
+    (alert_fn or (lambda e: None))(event)
+    return "alerted"

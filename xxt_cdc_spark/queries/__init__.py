@@ -69,12 +69,12 @@ ORACLE: dict[str, str] = {}
 # registry entry holds a driver row at most 2 rounds old BY
 # CONSTRUCTION, regardless of registry growth (up to 100 queries).
 #
-#   group A (49): relational2 14 + cdc 20 + text 11 + layout 1 +
+#   group A (50): relational2 14 + cdc 21 + text 11 + layout 1 +
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
 #   group B (46): vector 10 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 7 + relational 6 — swept when _ROUND is
-#                 even. (r5 end state: 95 total after the flat-ANN
-#                 fold — group A has 1 free slot, group B has 4.)
+#                 even. (r6 state: 96 total — group A is FULL at the
+#                 50 cap, group B has 4 free slots.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their

@@ -903,7 +903,110 @@ ORDER BY o_orderkey, status
 """
 
 
+# --- C31+: additive-DDL auto-apply (beyond-reference, r5 verdict item 6) -------
+def cdc_ddl_additive_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER ADD COLUMN mid-changefeed converges to the EVOLVED target
+    schema under the opt-in ``DDLStrategy.APPLY``, while destructive
+    DDL in the same feed still only alerts (the reference's
+    ddl/DDLHandler.scala:71-75 is detect-only for everything).
+
+    Sequence: (1) phase-1 inserts apply under the base 3-column
+    schema; (2) the DDL channel delivers an additive ALTER (applied —
+    sink gains o_score), a DROP COLUMN ALTER and a DROP TABLE (both
+    alert-only — auto-applying either would destroy data); (3) phase-2
+    updates carrying the new column apply under the evolved schema.
+    The oracle reconstructs the converged state independently — it
+    proves BOTH the evolution (o_score populated for updated keys,
+    NULL for untouched rows, exactly MySQL ADD COLUMN semantics) and
+    the non-destruction (o_custkey still present, table still there).
+    """
+    import os
+    import sqlite3
+    import tempfile
+
+    from xxt_cdc_spark.operators.ddl import DDLStrategy, classify_ddl, handle_ddl
+    from xxt_cdc_spark.sinks.schema_evolution import apply_additive_ddl
+    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+
+    orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
+    base_cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    phase1 = orders.select(
+        F.lit("I").alias("op"),
+        F.lit("binlog.000001").alias("pos_file"),
+        (k * 10 + 1).alias("pos_offset"),
+        *base_cols,
+    )
+    phase2 = orders.filter(k % 3 == 0).select(
+        F.lit("U").alias("op"),
+        F.lit("binlog.000001").alias("pos_file"),
+        (k * 10 + 2).alias("pos_offset"),
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (k % 100).cast("long").alias("o_score"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "evo.db")
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE orders_evo (o_orderkey INTEGER PRIMARY KEY,"
+            " o_custkey INTEGER, o_orderstatus TEXT)"
+        )
+        con.commit()
+        con.close()
+
+        def factory(cols):
+            return lambda: JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                table="orders_evo",
+                columns=cols,
+                key_cols=["o_orderkey"],
+                dialect="sqlite",
+                connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+            )
+
+        apply_batch(phase1, factory(base_cols), ["o_orderkey"], ["pos_file", "pos_offset"], 2)
+        actions = [
+            handle_ddl(
+                classify_ddl(stmt),
+                DDLStrategy.APPLY,
+                apply_fn=lambda e, cols: apply_additive_ddl(
+                    lambda: sqlite3.connect(db, timeout=60), e.table, cols
+                ),
+            )
+            for stmt in (
+                "ALTER TABLE orders_evo ADD COLUMN o_score BIGINT",
+                "ALTER TABLE orders_evo DROP COLUMN o_custkey",
+                "DROP TABLE orders_evo",
+            )
+        ]
+        if actions != ["applied", "alerted", "alerted"]:  # defensive: the contract
+            raise AssertionError(f"unexpected DDL dispositions: {actions}")
+        apply_batch(
+            phase2, factory(base_cols + ["o_score"]), ["o_orderkey"], ["pos_file", "pos_offset"], 2
+        )
+        con = sqlite3.connect(db)
+        rows = con.execute(
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_score "
+            "FROM orders_evo ORDER BY o_orderkey"
+        ).fetchall()
+        con.close()
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_score long"
+    ).orderBy("o_orderkey")
+
+
+CDC_DDL_APPLY_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 100 AS BIGINT) ELSE NULL END AS o_score
+FROM orders ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "cdc_ddl_additive_apply": cdc_ddl_additive_apply,
     "cdc_temporal_join": cdc_temporal_join,
     "cdc_reconcile_drift": cdc_reconcile_drift,
     "cdc_scd2_history": cdc_scd2_history,
@@ -927,6 +1030,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_ddl_additive_apply": CDC_DDL_APPLY_SQL,
     "cdc_temporal_join": CDC_TEMPORAL_SQL,
     "cdc_reconcile_drift": CDC_RECONCILE_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,

@@ -213,3 +213,47 @@ class EvolvingTableSink:
             ["pos_file", "pos_offset"],
             self.num_partitions,
         )
+
+
+def apply_additive_ddl(
+    connect_fn: Callable[[], object],
+    table: str,
+    cols: list[tuple[str, str]],
+    dialect: str = "sqlite",
+) -> list[str]:
+    """Execute parsed ADD COLUMN clauses (``operators/ddl.py::
+    parse_add_columns``) against the sink — the DDL-channel twin of
+    ``evolve_table`` (which infers columns from row images instead).
+    Idempotent: columns the sink already has are skipped, so a
+    micro-batch replay that re-delivers the DDL event is a no-op.
+    Returns the column names actually added."""
+    conn = connect_fn()
+    try:
+        if dialect == "sqlite":
+            cur = conn.execute(f"PRAGMA table_info({table})")
+            existing = {row[1].lower() for row in cur.fetchall()}
+        else:  # pragma: no cover - needs a server
+            cur = conn.cursor()
+            cur.execute(
+                "SELECT COLUMN_NAME FROM information_schema.COLUMNS "
+                "WHERE TABLE_NAME = %s AND TABLE_SCHEMA = DATABASE()",
+                (table,),
+            )
+            existing = {row[0].lower() for row in cur.fetchall()}
+        added: list[str] = []
+        for name, ddl_type in cols:
+            if name.lower() in existing:
+                continue
+            if dialect == "sqlite":
+                base = ddl_type if ddl_type in _SQLITE_TYPES else ddl_type.split("(")[0]
+                ddl_type = _SQLITE_TYPES.get(base, "TEXT")
+            stmt = f"ALTER TABLE {table} ADD COLUMN {name} {ddl_type} NULL"
+            if dialect == "sqlite":
+                conn.execute(stmt)
+            else:  # pragma: no cover
+                conn.cursor().execute(stmt)
+            added.append(name)
+        conn.commit()
+        return added
+    finally:
+        conn.close()
