@@ -169,3 +169,45 @@ def test_domain_mix_weights_normalize_and_upweight_small(spark):
     # alpha < 1 compresses the gap: small domain's weight > its share
     assert out["small"]["mix_weight"] > out["small"]["token_share"]
     assert out["big"]["mix_weight"] < out["big"]["token_share"]
+
+
+class TestSubstringDedup:
+    def test_partial_span_merging(self, spark):
+        """Overlapping duplicate windows merge into ONE maximal span at
+        the right offsets — pinned on a corpus where the repeat is a
+        mid-document substring, not a whole-document duplicate."""
+        from xxt_cdc_spark.functions.dedup import duplicate_substring_spans
+
+        boiler = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+        docs = [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"one two three four {boiler} five"),
+            (3, "completely unrelated text with no repeats at all here"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spans = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_substring_spans(df, "text", "doc_id", k=4).collect()
+        }
+        # doc 1 (min doc) is canonical — only doc 2's occurrence is a span:
+        # boiler occupies tokens 4..13 of doc 2; its 7 overlapping 4-windows
+        # (positions 4..10) merge into exactly one span [4, 13].
+        assert spans == {(2, 4, 13, 10)}
+
+    def test_no_repeats_no_spans(self, spark):
+        from xxt_cdc_spark.functions.dedup import duplicate_substring_spans
+
+        df = spark.createDataFrame(
+            [(1, "all words unique here today"), (2, "different tokens entirely now friend")],
+            "doc_id long, text string",
+        )
+        assert duplicate_substring_spans(df, k=3).count() == 0
+
+    def test_plan_has_no_join(self, spark, sf_dir):
+        """The ExactSubstr form is aggregation-only — no self-join, so
+        no quadratic fanout for a hot boilerplate window to amplify."""
+        from xxt_cdc_spark.functions.dedup import duplicate_substring_spans
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = duplicate_substring_spans(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan

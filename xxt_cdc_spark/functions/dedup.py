@@ -1010,3 +1010,80 @@ class IncrementalSimHashDeduper:
         if not fresh_rows.isEmpty():
             fresh_rows.write.mode("append").partitionBy("bucket").parquet(self.state_root)
         return accepted
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection: maximal token spans
+    covered by k-token windows that occur MORE THAN ONCE corpus-wide,
+    keeping the first occurrence (min (doc, pos)) as canonical — the
+    "deduplicating training data" exact-substring method, re-expressed
+    as three relational stages:
+
+    1. every k-token window with its position (posexplode — NOT
+       distinct: each occurrence matters), keyed by the 64-bit hash of
+       its k tokens (same string-free trick as ``shingle_keys``);
+    2. per window-group: occurrence count + first-occurrence rank
+       (two window functions over ONE hash exchange);
+    3. non-canonical occurrences of repeated windows become intervals
+       [pos, pos+k-1], merged into maximal spans per doc by the
+       gaps-and-islands pattern (running max of interval end), then
+       aggregated — the (doc) exchange serves both the island windows
+       and the final (doc, island) groupBy.
+
+    Returns (doc_id, span_start, span_end, span_tokens), the regions a
+    cleaner would cut. Scale: O(total tokens) rows through two hash
+    exchanges; a corpus-wide boilerplate window makes ONE large group
+    but never a join fanout (count/rank are aggregations, not
+    self-joins), so there is no quadratic cliff to cap here — the
+    property that makes this form preferable at 100 TB to the naive
+    "join windows on equality" plan.
+    """
+    toks_expr = f"split(trim({text_col}), '\\\\s+')"
+    win_hash = ", ".join(f"element_at(__toks, i + {j + 1})" for j in range(k))
+    wins_arr = (
+        f"IF(size(__toks) >= {k}, "
+        f"transform(sequence(0, size(__toks) - {k}), i -> xxhash64({win_hash})), "
+        f"array())"
+    )
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    wins = (
+        df.repartition(n_parts)
+        .select(F.col(id_col), F.expr(toks_expr).alias("__toks"))
+        .select(F.col(id_col), F.posexplode(F.expr(wins_arr)).alias("pos", "wh"))
+    )
+    from pyspark.sql import Window as W
+
+    g = W.partitionBy("wh")
+    marked = wins.select(
+        id_col,
+        "pos",
+        F.count(F.lit(1)).over(g).alias("df"),
+        F.row_number().over(g.orderBy(id_col, "pos")).alias("rn"),
+    )
+    dupw = marked.filter((F.col("df") > 1) & (F.col("rn") > 1)).select(
+        id_col, F.col("pos").cast("long").alias("pos"), (F.col("pos") + k - 1).cast("long").alias("fin")
+    )
+    by_doc = W.partitionBy(id_col).orderBy("pos")
+    isl = dupw.withColumn(
+        "prev_end", F.max("fin").over(by_doc.rowsBetween(W.unboundedPreceding, -1))
+    )
+    grp = isl.withColumn(
+        "g",
+        F.sum(
+            F.when(F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1).otherwise(0)
+        ).over(by_doc),
+    )
+    return (
+        grp.groupBy(id_col, "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("fin").alias("span_end"),
+            (F.max("fin") - F.min("pos") + 1).alias("span_tokens"),
+        )
+        .drop("g")
+    )

@@ -423,7 +423,53 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ExactSubstr duplicate-span removal -------------------------------------
+SUBSTR_K = 8
+
+
+def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate spans (functions/dedup.py::
+    duplicate_substring_spans): maximal token regions covered by
+    k-token windows repeated corpus-wide, first occurrence canonical —
+    what a "deduplicating training data" cleaner cuts. The oracle
+    replays window counting, first-occurrence ranking and the
+    gaps-and-islands span merge independently in SQL."""
+    from xxt_cdc_spark.functions.dedup import duplicate_substring_spans
+
+    d = _docs(spark, sf_dir)
+    return duplicate_substring_spans(d, "text", "doc_id", SUBSTR_K).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SUBSTR_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i+{SUBSTR_K}-1], ' ') AS win
+  FROM toks, LATERAL UNNEST(range(1, GREATEST(len(t)-{SUBSTR_K}+2, 1))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY win) AS df,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM wins),
+dupw AS (SELECT doc_id, pos, pos + {SUBSTR_K} - 1 AS fin FROM marked WHERE df > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos, fin,
+         MAX(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dupw),
+grp AS (SELECT *, SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+SELECT doc_id, MIN(pos) AS span_start, MAX(fin) AS span_end,
+       MAX(fin) - MIN(pos) + 1 AS span_tokens
+FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
+    "corpus_substring_dedup": corpus_substring_dedup,
     "text_quality_gates": text_quality_gates,
     "corpus_sampling_mix": corpus_sampling_mix,
     "text_pii_redact": text_pii_redact,
@@ -434,6 +480,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_substring_dedup": SUBSTR_DEDUP_SQL,
     "text_quality_gates": QUALITY_GATES_SQL,
     "corpus_sampling_mix": SAMPLING_MIX_SQL,
     "text_pii_redact": PII_SQL,
