@@ -717,3 +717,44 @@ class TestDedupRecall:
 
         with _pytest.raises(ValueError, match="graph must be"):
             S.ivf_nsw_topk(emb, queries, k=10, graph="bogus")
+
+
+class TestQuantizeInt8:
+    def test_range_symmetry_and_error_bound(self, spark, sf_dir):
+        """q in [-127, 127]; max|q| = 127 exactly (the scale anchor);
+        reconstruction error ≤ scale/2 per element; quantizing the
+        negated corpus flips signs exactly."""
+        from pyspark.sql import functions as F
+
+        import xxt_cdc_spark.functions.similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        q = S.quantize_int8(emb).withColumn(
+            "mx", F.expr("aggregate(transform(qvec, v -> abs(v)), 0, (a, v) -> greatest(a, v))")
+        )
+        rows = q.select("vec_id", "scale", "mx").collect()
+        assert all(r["mx"] == 127 for r in rows if r["scale"] > 0)
+        joined = (
+            S.quantize_int8(emb)
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .withColumn(
+                "err",
+                F.expr(
+                    "aggregate(zip_with(embedding, qvec, (x, v) -> "
+                    "abs(cast(x as double) - cast(v as double) * scale)), "
+                    "cast(0.0 as double), (a, v) -> greatest(a, v))"
+                ),
+            )
+        )
+        assert all(r["err"] <= r["scale"] / 2 + 1e-15 for r in joined.collect())
+        neg = emb.select("vec_id", F.expr("transform(embedding, x -> -x)").alias("embedding"))
+        a = {r["vec_id"]: r["qvec"] for r in S.quantize_int8(emb).collect()}
+        b = {r["vec_id"]: r["qvec"] for r in S.quantize_int8(neg).collect()}
+        assert all([-v for v in a[k]] == b[k] for k in a)
+
+    def test_zero_vector(self, spark):
+        import xxt_cdc_spark.functions.similarity as S
+
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = S.quantize_int8(df).collect()[0]
+        assert r["scale"] == 0.0 and r["qvec"] == [0, 0, 0]

@@ -1392,3 +1392,35 @@ class IncrementalIVF:
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "item_id", "cosine")
         )
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    embedding-storage compression (4×/8× smaller than float32/64, dot
+    products on int8 SIMD at serving time): scale = max|x| / 127,
+    q_i = round-half-away-from-zero(x_i / scale).
+
+    Engine-portable numerics: the rounding is spelled floor(v + 0.5) /
+    ceil(v - 0.5) by sign instead of round() — Spark's round() is
+    HALF_UP while other engines vary, and the explicit floor/ceil form
+    is bit-identical everywhere IEEE division is. max|x| is an
+    order-insensitive exact fold. Pure row-local JVM transform: no
+    shuffle, embarrassingly parallel at any scale.
+
+    Returns (id, scale float64, qvec array<int> in [-127, 127]).
+    """
+    mx = F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(cast(x as double))), "
+        f"cast(0.0 as double), (a, v) -> greatest(a, v))"
+    )
+    df = corpus.withColumn("__scale", mx / F.lit(127.0))
+    q = F.expr(
+        f"transform({vec_col}, x -> CASE WHEN __scale = 0.0d THEN 0 "
+        f"WHEN cast(x as double) >= 0.0d THEN cast(floor(cast(x as double) / __scale + 0.5d) as int) "
+        f"ELSE cast(ceil(cast(x as double) / __scale - 0.5d) as int) END)"
+    )
+    return df.select(F.col(id_col), F.col("__scale").alias("scale"), q.alias("qvec"))

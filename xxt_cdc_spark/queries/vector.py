@@ -586,7 +586,63 @@ ORDER BY family, query_id, rank
 """
 
 
+# --- int8 scalar quantization (embedding storage compression) ----------------
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (functions/similarity.py::
+    quantize_int8) summarized to oracle-comparable scalars: the scale,
+    the quantized L1 mass / max magnitude (exact integers), and the
+    max reconstruction error (must be ≤ scale/2 by construction — the
+    oracle recomputes all of it from the float vectors independently,
+    pinning the floor/ceil half-away-from-zero rounding contract both
+    engines share)."""
+    from xxt_cdc_spark.functions import similarity as S
+
+    e = _emb(spark, sf_dir)
+    q = S.quantize_int8(e, "vec_id", "embedding").alias("q")
+    j = q.join(_emb(spark, sf_dir).select("vec_id", "embedding").alias("e"), "vec_id")
+    return j.select(
+        "vec_id",
+        F.col("scale"),
+        F.expr(
+            "aggregate(transform(qvec, v -> abs(cast(v as bigint))), 0L, (a, v) -> a + v)"
+        ).alias("q_l1"),
+        F.expr(
+            "aggregate(transform(qvec, v -> abs(v)), 0, (a, v) -> greatest(a, v))"
+        ).alias("q_max"),
+        F.expr(
+            "aggregate(zip_with(embedding, qvec, (x, v) -> "
+            "abs(cast(x as double) - cast(v as double) * scale)), "
+            "cast(0.0 as double), (a, v) -> greatest(a, v))"
+        ).alias("recon_max_err"),
+    ).orderBy("vec_id")
+
+
+QUANTIZE_INT8_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+         [CASE WHEN scale = 0 THEN 0
+               WHEN CAST(x AS DOUBLE) >= 0
+                 THEN CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)
+               ELSE CAST(ceil(CAST(x AS DOUBLE) / scale - 0.5) AS INT) END
+          for x in embedding] AS qv
+  FROM scaled
+)
+SELECT vec_id, scale,
+       CAST(list_sum([abs(CAST(v AS BIGINT)) for v in qv]) AS BIGINT) AS q_l1,
+       CAST(list_max([abs(v) for v in qv]) AS INT) AS q_max,
+       list_max([abs(CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale)
+                 for i in range(1, len(embedding) + 1)]) AS recon_max_err
+FROM q ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "emb_quantize_int8": emb_quantize_int8,
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
     "ann_hnsw_topk": ann_hnsw_topk,
@@ -600,6 +656,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "emb_quantize_int8": QUANTIZE_INT8_SQL,
     "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
     "ann_hnsw_topk": ANN_HNSW_SQL,
