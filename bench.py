@@ -73,9 +73,25 @@ HEADLINE = [
 # The headline set the PREVIOUS round's official bench measured, so the
 # output self-reports composition drift (r5 verdict #7: the silent
 # ann_topk_cosine → ann_flat_family fold cost an hour of archaeology).
-# Update this alongside any HEADLINE edit; the output JSON carries
-# headline_new / headline_dropped whenever they differ.
-PREV_HEADLINE = list(HEADLINE)
+# MUST stay an INDEPENDENT literal — `list(HEADLINE)` would track every
+# HEADLINE edit at import time and the diff could never fire. This is
+# the r5 official set; refresh it (to the then-current HEADLINE) once
+# per round, alongside the first HEADLINE edit of the new round.
+PREV_HEADLINE = [
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "cdc_apply_upsert", "cdc_lww_collapse", "cdc_envelope_roundtrip",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_flat_family",
+    "emb_neardup_fast", "text_profile", "stream_window_agg",
+    "stream_sessionize", "asof_join_events_orders", "dedup_simhash",
+    "dedup_clusters", "training_data_selection", "multimodal_features",
+    "range_join_order_events", "range_join_binned_global",
+    "lead_lag_user_gaps", "text_tfidf_topk", "text_bm25_search",
+    "vector_hof_family", "sketch_hll_rollup", "sketch_cm_heavy",
+    "stream_interval_join", "ts_gap_fill", "ts_downsample_family",
+    "corpus_pack_whole_docs", "fuzzy_join_part_names",
+    "stream_topk_per_window", "cdc_temporal_join", "cdc_reconcile_drift",
+    "variant_props_profile", "hierarchy_rollup",
+]
 
 
 def _materialize(df) -> int:
@@ -680,6 +696,10 @@ def _stream_phase_main() -> None:
     # apply-latency posture and single-shot runs vary ±20% (GC timing)
     mor_runs = [r for r in (_guard(errors, "mor", bench_mor_latency, spark) for _ in range(2)) if r]
     mor = min(mor_runs, key=lambda d: d["p95_ms"] or 1e9) if mor_runs else None
+    if mor is not None:
+        # one attempt may have failed while the other succeeded — a
+        # phantom error next to valid numbers misreads as a broken phase
+        errors.pop("mor", None)
     out = {"stream": stream, "mor": mor, "errors": errors}
     try:
         spark.stop()

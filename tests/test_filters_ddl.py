@@ -160,3 +160,29 @@ class TestAdditiveDdlApply:
         names = [r[1] for r in con.execute("PRAGMA table_info(t)").fetchall()]
         con.close()
         assert names == ["id", "x", "y"]
+
+    def test_apply_quotes_reserved_word_columns(self, tmp_path):
+        """MySQL binlog DDL backtick-quotes identifiers; the re-emitted
+        sink ALTER must quote them too or a reserved-word column (`order`)
+        turns a valid additive ALTER into a stream-killing syntax error."""
+        import sqlite3
+
+        from xxt_cdc_spark.operators.ddl import DDLStrategy, classify_ddl, handle_ddl, parse_add_columns
+        from xxt_cdc_spark.sinks.schema_evolution import apply_additive_ddl
+
+        assert parse_add_columns("ALTER TABLE t ADD COLUMN `order` INT") == [("order", "INT")]
+        db = str(tmp_path / "q.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+        con.commit()
+        con.close()
+        ev = classify_ddl("ALTER TABLE t ADD COLUMN `order` INT, ADD `group` TEXT")
+        action = handle_ddl(
+            ev, DDLStrategy.APPLY,
+            apply_fn=lambda e, cols: apply_additive_ddl(lambda: sqlite3.connect(db), e.table, cols),
+        )
+        assert action == "applied"
+        con = sqlite3.connect(db)
+        names = [r[1] for r in con.execute("PRAGMA table_info(t)").fetchall()]
+        con.close()
+        assert names == ["id", "order", "group"]

@@ -39,9 +39,13 @@ def _broadcast_budget(
     and result fan-out, bytes bound the matrix itself."""
     if max_broadcast_bytes is None:
         max_broadcast_bytes = MAX_BROADCAST_BYTES  # read at call time (testable)
-    n = corpus.count()
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dims = int(first["d"]) if first and first["d"] is not None else 0
+    # ONE aggregation job for both rows and dims (a separate first()
+    # probe would schedule a second job on every kernel invocation)
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d")
+    ).first()
+    n = int(row["n"])
+    dims = int(row["d"]) if row["d"] is not None else 0
     est_bytes = n * dims * 8
     return n, dims, est_bytes, (n > max_broadcast_rows or est_bytes > max_broadcast_bytes)
 
@@ -493,6 +497,7 @@ def cosine_neardup_pairs_fast(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 200_000,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Vectorized near-dup pairs: per-partition numpy matmul against a
     broadcast normalized matrix.
@@ -518,7 +523,9 @@ def cosine_neardup_pairs_fast(
     # same adaptive guard as cosine_neardup_pairs: never collect an
     # unbounded corpus to the driver. Byte-aware: rows × dims × 8 must
     # fit the broadcast budget, not just the row cap (r5 verdict #4).
-    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    n, dims, est_bytes, over = _broadcast_budget(
+        corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
+    )
     if over:
         import warnings
 
@@ -657,6 +664,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     strategy: str = "vectorized",
     max_broadcast_rows: int = 200_000,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, i < j. Exact.
 
@@ -704,7 +712,9 @@ def cosine_neardup_pairs(
     # caller pick the trade-off explicitly (r4 VERDICT wrong-item 2).
     # Byte-aware: the matrix is rows × dims × 8, so huge-dim corpora
     # trip the guard long before the row cap (r5 verdict #4).
-    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    n, dims, est_bytes, over = _broadcast_budget(
+        corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
+    )
     if over:
         raise ValueError(
             f"cosine_neardup_pairs: corpus is {n} vectors × {dims} dims ≈ "
@@ -713,8 +723,9 @@ def cosine_neardup_pairs(
             "above the broadcast cap is O(N²) by definition. Choose explicitly: "
             "cosine_neardup_pairs_bucketed / cosine_neardup_pairs_fast for the "
             "scalable approximate kernel, strategy='fold' to accept the "
-            "distributed quadratic plan, or raise max_broadcast_rows if the "
-            "driver can genuinely hold the matrix."
+            "distributed quadratic plan, or raise the binding cap "
+            "(max_broadcast_rows / max_broadcast_bytes) if the driver and "
+            "executors are genuinely sized for the matrix."
         )
 
     import numpy as np
@@ -927,6 +938,7 @@ def _broadcast_graph_topk(
     vec_col: str,
     max_broadcast_rows: int,
     graph: str,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Shared serving shape for the driver-built broadcast graph
     indexes (NSW and HNSW): count guard, deterministic id-ordered
@@ -940,13 +952,15 @@ def _broadcast_graph_topk(
     import numpy as np
     import pandas as pd
 
-    n, dims, est_bytes, over = _broadcast_budget(corpus, vec_col, max_broadcast_rows)
+    n, dims, est_bytes, over = _broadcast_budget(
+        corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
+    )
     if over:
         raise ValueError(
             f"corpus is {n} rows × {dims} dims ≈ {est_bytes >> 20} MiB, over the "
             f"broadcast budget (max_broadcast_rows={max_broadcast_rows}, "
             f"{MAX_BROADCAST_BYTES >> 20} MiB); use ivf_topk/ivf_nsw_topk (or raise "
-            f"the cap) — a driver-built {graph.upper()} index is for broadcastable corpora"
+            f"the binding cap — rows or max_broadcast_bytes) — a driver-built {graph.upper()} index is for broadcastable corpora"
         )
     rows = (
         corpus.select(F.col(id_col), normalized(vec_col).alias("v"))
@@ -1002,6 +1016,7 @@ def nsw_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 200_000,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Graph-index ANN: an NSW graph built once on the driver over the
     (bounded) corpus, broadcast to executors, searched per query batch
@@ -1012,7 +1027,8 @@ def nsw_topk(
     matrix, so shared pairs match brute force to float precision.
     """
     return _broadcast_graph_topk(
-        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "nsw"
+        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "nsw",
+        max_broadcast_bytes
     )
 
 
@@ -1218,6 +1234,7 @@ def hnsw_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 200_000,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """HNSW ANN with the same serving shape as ``nsw_topk`` (see
     ``_broadcast_graph_topk`` for the guard and streaming pattern).
@@ -1227,7 +1244,8 @@ def hnsw_topk(
     (``ivf_nsw_topk(graph='hnsw')`` is the per-bucket scale design).
     """
     return _broadcast_graph_topk(
-        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "hnsw"
+        corpus, queries, k, m, ef_search, id_col, vec_col, max_broadcast_rows, "hnsw",
+        max_broadcast_bytes
     )
 
 

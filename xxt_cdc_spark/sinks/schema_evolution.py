@@ -241,13 +241,18 @@ def apply_additive_ddl(
             )
             existing = {row[0].lower() for row in cur.fetchall()}
         added: list[str] = []
+        # identifiers are re-emitted QUOTED per dialect: parse_add_columns
+        # stripped the source's quoting, and an unquoted reserved word
+        # (`order`, `group`) would turn a legitimate additive ALTER
+        # into a syntax error that kills the stream under APPLY
+        quote = "`" if dialect == "mysql" else '"'
         for name, ddl_type in cols:
             if name.lower() in existing:
                 continue
             if dialect == "sqlite":
                 base = ddl_type if ddl_type in _SQLITE_TYPES else ddl_type.split("(")[0]
                 ddl_type = _SQLITE_TYPES.get(base, "TEXT")
-            stmt = f"ALTER TABLE {table} ADD COLUMN {name} {ddl_type} NULL"
+            stmt = f"ALTER TABLE {table} ADD COLUMN {quote}{name}{quote} {ddl_type} NULL"
             if dialect == "sqlite":
                 conn.execute(stmt)
             else:  # pragma: no cover

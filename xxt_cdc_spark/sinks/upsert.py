@@ -163,12 +163,12 @@ def commit_pooled(pool_keys) -> None:
     propagates so the micro-batch replays — convergence is guaranteed
     by the PK-upsert idempotence, same as every other retry path."""
     with _POOL_LOCK:
-        by_conn: dict[int, tuple[object, list[str]]] = {}
+        by_conn: dict[int, object] = {}
         for k in pool_keys:
             conn = _CONN_POOL.get(k)
             if conn is not None:
-                by_conn.setdefault(id(conn), (conn, []))[1].append(k)
-    for conn, keys in by_conn.values():
+                by_conn[id(conn)] = conn
+    for conn in by_conn.values():
         try:
             conn.commit()
         except Exception:
