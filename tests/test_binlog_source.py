@@ -74,13 +74,18 @@ class TestBinlogStream:
     def test_backpressure_bounds_each_batch(self, spark, tmp_path):
         # NOTE: Python stream sources fall back to single-batch execution
         # under Trigger.AvailableNow, so the bounded advance is observed
-        # with a continuous trigger + poll instead.
+        # with a continuous trigger + poll instead. The FIRST batch of a
+        # run is deliberately unbudgeted (the restart-safety contract:
+        # latestOffset cannot see the checkpointed start, so the first
+        # call returns the true end — see BinlogStreamReader), so the
+        # budget is asserted on records appended AFTER the stream start.
         import time
 
         log = str(tmp_path / "log")
-        BinlogLogWriter(log).append(_mk_records(0, 200))
-        total = _complete_end(os.path.join(log, "binlog.000001"))
-        sdf = read_binlog_stream(spark, log, max_bytes_per_trigger=total // 7)
+        w = BinlogLogWriter(log)
+        w.append(_mk_records(0, 10))  # small seed drains in batch 0
+        per_rec = _complete_end(os.path.join(log, "binlog.000001")) // 10
+        sdf = read_binlog_stream(spark, log, max_bytes_per_trigger=per_rec * 30)
         q = (
             sdf.writeStream.format("memory")
             .queryName("bl_bp")
@@ -89,16 +94,23 @@ class TestBinlogStream:
             .start()
         )
         try:
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                if spark.sql("SELECT count(*) n FROM bl_bp").first().n >= 10:
+                    break
+                time.sleep(0.2)
+            w.append(_mk_records(10, 210))  # steady-state backlog: 200 records
             deadline = time.monotonic() + 90
             while time.monotonic() < deadline:
-                if spark.sql("SELECT count(*) n FROM bl_bp").first().n >= 200:
+                if spark.sql("SELECT count(*) n FROM bl_bp").first().n >= 210:
                     break
                 time.sleep(0.5)
         finally:
             q.stop()
             q.awaitTermination(30)
-        assert spark.sql("SELECT count(*) n FROM bl_bp").first().n == 200
-        # the bounded advance must have split the drain into >1 batch
+        assert spark.sql("SELECT count(*) n FROM bl_bp").first().n == 210
+        # the bounded advance must split the appended backlog into >1
+        # batch (~30 records/budget over 200 appended records)
         progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
         assert len(progress) >= 5, [p["numInputRows"] for p in progress]
 
@@ -350,3 +362,38 @@ class TestCompleteEnd:
         fp = tmp_path / "binlog.000001"
         fp.write_bytes(b"no-newline-" * (20 << 10))
         assert _complete_end(str(fp)) == 0
+
+
+class TestRestartRecovery:
+    def test_restart_with_backlog_beyond_budget(self, spark, tmp_path):
+        """A restarted query whose backlog-from-earliest exceeds
+        maxBytesPerTrigger must resume AT the checkpointed frontier:
+        the old budgeted-from-initial latestOffset deterministically
+        landed exactly ON the frontier, planning no-op windows forever
+        (measured stall: 62/2200 records delivered, stream never
+        progressed again)."""
+        log = str(tmp_path / "log")
+        ck = str(tmp_path / "ck")
+        sink = str(tmp_path / "sink")
+        w = BinlogLogWriter(log)
+        w.append(_mk_records(0, 300))
+
+        def run_once():
+            q = (
+                read_binlog_stream(spark, log, max_bytes_per_trigger=4096)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()  # availableNow + budget: delivers ≥1 budget's worth
+        first = spark.read.parquet(sink).count()
+        assert first >= 1
+        w.append(_mk_records(300, 340))
+        run_once()  # restart: recovery batch must cover frontier → true end
+        got = spark.read.parquet(sink).select("key").collect()
+        ids = sorted(json.loads(r.key)["id"] for r in got)
+        assert ids == list(range(340))  # no gaps, no duplicates, no stall

@@ -246,9 +246,18 @@ class BinlogStreamReader(DataSourceStreamReader):
         self.starting = options.get("startingposition", "earliest")
         self.starting_gtids = options.get("startinggtids")
         self._last_end: dict | None = None
+        # set iff Spark called initialOffset() this run — i.e. a FRESH
+        # query. A restarted query skips initialOffset (the start comes
+        # from the checkpoint, which this API never shows the reader),
+        # so latestOffset must treat the no-state first call differently
+        self._initial: dict | None = None
 
     # --- seek (reference MySQLBinlogReader.scala:125-140) -----------------
     def initialOffset(self) -> dict:
+        self._initial = self._compute_initial()
+        return self._initial
+
+    def _compute_initial(self) -> dict:
         files = _binlog_files(self.path)
         if not files:
             return {"file": f"{FILE_PREFIX}000001", "pos": 0}
@@ -290,9 +299,39 @@ class BinlogStreamReader(DataSourceStreamReader):
         last = files[-1] if files else f"{FILE_PREFIX}000001"
         return {"file": last, "pos": _complete_end(os.path.join(self.path, last))}
 
+    def _true_end(self, files: list) -> dict:
+        """The complete current end of the log, with every earlier
+        file's consumed end pinned for replay-stable plans."""
+        last = files[-1]
+        off = {"file": last, "pos": _complete_end(os.path.join(self.path, last))}
+        ends = {
+            name: _complete_end(os.path.join(self.path, name)) for name in files[:-1]
+        }
+        if ends:
+            off["ends"] = ends
+        return off
+
     # --- bounded advance (the reference's backpressured queue) ------------
     def latestOffset(self) -> dict:
-        start = self._last_end or self.initialOffset()
+        if self._last_end is None:
+            # FIRST call of this run. This API passes no start offset,
+            # and on a restart Spark never calls initialOffset (the
+            # start lives in its checkpoint, which the reader can't
+            # see) — so a budgeted advance from the CONFIGURED start
+            # could land at or behind the committed frontier, and Spark
+            # would plan no-op windows forever (measured: a restarted
+            # availableNow run stalled at 62/2200 records because the
+            # deterministic budget landed exactly ON the frontier).
+            # Return the TRUE end: the one recovery/initial batch is
+            # unbudgeted but correct (chunk_bytes still splits it into
+            # tasks), and every later trigger budgets from the
+            # now-known frontier. maxBytesPerTrigger therefore bounds
+            # STEADY-STATE intake, not the first batch of a run.
+            files = _binlog_files(self.path)
+            if files:
+                self._last_end = self._true_end(files)
+                return self._last_end
+        start = self._last_end or self._initial or self.initialOffset()
         budget = self.max_bytes
         files = _binlog_files(self.path)
         f, p = start["file"], start["pos"]
@@ -322,6 +361,13 @@ class BinlogStreamReader(DataSourceStreamReader):
         return self._last_end
 
     def partitions(self, start: dict, end: dict):
+        # defensive frontier clamp: if a stale end ever lands behind the
+        # batch's start (the restart hazard above), learn the true
+        # frontier from the start Spark DOES know, so the next
+        # latestOffset advances instead of replanning no-ops forever
+        if (_file_num(end["file"]), end["pos"]) < (_file_num(start["file"]), start["pos"]):
+            self._last_end = dict(start)
+            return [BinlogRange(self.path, start["file"], start["pos"], start["pos"])]
         parts = _plan(self.path, start, end, self.chunk_bytes)
         # Spark requires ≥1 partition per batch; an empty advance still
         # needs a no-op range
@@ -354,21 +400,35 @@ class BinlogBatchReader(DataSourceReader):
         self.lower = options.get("lowerbound")  # 'file:<name>:<off>' exclusive
         self.upper = options.get("upperbound")  # inclusive
 
+    @staticmethod
+    def _parse_bound(which: str, bound: str) -> tuple[str, int]:
+        # validate the 'file:' prefix instead of blindly stripping 5
+        # chars: a malformed bound would otherwise name a nonexistent
+        # file, silently widening the T8 cut to the whole log
+        if not bound.startswith("file:"):
+            raise ValueError(f"unparseable {which}: {bound!r} (expected 'file:<name>:<off>')")
+        fn, _, off = bound[len("file:") :].rpartition(":")
+        if not fn or not off.isdigit():
+            raise ValueError(f"unparseable {which}: {bound!r} (expected 'file:<name>:<off>')")
+        return fn, int(off)
+
     def partitions(self):
         files = _binlog_files(self.path)
         if not files:
             return [BinlogRange(self.path, f"{FILE_PREFIX}000001", 0, 0)]
         start = {"file": files[0], "pos": 0}
         if self.lower:
-            body = self.lower[len("file:") :]
-            fn, _, off = body.rpartition(":")
-            start = {"file": fn, "pos": _snap_forward(os.path.join(self.path, fn), int(off))}
+            fn, off = self._parse_bound("lowerBound", self.lower)
+            start = {"file": fn, "pos": _snap_forward(os.path.join(self.path, fn), off)}
         last = files[-1]
         end = {"file": last, "pos": _complete_end(os.path.join(self.path, last))}
         if self.upper:
-            body = self.upper[len("file:") :]
-            fn, _, off = body.rpartition(":")
-            end = {"file": fn, "pos": _snap_forward(os.path.join(self.path, fn), int(off))}
+            fn, off = self._parse_bound("upperBound", self.upper)
+            end = {"file": fn, "pos": _snap_forward(os.path.join(self.path, fn), off)}
+        if start["file"] not in files and self.lower:
+            raise ValueError(f"lowerBound names unknown binlog file: {start['file']!r}")
+        if end["file"] not in files and self.upper:
+            raise ValueError(f"upperBound names unknown binlog file: {end['file']!r}")
         return _plan(self.path, start, end, self.chunk_bytes)
 
     def read(self, partition: BinlogRange):
