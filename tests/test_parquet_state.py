@@ -114,3 +114,46 @@ class TestParquetState:
         empty = orders_changefeed(spark, sf_dir).filter(F.lit(False))
         stats = table.apply(empty, ["pos_offset"])
         assert stats == {"touched_buckets": [], "upserts": 0, "deletes": 0}
+
+
+class TestMergeValidation:
+    def test_merge_rejects_unknown_value_col(self, spark, tmp_path):
+        """A value_col absent from the state schema must raise — the
+        old projection silently dropped its accumulator data every
+        batch while returning success stats."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        t = ParquetStateTable(spark, str(tmp_path / "st"), ["k"], n_buckets=4)
+        t.init(spark.createDataFrame([(1, 10)], "k long, a long"))
+        delta = spark.createDataFrame([(1, 5, 7)], "k long, a long, m long")
+        with pytest.raises(ValueError, match="value_cols \\['m'\\] absent"):
+            t.apply_merge(delta, ["a", "m"], how="sum")
+        with pytest.raises(ValueError, match="key columns"):
+            t.apply_merge(delta.select("k", F.col("a").alias("k2"), "m").withColumnRenamed("k2", "a"), ["k"], how="sum")
+        # the valid subset still merges
+        t.apply_merge(delta.select("k", "a"), ["a"], how="sum")
+        assert t.read().collect()[0]["a"] == 15
+
+    def test_torn_init_fails_loudly(self, spark, tmp_path):
+        """Data present but sidecar missing (crash between init()'s two
+        writes) must refuse to apply, not silently skip the schema
+        guards."""
+        import os
+
+        import pytest
+
+        from xxt_cdc_spark.sinks.parquet_state import ParquetStateTable
+
+        t = ParquetStateTable(spark, str(tmp_path / "st"), ["k"], n_buckets=4)
+        t.init(spark.createDataFrame([(1, 10)], "k long, a long"))
+        os.remove(os.path.join(str(tmp_path / "st"), "_xxt_schema.json"))
+        with pytest.raises(RuntimeError, match="no schema sidecar"):
+            t.apply_merge(spark.createDataFrame([(1, 5)], "k long, a long"), ["a"], "sum")
+        with pytest.raises(RuntimeError, match="no schema sidecar"):
+            t.apply(
+                spark.createDataFrame([("I", 1, 5, 0)], "op string, k long, a long, pos long"),
+                ["pos"],
+            )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import random
 
 from hypothesis import given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from xxt_cdc_spark.model.positions import BinlogPosition, FilePosition
@@ -103,3 +104,43 @@ class TestPurePythonProperties:
     def test_position_roundtrip(self, fn, off):
         p = FilePosition(fn, off)
         assert BinlogPosition.parse(p.as_string()) == p
+
+
+class TestRotationSuffixWidening:
+    def test_lww_and_route_respect_numeric_file_order(self, spark):
+        """MySQL widens the binlog suffix past 999999: 'binlog.1000000'
+        is numerically NEWER than 'binlog.999999' but lexicographically
+        SMALLER. The LWW collapse and the route sort must follow the
+        numeric (length-first) order, or the sink converges to stale
+        pre-rotation values."""
+        from xxt_cdc_spark.operators.collapse import last_write_wins
+        from xxt_cdc_spark.operators.routing import route
+
+        rows = [
+            ("k1", "binlog.999999", 500, "old"),
+            ("k1", "binlog.1000000", 10, "new"),  # later file, offset reset
+            ("k2", "binlog.1000000", 5, "new"),
+            ("k2", "binlog.999999", 900, "old"),
+        ]
+        df = spark.createDataFrame(rows, "key string, pos_file string, pos_offset long, v string")
+        winners = {r["key"]: r["v"] for r in last_write_wins(df, ["key"]).collect()}
+        assert winners == {"k1": "new", "k2": "new"}
+        # route's in-partition sort: the post-rotation rows come LAST
+        part = route(df.withColumn("db", F.lit("d")).withColumn("table", F.lit("t")), 1)
+        ordered = [r["pos_file"] for r in part.collect()]
+        assert ordered == ["binlog.999999", "binlog.999999", "binlog.1000000", "binlog.1000000"]
+
+    def test_mor_after_predicate_numeric_file_order(self, spark):
+        from xxt_cdc_spark.sinks.changelog_mor import _after
+
+        df = spark.createDataFrame(
+            [("binlog.1000000", 0), ("binlog.999999", 999), ("binlog.999998", 5)],
+            "pos_file string, pos_offset long",
+        )
+        kept = {
+            r["pos_file"]
+            for r in df.filter(
+                _after(F.col("pos_file"), F.col("pos_offset"), "binlog.999999", 10)
+            ).collect()
+        }
+        assert kept == {"binlog.1000000", "binlog.999999"}

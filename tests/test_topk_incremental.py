@@ -173,3 +173,35 @@ class TestWindowedTopKStore:
             for r in stream_topk_per_window(spark, "/root/testdata/sf0.001").collect()
         )
         assert got == want and len(want) > 100
+
+
+class TestStoreGcHygiene:
+    def test_no_stranded_dirs_and_one_generation_grace(self, spark, tmp_path):
+        """Superseded wb version dirs survive exactly ONE maintenance
+        commit (grace for concurrently-planned serving reads), their
+        empty b{N} parents are removed with them, and the store floor
+        stays correct throughout."""
+        import os
+
+        from xxt_cdc_spark.operators.topk_store import WindowedTopK
+
+        root = str(tmp_path / "tk")
+        store = WindowedTopK(spark, root, key_col="k", ts_col="ts", window_seconds=3600)
+
+        def batch(i):
+            return spark.createDataFrame(
+                [(f"2024-01-01 0{i}:00:00", "a"), (f"2024-01-01 0{i}:00:00", "b")],
+                "ts string, k string",
+            )
+
+        store.apply_batch(batch(0), 0)
+        store.apply_batch(batch(1), 1)  # supersedes b0/wb=...; b0 queued (grace)
+        dirs_after_1 = {n for n in os.listdir(root) if n.startswith("b")}
+        assert "b0" in dirs_after_1 and "b1" in dirs_after_1  # grace holds b0
+        store.apply_batch(batch(2), 2)  # b0's pending GC executes now
+        dirs_after_2 = {n for n in os.listdir(root) if n.startswith("b")}
+        assert "b0" not in dirs_after_2  # wb child AND empty parent gone
+        assert "b1" in dirs_after_2 and "b2" in dirs_after_2
+        # serving still exact after all GC
+        got = {(r["_w"], r["_k"]): r["n"] for r in store.counts(include_open=True).collect()}
+        assert len(got) == 6 and all(n == 1 for n in got.values())

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 _RN = "__xxt_rn"
 
 
+def order_exprs(order_cols: list[str], descending: bool = False):
+    """Ordering expressions for binlog-position columns, file-rotation
+    safe: the ``pos_file`` column orders by (length, value) — equal to
+    plain lexicographic while suffix width is constant, and equal to
+    NUMERIC file order when MySQL widens the rotation suffix
+    ('binlog.1000000' > 'binlog.999999' numerically but < as a plain
+    string; binlog_source.py:66 documents the hazard and
+    model/positions.FilePosition already compares numerically — this is
+    the COLUMN-level counterpart). Other columns order as themselves."""
+    out = []
+    for c in order_cols:
+        cols = [F.length(F.col(c)), F.col(c)] if c == "pos_file" else [F.col(c)]
+        out.extend(x.desc() if descending else x for x in cols)
+    return out
+
+
 def last_write_wins(
     df: DataFrame,
     key_cols: list[str],
@@ -36,7 +52,7 @@ def last_write_wins(
     ``(pos_file, pos_offset)``; rows with the greatest order win.
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    w = Window.partitionBy(*key_cols).orderBy(*order_exprs(order_cols, descending=True))
     return (
         df.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)

@@ -30,9 +30,16 @@ def route(
     events in total order — the same guarantee as the reference's
     Partition(64) + mapAsync(1) pipeline.
     """
+    from xxt_cdc_spark.operators.collapse import order_exprs
+
     key_cols = key_cols or ["db", "table", "key"]
     order_cols = order_cols or ["pos_file", "pos_offset"]
-    return df.repartition(num_partitions, *key_cols).sortWithinPartitions(*order_cols)
+    # rotation-safe file ordering (see collapse.order_exprs): plain
+    # column sort would invert the binlog clock when the rotation
+    # suffix widens past 999999
+    return df.repartition(num_partitions, *key_cols).sortWithinPartitions(
+        *order_exprs(order_cols)
+    )
 
 
 def with_partition_id(

@@ -96,6 +96,19 @@ class WindowedTopK:
     def _wb_dir(self, batch_id: int, wb: int) -> str:
         return os.path.join(self.root, f"b{batch_id}", f"wb={wb}")
 
+    def _gc_wb(self, batch_id: int, wb: int) -> None:
+        """Remove one superseded wb version dir AND its b{batch} parent
+        once the last wb child is gone — a steady-state stream touching
+        one bucket per batch would otherwise strand an empty b{N}
+        directory (plus _SUCCESS) per batch, forever."""
+        shutil.rmtree(self._wb_dir(batch_id, wb), ignore_errors=True)
+        parent = os.path.join(self.root, f"b{batch_id}")
+        try:
+            if not any(n.startswith("wb=") for n in os.listdir(parent)):
+                shutil.rmtree(parent, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+
     # -- stage 1: maintenance ----------------------------------------------
     def foreach_batch(self):
         """The ``writeStream.foreachBatch`` body."""
@@ -175,18 +188,26 @@ class WindowedTopK:
         superseded = [(wb, versions[str(wb)]) for wb in touched if str(wb) in versions]
         for wb in touched:
             versions[str(wb)] = batch_id
+        # ONE-GENERATION GC GRACE: delete the versions superseded by the
+        # PREVIOUS commit, and only queue this batch's superseded dirs.
+        # A serving read (counts()/topk() DataFrame) pins its file list
+        # at plan time; immediate deletion raced concurrent stage-2
+        # readers into FileNotFound at action time. With the grace, a
+        # reader survives as long as its plan is no more than one
+        # maintenance batch old; longer-lived plans must re-resolve.
+        pending = [tuple(x) for x in meta.get("pending_gc", [])]
         meta.update(
             batch_id=batch_id,
             versions=versions,
             max_w=max(meta.get("max_w", -(1 << 62)), int(stats["max_w"])),
+            pending_gc=[[wb, old] for wb, old in superseded],
         )
         self._commit(meta)
-        # GC AFTER commit: the superseded wb version dirs are no longer
-        # referenced; best-effort (a crash here just leaves garbage that
-        # the next touch of the same wb would also strand — bounded by
-        # one stale dir per range bucket)
-        for wb, old in superseded:
-            shutil.rmtree(self._wb_dir(old, wb), ignore_errors=True)
+        # GC AFTER commit, best-effort (a crash just leaves garbage the
+        # next batch's grace queue would also strand — bounded by one
+        # stale dir per range bucket per generation)
+        for wb, old in pending:
+            self._gc_wb(old, wb)
 
     def expire(self, keep_windows: int) -> list[int]:
         """Retention: drop range buckets whose ENTIRE window span lies
@@ -222,7 +243,7 @@ class WindowedTopK:
         # the apply GC), never a referenced-but-deleted one
         self._commit(meta)
         for wb, ver in doomed:
-            shutil.rmtree(self._wb_dir(ver, wb), ignore_errors=True)
+            self._gc_wb(ver, wb)
         return sorted(wb for wb, _ in doomed)
 
     # -- stage 2: serving ---------------------------------------------------
@@ -233,13 +254,16 @@ class WindowedTopK:
         versions = meta["versions"]
         if not versions:
             raise RuntimeError("no committed windows yet")
-        parts = [
-            self.spark.read.parquet(self._wb_dir(v, int(wb)))
+        # ONE multi-path scan node — a per-bucket read chained through
+        # unionByName builds an N-deep plan (N = live range buckets:
+        # a year of hourly windows at wpb=64 is ~137, long retention
+        # reaches thousands) that pays N file listings and linear
+        # analysis cost on the driver for the identical frame
+        dirs = [
+            self._wb_dir(v, int(wb))
             for wb, v in sorted(versions.items(), key=lambda kv: int(kv[0]))
         ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = self.spark.read.parquet(*dirs)
         if not include_open:
             # closed = a strictly later window has been observed (the
             # store's watermark analogue at window granularity; lateness

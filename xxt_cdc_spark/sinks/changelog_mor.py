@@ -51,9 +51,18 @@ _WATERMARK_FILE = "_mor_compaction.json"
 def _after(pos_file: Column, pos_offset: Column, file_val, offset_val) -> Column:
     """Composite (pos_file, pos_offset) strictly-after predicate —
     offsets reset on binlog rotation, so a plain offset compare would
-    drop post-rotate events (model/positions.FilePosition ordering)."""
+    drop post-rotate events, and the FILE compare is (length, value) so
+    a rotation suffix widened past 999999 keeps numeric order
+    (model/positions.FilePosition ordering; collapse.order_exprs is the
+    sort-side counterpart)."""
     f, o = F.lit(file_val), F.lit(offset_val)
-    return (pos_file > f) | ((pos_file == f) & (pos_offset > o))
+    flen = F.length(pos_file)
+    vlen = F.lit(len(str(file_val)))
+    return (
+        (flen > vlen)
+        | ((flen == vlen) & (pos_file > f))
+        | ((pos_file == f) & (pos_offset > o))
+    )
 
 
 class ChangelogMorTable:

@@ -90,6 +90,25 @@ class ParquetStateTable:
             name.startswith(f"{_BUCKET}=") for name in os.listdir(self.root)
         )
 
+    def _state_columns(self) -> list[str]:
+        schema = self._payload_schema()
+        if schema is not None:
+            return [f.name for f in schema.fields]
+        return list(self.read().columns)
+
+    def _check_sidecar(self) -> None:
+        # init() writes data THEN the sidecar (the static overwrite
+        # would wipe a sidecar written first) — a crash in between
+        # leaves a table exists() accepts whose schema guards
+        # (add-only retype check, aligned per-bucket reads) would all
+        # silently no-op. Fail loudly instead of proceeding degraded.
+        if self._has_data() and self._payload_schema() is None:
+            raise RuntimeError(
+                f"state table at {self.root} has data but no schema sidecar "
+                "(crash between init()'s data write and sidecar write?) — "
+                "re-run init()"
+            )
+
     def _full_schema(self) -> T.StructType | None:
         """Sidecar payload schema + the bucket partition column — the
         schema every read is ALIGNED to. Passing it explicitly makes
@@ -179,6 +198,7 @@ class ParquetStateTable:
         """
         if not self.exists():
             raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
+        self._check_sidecar()
         latest = last_write_wins(changes, self.key_cols, order_cols).localCheckpoint()
         # additive schema evolution: payload columns new to this batch
         # extend the sidecar schema (C31 policy — add-only); buckets
@@ -296,6 +316,22 @@ class ParquetStateTable:
             raise ValueError(f"unsupported merge: {sorted(bad)!r}")
         if not self.exists():
             raise RuntimeError(f"state table at {self.root} not initialized; call init() first")
+        self._check_sidecar()
+        # the output projection below loops over the STATE schema, so a
+        # value_col the state doesn't know (or one shadowing a key)
+        # would be silently dropped — every batch's accumulator data
+        # lost while success stats are returned. Fail loudly instead.
+        state_cols = {c.lower() for c in self._state_columns()}
+        missing = [c for c in value_cols if c.lower() not in state_cols]
+        if missing:
+            raise ValueError(
+                f"value_cols {missing} absent from the state schema "
+                f"{sorted(state_cols)}; init() the table with every "
+                "accumulator column (merge never auto-evolves the schema)"
+            )
+        shadowed = [c for c in value_cols if c in self.key_cols]
+        if shadowed:
+            raise ValueError(f"value_cols {shadowed} are key columns")
         fns = {"sum": F.sum, "max": F.max, "min": F.min}
         delta = delta.groupBy(*self.key_cols).agg(
             *[fns[hows[c]](c).alias(c) for c in value_cols]
