@@ -51,7 +51,12 @@ def scd2_history(
     # one (key, position) is a broken feed (both engines would order
     # the tie arbitrarily) — only exact redeliveries are collapsible
     deduped = changes.dropDuplicates()
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    # rotation-safe position order (collapse.order_exprs): pos_file
+    # sorts by (length, value) so a widened rotation suffix keeps the
+    # numeric clock; a no-op while suffix width is constant
+    from xxt_cdc_spark.operators.collapse import order_exprs
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_exprs(order_cols))
     out = deduped
     for c in order_cols:
         out = out.withColumn(f"valid_to_{c}", F.lead(c).over(w))

@@ -23,7 +23,13 @@ scalable shape — same trick as the registry's as-of join
 
 Positions are vectors (the engine's logical clock is
 (pos_file, pos_offset) — model/positions.py); ordering and validity
-use struct comparisons exactly like ``Scd2Table.as_of``.
+
+NOTE: position structs compare pos_file as a STRING, which matches the
+oracle mirrors and is correct while the binlog suffix width is constant;
+a history spanning a rotation-suffix WIDENING (binlog.999999 →
+binlog.1000000, see collapse.order_exprs) would need a length field in
+the struct — normalize file names (or renumber positions) upstream if a
+production history crosses that boundary.use struct comparisons exactly like ``Scd2Table.as_of``.
 """
 
 from __future__ import annotations
