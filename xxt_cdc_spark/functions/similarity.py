@@ -1442,3 +1442,26 @@ def quantize_int8(
         f"ELSE cast(ceil(cast(x as double) / __scale - 0.5d) as int) END)"
     )
     return df.select(F.col(id_col), F.col("__scale").alias("scale"), q.alias("qvec"))
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Predicate-filtered exact cosine top-k — the PRE-filter form.
+
+    The metadata predicate prunes the corpus BEFORE scoring, so the
+    result is the true top-k AMONG QUALIFYING items. The naive
+    post-filter (top-k first, predicate second) under-returns whenever
+    fewer than k of the global top-k qualify — the classic filtered-
+    vector-search trap. Pre-filtering also pushes the predicate into
+    the corpus scan (parquet row-group pruning at scale), shrinking the
+    O(|Q|·N) score work to O(|Q|·N_qualifying).
+    """
+    return brute_force_topk(
+        corpus.filter(predicate), queries, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -71,10 +71,10 @@ ORACLE: dict[str, str] = {}
 #
 #   group A (50): relational2 14 + cdc 21 + text 11 + layout 1 +
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
-#   group B (49): vector 11 + streaming 14 + sketches 5 + corpus 4 +
+#   group B (50): vector 12 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 9 + relational 6 — swept when _ROUND is
-#                 even. (r6 state: 99 total — group A is FULL at the
-#                 50 cap, group B has 1 free slot.)
+#                 even. (r6 state: 100 total — BOTH groups are at the
+#                 50 cap; r7+ additions must displace or fold.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their

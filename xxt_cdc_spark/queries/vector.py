@@ -641,7 +641,41 @@ FROM q ORDER BY vec_id
 """
 
 
+# --- predicate-filtered ANN (pre-filter semantics) ----------------------------
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (functions/similarity.py::filtered_topk):
+    exact top-k restricted to a metadata predicate, PRE-filtered so the
+    result is the true top-k among qualifying items (a post-filter of
+    the global top-k under-returns). The oracle applies the same
+    predicate inside the ranking window."""
+    from xxt_cdc_spark.functions import similarity as S
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3)
+    return (
+        S.filtered_topk(e, q, F.col("label") == 1, k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings WHERE label = 1),
+scored AS (
+  SELECT q.query_id, c.item_id,
+         {_cos_sql('q.qv', 'c.cv')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.item_id) AS rank
+  FROM q CROSS JOIN c
+  WHERE c.item_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, item_id, cosine
+FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "ann_filtered_topk": ann_filtered_topk,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_nsw_topk": ann_nsw_topk,
     "ann_ivf_nsw_topk": ann_ivf_nsw_topk,
@@ -656,6 +690,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ann_filtered_topk": FILTERED_TOPK_SQL,
     "emb_quantize_int8": QUANTIZE_INT8_SQL,
     "ann_nsw_topk": ANN_NSW_SQL,
     "ann_ivf_nsw_topk": ANN_IVF_NSW_SQL,
