@@ -183,8 +183,13 @@ class TestSimilarityFastPath:
         (dim-32) pass untouched — r5 verdict #4: the row-only cap would
         admit a 6.5 GB broadcast at 200k × 4096 float64."""
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        n, dims, est, over = S._broadcast_budget(emb, "embedding", 200_000)
+        n, dims, est, over, byte_cap = S._broadcast_budget(emb, "embedding", 200_000)
         assert not over and est == n * dims * 8  # fixtures stay inside budget
+        assert byte_cap == S.MAX_BROADCAST_BYTES  # default cap resolved
+        # a custom cap comes back as the resolved cap (diagnostics must
+        # cite the limit that was enforced — r6 ADVICE)
+        _, _, _, over2, cap2 = S._broadcast_budget(emb, "embedding", 200_000, est - 1)
+        assert over2 and cap2 == est - 1
         # shrink the byte budget below the fixture matrix: every
         # broadcast-matrix kernel must now refuse/switch on BYTES even
         # though the row cap is far away

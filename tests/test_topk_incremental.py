@@ -102,11 +102,20 @@ class TestWindowedTopKStore:
         assert len(left) == 1 and str(dropped[0]) not in left
         import os as _os
 
-        assert not _os.path.isdir(tmp_path / "st" / "b0" / f"wb={dropped[0]}")
+        # ONE-GENERATION GRACE (r6 ADVICE): the doomed dir survives the
+        # expire() that dereferenced it — a serving plan pinned moments
+        # earlier must not hit FileNotFound at action time. It is
+        # queued through pending_gc and deleted by the NEXT drain.
+        assert _os.path.isdir(tmp_path / "st" / "b0" / f"wb={dropped[0]}")
+        assert [tuple(x) for x in store._meta()["pending_gc"]] == [
+            (dropped[0], 0)
+        ]
         # reads keep working on the survivor
         assert store.topk(1, include_open=True).count() == 1
-        # idempotent / nothing more to drop
+        # idempotent / nothing more to drop; the second expire() drains
+        # the first one's queue — NOW the dir is gone
         assert store.expire(keep_windows=4) == []
+        assert not _os.path.isdir(tmp_path / "st" / "b0" / f"wb={dropped[0]}")
 
         # r5 review finding: a straggler below the retention floor must
         # NOT resurrect the dropped bucket as a fresh (wrong) count map

@@ -30,13 +30,16 @@ def _broadcast_budget(
     vec_col: str,
     max_broadcast_rows: int,
     max_broadcast_bytes: int | None = None,
-) -> tuple[int, int, int, bool]:
-    """(rows, dims, est_bytes, over_budget) for collecting ``corpus``'s
-    vectors into a driver-side float64 matrix. dims comes from one
-    ``first()`` probe (the schema's array type carries no length);
-    est_bytes = rows × dims × 8. Over budget when EITHER the row cap or
-    the byte cap is exceeded — rows bound the python-object overhead
-    and result fan-out, bytes bound the matrix itself."""
+) -> tuple[int, int, int, bool, int]:
+    """(rows, dims, est_bytes, over_budget, resolved_byte_cap) for
+    collecting ``corpus``'s vectors into a driver-side float64 matrix.
+    dims comes from one ``first()`` probe (the schema's array type
+    carries no length); est_bytes = rows × dims × 8. Over budget when
+    EITHER the row cap or the byte cap is exceeded — rows bound the
+    python-object overhead and result fan-out, bytes bound the matrix
+    itself. The resolved byte cap comes back so callers' diagnostics
+    cite the limit that was actually enforced, not the module default
+    (r6 ADVICE)."""
     if max_broadcast_bytes is None:
         max_broadcast_bytes = MAX_BROADCAST_BYTES  # read at call time (testable)
     # ONE aggregation job for both rows and dims (a separate first()
@@ -47,7 +50,8 @@ def _broadcast_budget(
     n = int(row["n"])
     dims = int(row["d"]) if row["d"] is not None else 0
     est_bytes = n * dims * 8
-    return n, dims, est_bytes, (n > max_broadcast_rows or est_bytes > max_broadcast_bytes)
+    over = n > max_broadcast_rows or est_bytes > max_broadcast_bytes
+    return n, dims, est_bytes, over, max_broadcast_bytes
 
 
 def dot(a: str, b: str) -> Column:
@@ -523,7 +527,7 @@ def cosine_neardup_pairs_fast(
     # same adaptive guard as cosine_neardup_pairs: never collect an
     # unbounded corpus to the driver. Byte-aware: rows × dims × 8 must
     # fit the broadcast budget, not just the row cap (r5 verdict #4).
-    n, dims, est_bytes, over = _broadcast_budget(
+    n, dims, est_bytes, over, byte_cap = _broadcast_budget(
         corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
     )
     if over:
@@ -531,7 +535,7 @@ def cosine_neardup_pairs_fast(
 
         warnings.warn(
             f"corpus is {n} vectors × {dims} dims ≈ {est_bytes >> 20} MiB "
-            f"(caps: {max_broadcast_rows} rows / {MAX_BROADCAST_BYTES >> 20} MiB): "
+            f"(caps: {max_broadcast_rows} rows / {byte_cap >> 20} MiB): "
             "switching to the bucketed (approximate, recall<1) near-dup kernel",
             stacklevel=2,
         )
@@ -712,14 +716,14 @@ def cosine_neardup_pairs(
     # caller pick the trade-off explicitly (r4 VERDICT wrong-item 2).
     # Byte-aware: the matrix is rows × dims × 8, so huge-dim corpora
     # trip the guard long before the row cap (r5 verdict #4).
-    n, dims, est_bytes, over = _broadcast_budget(
+    n, dims, est_bytes, over, byte_cap = _broadcast_budget(
         corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
     )
     if over:
         raise ValueError(
             f"cosine_neardup_pairs: corpus is {n} vectors × {dims} dims ≈ "
             f"{est_bytes >> 20} MiB > the broadcast budget (max_broadcast_rows="
-            f"{max_broadcast_rows}, {MAX_BROADCAST_BYTES >> 20} MiB); exact all-pairs "
+            f"{max_broadcast_rows}, {byte_cap >> 20} MiB); exact all-pairs "
             "above the broadcast cap is O(N²) by definition. Choose explicitly: "
             "cosine_neardup_pairs_bucketed / cosine_neardup_pairs_fast for the "
             "scalable approximate kernel, strategy='fold' to accept the "
@@ -952,14 +956,14 @@ def _broadcast_graph_topk(
     import numpy as np
     import pandas as pd
 
-    n, dims, est_bytes, over = _broadcast_budget(
+    n, dims, est_bytes, over, byte_cap = _broadcast_budget(
         corpus, vec_col, max_broadcast_rows, max_broadcast_bytes
     )
     if over:
         raise ValueError(
             f"corpus is {n} rows × {dims} dims ≈ {est_bytes >> 20} MiB, over the "
             f"broadcast budget (max_broadcast_rows={max_broadcast_rows}, "
-            f"{MAX_BROADCAST_BYTES >> 20} MiB); use ivf_topk/ivf_nsw_topk (or raise "
+            f"{byte_cap >> 20} MiB); use ivf_topk/ivf_nsw_topk (or raise "
             f"the binding cap — rows or max_broadcast_bytes) — a driver-built {graph.upper()} index is for broadcastable corpora"
         )
     rows = (

@@ -23,13 +23,17 @@ scalable shape — same trick as the registry's as-of join
 
 Positions are vectors (the engine's logical clock is
 (pos_file, pos_offset) — model/positions.py); ordering and validity
+use struct comparisons exactly like ``Scd2Table.as_of``.
 
 NOTE: position structs compare pos_file as a STRING, which matches the
 oracle mirrors and is correct while the binlog suffix width is constant;
 a history spanning a rotation-suffix WIDENING (binlog.999999 →
 binlog.1000000, see collapse.order_exprs) would need a length field in
 the struct — normalize file names (or renumber positions) upstream if a
-production history crosses that boundary.use struct comparisons exactly like ``Scd2Table.as_of``.
+production history crosses that boundary. Like the sort paths
+(collapse/scd2/routing), the comparison structs here prefix ``pos_file``
+with a LENGTH field, so (length, string) ordering keeps as-of semantics
+and sort semantics in agreement across a suffix widening.
 """
 
 from __future__ import annotations
@@ -61,16 +65,27 @@ def temporal_join(
     payload = [c for c in history.columns if c not in key_cols]
     ver_struct = F.struct(*payload)
 
+    def _pos_struct(srcs: list, alias_prefix: str = "") -> F.Column:
+        # Widening-safe position struct: pos_file compares as
+        # (length, value) — same convention as collapse.order_exprs.
+        fields = []
+        for src, c in zip(srcs, pos_cols):
+            name = f"{alias_prefix}{c}"
+            if c == "pos_file":
+                fields.append(F.length(F.col(src)).alias(f"_len_{name}"))
+            fields.append(F.col(src).alias(name))
+        return F.struct(*fields)
+
     h = history.select(
         *key_cols,
-        F.struct(*[F.col(f).alias(c) for f, c in zip(vfrom, pos_cols)]).alias("_t"),
+        _pos_struct(vfrom).alias("_t"),
         ver_struct.alias("_ver"),
         F.lit(0).alias("_is_fact"),
     )
     fact_payload = [c for c in facts.columns if c not in key_cols]
     f_ = facts.select(
         *key_cols,
-        F.struct(*[F.col(c) for c in pos_cols]).alias("_t"),
+        _pos_struct(list(pos_cols)).alias("_t"),
         F.lit(None).cast(h.schema["_ver"].dataType).alias("_ver"),
         F.lit(1).alias("_is_fact"),
         F.struct(*fact_payload).alias("_fact"),
@@ -89,10 +104,17 @@ def temporal_join(
     )
     # validity: candidate exists and its valid_to is open or after the
     # fact position (struct-compare with aligned field names)
-    pos_as_vto = F.struct(
-        *[F.col(f"_t.{c}").alias(f"valid_to_{c}") for c in pos_cols]
-    )
-    cand_vto = F.struct(*[F.col(f"_cand.valid_to_{c}") for c in pos_cols])
+    def _vto_struct(col_of) -> F.Column:
+        fields = []
+        for c in pos_cols:
+            name = f"valid_to_{c}"
+            if c == "pos_file":
+                fields.append(F.length(col_of(c)).alias(f"_len_{name}"))
+            fields.append(col_of(c).alias(name))
+        return F.struct(*fields)
+
+    pos_as_vto = _vto_struct(lambda c: F.col(f"_t.{c}"))
+    cand_vto = _vto_struct(lambda c: F.col(f"_cand.valid_to_{c}"))
     open_version = F.col(f"_cand.valid_to_{pos_cols[0]}").isNull()
     is_valid = F.col("_cand").isNotNull() & (open_version | (pos_as_vto < cand_vto))
 

@@ -228,7 +228,17 @@ class WindowedTopK:
             for wb in meta["versions"]
             if (int(wb) + 1) * self.windows_per_bucket - 1 < cutoff_w
         ]
+        pending = [tuple(x) for x in meta.get("pending_gc", [])]
         if not dropped:
+            # nothing new to expire, but a previous generation's queue
+            # may still be waiting — drain it so back-to-back expire()
+            # calls converge to a clean store (commit the emptied queue
+            # first, same referenced-never-deleted posture as below)
+            if pending:
+                meta["pending_gc"] = []
+                self._commit(meta)
+                for wb, old in pending:
+                    self._gc_wb(old, wb)
             return []
         doomed = [(wb, meta["versions"].pop(str(wb))) for wb in dropped]
         # persist the retention floor so apply_batch filters stragglers
@@ -238,12 +248,17 @@ class WindowedTopK:
             meta.get("floor_w") or -(1 << 62),
             (max(wb for wb, _ in doomed) + 1) * self.windows_per_bucket,
         )
-        # commit the narrowed manifest FIRST: a crash between commit and
-        # rmtree strands readable-but-unreferenced dirs (same posture as
-        # the apply GC), never a referenced-but-deleted one
+        # ONE-GENERATION GC GRACE, same as apply_batch: a serving plan
+        # pinned moments before expire() must not hit FileNotFound at
+        # action time — queue the doomed dirs through pending_gc and
+        # drain only the PREVIOUS generation's queue (its grace period
+        # has elapsed). Commit the narrowed manifest FIRST: a crash
+        # between commit and rmtree strands readable-but-unreferenced
+        # dirs, never a referenced-but-deleted one.
+        meta["pending_gc"] = [[wb, ver] for wb, ver in doomed]
         self._commit(meta)
-        for wb, ver in doomed:
-            self._gc_wb(ver, wb)
+        for wb, old in pending:
+            self._gc_wb(old, wb)
         return sorted(wb for wb, _ in doomed)
 
     # -- stage 2: serving ---------------------------------------------------

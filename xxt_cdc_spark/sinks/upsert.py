@@ -867,6 +867,12 @@ def apply_batch_txn(
     veto the new one. A checkpoint RESET (batch ids restart at 0)
     still requires a new pipeline name or clearing the offsets table:
     the gate cannot distinguish a replay from a reset by design.
+
+    Upgrade: gate rows written by pre-topology-id deployments (keyed
+    by the bare pipeline name) still veto replays and are pruned into
+    the new format by the first commit — provided the partition count
+    did not change across the upgrade (the legacy identity carried no
+    topology; if the count changed, drain and clear the gate table).
     """
     order_cols = order_cols or ["pos_file", "pos_offset"]
     # collapse defaults OFF here — the sinks this gate exists for
@@ -905,10 +911,19 @@ def apply_batch_txn(
             )
             conn.commit()
 
+            # LEGACY rows (pre-topology-id deployments stored the bare
+            # pipeline name) must keep vetoing replays after an upgrade
+            # — CREATE TABLE IF NOT EXISTS won't migrate them, and
+            # ignoring them would replay the last committed batch into
+            # exactly the non-idempotent sinks this gate protects. They
+            # are honored here and pruned below (in-band migration);
+            # the legacy identity carried no partition count, so this
+            # assumes the topology is unchanged across the upgrade —
+            # if it isn't, drain the stream and clear the gate table.
             cur.execute(
-                f"SELECT MAX(batch_id) FROM {OFFSETS_TABLE} WHERE pipeline = {ph} "
+                f"SELECT MAX(batch_id) FROM {OFFSETS_TABLE} WHERE pipeline IN ({ph}, {ph}) "
                 f"AND partition_id = {ph}",
-                (gate_id, pid),
+                (gate_id, pipeline, pid),
             )
             row = cur.fetchone()
             if row is not None and row[0] is not None and row[0] >= batch_id:
@@ -920,9 +935,9 @@ def apply_batch_txn(
             # batch's row: a racing twin that also passed the pre-read
             # fails HERE on the PK and rolls back its data with it
             cur.execute(
-                f"DELETE FROM {OFFSETS_TABLE} WHERE pipeline = {ph} AND partition_id = {ph} "
-                f"AND batch_id < {ph}",
-                (gate_id, pid, batch_id),
+                f"DELETE FROM {OFFSETS_TABLE} WHERE pipeline IN ({ph}, {ph}) "
+                f"AND partition_id = {ph} AND batch_id < {ph}",
+                (gate_id, pipeline, pid, batch_id),
             )
             cur.execute(
                 f"INSERT INTO {OFFSETS_TABLE} (pipeline, partition_id, batch_id) "

@@ -313,20 +313,23 @@ class BinlogStreamReader(DataSourceStreamReader):
 
     # --- bounded advance (the reference's backpressured queue) ------------
     def latestOffset(self) -> dict:
-        if self._last_end is None:
-            # FIRST call of this run. This API passes no start offset,
-            # and on a restart Spark never calls initialOffset (the
-            # start lives in its checkpoint, which the reader can't
-            # see) — so a budgeted advance from the CONFIGURED start
-            # could land at or behind the committed frontier, and Spark
-            # would plan no-op windows forever (measured: a restarted
-            # availableNow run stalled at 62/2200 records because the
-            # deterministic budget landed exactly ON the frontier).
-            # Return the TRUE end: the one recovery/initial batch is
-            # unbudgeted but correct (chunk_bytes still splits it into
-            # tasks), and every later trigger budgets from the
-            # now-known frontier. maxBytesPerTrigger therefore bounds
-            # STEADY-STATE intake, not the first batch of a run.
+        if self._last_end is None and self._initial is None:
+            # FIRST call of a RESTARTED run. This API passes no start
+            # offset, and on a restart Spark never calls initialOffset
+            # (the start lives in its checkpoint, which the reader
+            # can't see) — so a budgeted advance from the CONFIGURED
+            # start could land at or behind the committed frontier,
+            # and Spark would plan no-op windows forever (measured: a
+            # restarted availableNow run stalled at 62/2200 records
+            # because the deterministic budget landed exactly ON the
+            # frontier). Return the TRUE end: the one recovery batch
+            # is unbudgeted but correct (chunk_bytes still splits it
+            # into tasks), and every later trigger budgets from the
+            # now-known frontier. FRESH queries (initialOffset just
+            # ran, self._initial known) fall through and budget from
+            # it — a fresh earliest-start over a large retained log
+            # must not void maxBytesPerTrigger; partitions() clamps a
+            # regressed end as the restart safety net.
             files = _binlog_files(self.path)
             if files:
                 self._last_end = self._true_end(files)
