@@ -285,7 +285,10 @@ def bench_streaming(spark) -> dict:
     from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD, orders_changefeed, to_envelope
     from xxt_cdc_spark.obs.metrics import snapshot_from_query
     from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
-    from xxt_cdc_spark.streaming.pipeline import CDCStreamPipeline, read_envelope_stream
+    from xxt_cdc_spark.streaming.pipeline import (
+        CDCStreamPipeline,
+        read_typed_envelope_stream,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
         src = os.path.join(tmp, "src")
@@ -294,6 +297,12 @@ def bench_streaming(spark) -> dict:
         rows = [r.asDict() for r in env.collect()]
         for r in rows:
             r["ts"] = r["ts"].isoformat() if r["ts"] else None
+            # nested row images (the Debezium wire shape): the typed
+            # single-parse source reads them with ONE from_json —
+            # measured ~35% lower per-batch source cost than the
+            # JSON-string envelope + second from_json (SCALING.md r7)
+            for c in ("before", "after"):
+                r[c] = _json.loads(r[c]) if r[c] else None
         n_files = 32  # 32 micro-batches (1 file per trigger)
         chunk = (len(rows) + n_files - 1) // n_files
         for i in range(n_files):
@@ -315,14 +324,18 @@ def bench_streaming(spark) -> dict:
         # all 8)
         db_holder = [db]
         parts_holder = [None]
+        driver_holder = [True]
+
+        PAYLOAD_DDL = (
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string"
+        )
 
         def apply_fn(batch_df, _id):
-            # one from_json per row (not 6 get_json_object re-parses)
+            # payload structs arrive PRE-PARSED (typed source): the
+            # flatten is pure column pruning, no JSON re-parse
             typed = batch_df.selectExpr(
-                "op", "pos_file", "pos_offset",
-                "from_json(coalesce(after, before), 'o_orderkey long, o_custkey long,"
-                " o_orderstatus string, o_totalprice double, o_orderdate string,"
-                " o_orderpriority string') AS p",
+                "op", "pos_file", "pos_offset", "coalesce(after, before) p"
             ).selectExpr("op", "pos_file", "pos_offset", "p.*")
             apply_batch(
                 typed,
@@ -340,15 +353,22 @@ def bench_streaming(spark) -> dict:
                 # transport-aligned apply: maxFilesPerTrigger=1 means the
                 # micro-batch is a single partition, so the hash-route
                 # shuffle is redundant (production analogue: Kafka topic
-                # keyed by PK). ZERO shuffles per micro-batch; the sorted
-                # writer still applies every key's events in position
-                # order, so converged state is identical (see apply_batch
-                # docstring); the reference applies every event too.
+                # keyed by PK). ZERO shuffles per micro-batch.
                 num_partitions=parts_holder[0],
-                collapse=False,
-                # Arrow block transfer into the writer: measured ~30% lower
-                # per-batch latency than per-row pickle (tools/latency_probe.py)
-                arrow=True,
+                # LATENCY pass (driver_apply): Arrow-collect the sorted
+                # batch and apply through ONE vectorized driver-side
+                # writer — the zero-shuffle plan is one serial writer
+                # anyway, so the executor Python round trip (~60-80 ms/
+                # batch) is pure overhead. collapse rides pandas-side
+                # drop_duplicates (O(rows), no shuffle): converged state
+                # is identical, statements collapse to one per key
+                # (a delete-interleaved 7k batch otherwise pays ~1.3k
+                # kind-flip flushes). BULK pass: distributed Arrow path,
+                # collapse=False (applies every event, like the
+                # reference), 2 writers.
+                collapse=driver_holder[0],
+                arrow=not driver_holder[0],
+                driver_apply=driver_holder[0],
             )
 
         # warm the streaming/codegen/Python-worker paths so percentiles
@@ -360,9 +380,12 @@ def bench_streaming(spark) -> dict:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
-        # decouple offset-log writes from batch execution (~80 ms/batch
-        # measured win; replay-safe here because the apply is idempotent)
-        spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "true")
+        # NOTE (r7): async progress tracking is NOT settable for a
+        # foreachBatch sink (Spark rejects the write option: "Sink
+        # ForeachBatchSink does not support async progress tracking");
+        # the session-conf spelling previous rounds set here was an
+        # inert unknown key. Removed — the offset/commit-log writes
+        # (~75 ms/batch on ext4) are an honest part of the posture.
         # warm-up runs UNDER THE SAME CONFS and with full-size batches:
         # the r5 phase-isolation change moved this phase into a cold
         # JVM, and its 8×1000-row warm pass under DIFFERENT confs
@@ -379,7 +402,9 @@ def bench_streaming(spark) -> dict:
         try:
             warm_pipe = CDCStreamPipeline(
                 spark=spark,
-                source=read_envelope_stream(spark, warm_src, max_files_per_trigger=1),
+                source=read_typed_envelope_stream(
+                    spark, warm_src, PAYLOAD_DDL, max_files_per_trigger=1
+                ),
                 apply_fn=apply_fn,
                 checkpoint_dir=os.path.join(tmp, "warm_ck"),
             )
@@ -395,7 +420,9 @@ def bench_streaming(spark) -> dict:
                 t0 = time.monotonic()
                 pipe = CDCStreamPipeline(
                     spark=spark,
-                    source=read_envelope_stream(spark, src, max_files_per_trigger=1),
+                    source=read_typed_envelope_stream(
+                        spark, src, PAYLOAD_DDL, max_files_per_trigger=1
+                    ),
                     apply_fn=apply_fn,
                     checkpoint_dir=os.path.join(tmp, f"ck{attempt}"),
                 )
@@ -425,10 +452,13 @@ def bench_streaming(spark) -> dict:
             con.close()
             db_holder[0] = db2
             parts_holder[0] = 2
+            driver_holder[0] = False  # bulk: distributed Arrow path
             t0 = time.monotonic()
             bulk_q = CDCStreamPipeline(
                 spark=spark,
-                source=read_envelope_stream(spark, src, max_files_per_trigger=8),
+                source=read_typed_envelope_stream(
+                    spark, src, PAYLOAD_DDL, max_files_per_trigger=8
+                ),
                 apply_fn=apply_fn,
                 checkpoint_dir=os.path.join(tmp, "ck_bulk"),
             ).start(available_now=True)
@@ -436,7 +466,6 @@ def bench_streaming(spark) -> dict:
             bulk_dt = time.monotonic() - t0
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "false")
         pct = snap.latency_percentiles()
         return {
             "events": len(rows),
@@ -460,34 +489,33 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
     from xxt_cdc_spark.streaming.pipeline import read_rate_envelope_stream
 
     with tempfile.TemporaryDirectory() as tmp:
-        prev = spark.conf.get("spark.sql.streaming.asyncProgressTrackingEnabled", "false")
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
-        spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", "true")
+        # (r7: the asyncProgressTrackingEnabled session conf previous
+        # rounds set here was an inert unknown key — the real spelling
+        # is a per-query write OPTION Spark only honors for Kafka
+        # sinks. Removed; the MOR numbers never depended on it.)
         # file-sink metadata compaction every 10 batches re-reads the
         # whole log — at a sub-second cadence that is a recurring p95
         # spike (measured +50 ms p50, +200 ms p95); compact rarely.
         spark.conf.set("spark.sql.streaming.fileSink.log.compactInterval", "100")
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", "10")
-        try:
-            src = read_rate_envelope_stream(spark, rows_per_second=500)
-            typed = src.selectExpr(
-                "op", "pos_file", "pos_offset", "ts",
-                "from_json(after, 'id long, seq long') AS p",
-            ).selectExpr("op", "pos_file", "pos_offset", "ts", "p.*")
-            t = ChangelogMorTable(spark, os.path.join(tmp, "t"), ["id"])
-            q = t.start_stream(typed, os.path.join(tmp, "ck"))
-            time.sleep(seconds)
-            q.stop()
-            q.awaitTermination(60)
-            durs = []
-            for p in q.recentProgress:
-                if not isinstance(p, dict):
-                    j = p.json() if callable(getattr(p, "json", None)) else p.json
-                    p = _json.loads(j)
-                if p.get("numInputRows"):
-                    durs.append(float(p["durationMs"]["triggerExecution"]))
-        finally:
-            spark.conf.set("spark.sql.streaming.asyncProgressTrackingEnabled", prev)
+        src = read_rate_envelope_stream(spark, rows_per_second=500)
+        typed = src.selectExpr(
+            "op", "pos_file", "pos_offset", "ts",
+            "from_json(after, 'id long, seq long') AS p",
+        ).selectExpr("op", "pos_file", "pos_offset", "ts", "p.*")
+        t = ChangelogMorTable(spark, os.path.join(tmp, "t"), ["id"])
+        q = t.start_stream(typed, os.path.join(tmp, "ck"))
+        time.sleep(seconds)
+        q.stop()
+        q.awaitTermination(60)
+        durs = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                j = p.json() if callable(getattr(p, "json", None)) else p.json
+                p = _json.loads(j)
+            if p.get("numInputRows"):
+                durs.append(float(p["durationMs"]["triggerExecution"]))
         durs = sorted(durs[5:])
 
         def pct(p: float):
@@ -640,6 +668,75 @@ def bench_fanout_tables(spark) -> dict:
             continue
         secs[n_tables] = dt
         out[f"events_per_sec_{n_tables}t"] = round(n_events / dt)
+
+    # SHARD-ALIGNED 10000t point: the same batch against 4 target DB
+    # files (tables crc-sharded — the multi-instance deployment the
+    # reference's 100k-active-tables claim actually runs against),
+    # with partitions ALIGNED to shards via murmur3 tokens so each
+    # target sees exactly one writer transaction per batch. The
+    # single-file number above keeps metric continuity; this is the
+    # scale-honest number: a lone sqlite file serializes ALL writers
+    # on one WAL lock, which no sharded/MPP target does (measured 2×).
+    from xxt_cdc_spark.operators.routing import aligned_shard_tokens, shard_token_column
+
+    n_tables, n_shards = 10_000, 4
+    tokens = aligned_shard_tokens(spark, n_shards)
+    env = spark.range(n_events).select(
+        F.lit("d").alias("db"),
+        F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+        F.lit("I").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("binlog.000001").alias("pos_file"),
+        F.col("id").alias("pos_offset"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.to_json(F.struct(F.floor(F.col("id") / n_tables).alias("k"))).alias("key"),
+        F.lit(None).cast("string").alias("before"),
+        F.to_json(
+            F.struct(F.floor(F.col("id") / n_tables).alias("k"), F.col("id").alias("v"))
+        ).alias("after"),
+    ).withColumn("shard_tok", shard_token_column(F.col("table"), tokens))
+    import zlib as _zlib
+
+    best = None
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as tmp:
+            dbs = [os.path.join(tmp, f"fan{s}.db") for s in range(n_shards)]
+            cons = [sqlite3.connect(d) for d in dbs]
+            for i in range(n_tables):
+                s = _zlib.crc32(f"t{i}".encode()) % n_shards
+                cons[s].execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+            for c in cons:
+                c.commit()
+                c.close()
+
+            def sh_factory(table: str, _dbs=tuple(dbs)):
+                db = _dbs[_zlib.crc32(table.encode()) % len(_dbs)]
+                return lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    table=table,
+                    columns=["k", "v"],
+                    key_cols=["k"],
+                    dialect="sqlite",
+                    batch_size=5000,
+                    connection_init=["PRAGMA journal_mode=WAL", "PRAGMA synchronous=OFF"],
+                    pool_key=f"fan:{db}",
+                )
+
+            def sh_sink_factory(table: str):
+                return TableSink(sh_factory(table), ["k"], None)
+
+            t0 = time.monotonic()
+            applied = apply_batch_fanout(
+                env,
+                sink_factory=sh_sink_factory,
+                num_partitions=n_shards,
+                coalesce_commits=True,
+                route_cols=["shard_tok"],
+            )
+            dt = time.monotonic() - t0
+            assert sum(applied.values()) == n_events, (sum(applied.values()), n_events)
+            best = dt if best is None else min(best, dt)
+    out["events_per_sec_10000t_sharded4"] = round(n_events / best)
     # least-squares slope of wall-time vs table count → ms per extra table
     xs, ys = list(secs), [secs[w] for w in secs]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
@@ -799,6 +896,27 @@ def main() -> None:
     if new_q or dropped_q:
         out["headline_new"] = new_q
         out["headline_dropped"] = dropped_q
+    # box-drift anchors (r6 verdict #4): this box measured ±30% between
+    # rounds on UNTOUCHED code (SCALING.md r6 calibration), so every
+    # cross-round comparison must be read AGAINST the anchor ratio.
+    # The anchors are headline queries whose code paths have not
+    # changed since r2; the pinned values are the PREVIOUS round's
+    # officials (refresh alongside PREV_HEADLINE once per round).
+    # anchor_ratio > 1 means this box/run is slower than when the
+    # previous official was recorded — divide other deltas by it.
+    anchor_official = {  # BENCH_r06 officials
+        "q1_pricing_summary": 1.544,
+        "q3_top_orders": 1.136,
+        "lead_lag_user_gaps": 1.097,
+    }
+    ratios = sorted(
+        per_query[q] / v for q, v in anchor_official.items() if q in per_query
+    )
+    if ratios:
+        out["anchor_ratio"] = round(ratios[len(ratios) // 2], 3)
+        out["anchor_queries"] = {
+            q: per_query.get(q) for q in anchor_official
+        }
     if sink:
         out.update(
             cdc_events_per_sec=round(sink["events_per_sec"]),

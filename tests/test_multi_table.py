@@ -581,3 +581,112 @@ class TestFanoutArrowParity:
             return out
 
         assert dump(db_a) == dump(db_r)
+
+
+class TestShardAlignedFanout:
+    def test_aligned_tokens_place_each_shard_in_one_partition(self, spark):
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.operators.routing import (
+            aligned_shard_tokens,
+            shard_token_column,
+        )
+
+        n = 4
+        toks = aligned_shard_tokens(spark, n)
+        assert len(set(toks)) == n
+        # hash alignment: token i lands in partition i exactly
+        placed = (
+            spark.createDataFrame([(t,) for t in toks], "tok int")
+            .repartition(n, "tok")
+            .select(F.col("tok"), F.spark_partition_id().alias("pid"))
+            .collect()
+        )
+        by_tok = {r.tok: r.pid for r in placed}
+        assert sorted(by_tok.values()) == list(range(n))
+        # python-side crc agrees with the JVM crc on the shard choice
+        import zlib
+
+        df = spark.createDataFrame(
+            [(f"t{i}",) for i in range(200)], "table string"
+        ).withColumn("tok", shard_token_column(F.col("table"), toks))
+        for r in df.collect():
+            assert r.tok == toks[zlib.crc32(r.table.encode()) % n]
+
+    def test_fanout_route_cols_override_converges(self, spark, tmp_path):
+        """apply_batch_fanout(route_cols=[shard]) — coarser routing
+        still co-locates every (table, key) and converges identically
+        to the default routing."""
+        import json as _json
+        import sqlite3
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.operators.routing import (
+            aligned_shard_tokens,
+            shard_token_column,
+        )
+        from xxt_cdc_spark.sinks.upsert import (
+            JdbcUpsertWriter,
+            TableSink,
+            apply_batch_fanout,
+            close_pooled_connections,
+        )
+
+        n_tables, n_shards, n_events = 20, 2, 2000
+        env = spark.range(n_events).select(
+            F.lit("d").alias("db"),
+            F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+            F.when(F.col("id") % 11 == 0, "D").otherwise("U").alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("binlog.000001").alias("pos_file"),
+            F.col("id").alias("pos_offset"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.to_json(F.struct((F.col("id") % 97).alias("k"))).alias("key"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(
+                F.struct((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+            ).alias("after"),
+        )
+        toks = aligned_shard_tokens(spark, n_shards)
+        env_sh = env.withColumn("shard_tok", shard_token_column(F.col("table"), toks))
+
+        def state(db):
+            con = sqlite3.connect(db)
+            out = {}
+            for i in range(n_tables):
+                out[i] = sorted(con.execute(f"SELECT k, v FROM t{i}").fetchall())
+            con.close()
+            return out
+
+        def run(df, db, route_cols, pool_tag):
+            con = sqlite3.connect(db)
+            for i in range(n_tables):
+                con.execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+            con.commit()
+            con.close()
+
+            def factory(table):
+                return lambda: JdbcUpsertWriter(
+                    connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                    table=table, columns=["k", "v"], key_cols=["k"],
+                    dialect="sqlite", pool_key=f"{pool_tag}:{db}",
+                )
+
+            sinks = {f"t{i}": TableSink(factory(f"t{i}"), ["k"], None) for i in range(n_tables)}
+            applied = apply_batch_fanout(
+                df, sinks, num_partitions=n_shards,
+                coalesce_commits=True, route_cols=route_cols,
+            )
+            return applied
+
+        try:
+            db_a = str(tmp_path / "a.db")
+            applied_a = run(env, db_a, None, "ta")
+            db_b = str(tmp_path / "b.db")
+            applied_b = run(env_sh, db_b, ["shard_tok"], "tb")
+            assert applied_a == applied_b
+            assert state(db_a) == state(db_b)
+        finally:
+            close_pooled_connections()

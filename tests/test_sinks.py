@@ -140,6 +140,41 @@ class TestUpsertEndToEnd:
             apply_batch(cf, _writer_factory(other), ["o_orderkey"], ["pos_offset"],
                         num_partitions=None, collapse=True)
 
+    def test_driver_apply_converges_identically(self, spark, sf_dir, target_db, tmp_path):
+        """driver_apply=True (Arrow collect + one vectorized driver-side
+        writer — the latency posture) must converge to the distributed
+        path's state, both uncollapsed (run-ordered flushes) and with
+        the pandas-side LWW collapse (two statement groups)."""
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, _writer_factory(target_db), ["o_orderkey"], ["pos_offset"], 4)
+        expected = _final_state(target_db)
+
+        uncollapsed = str(tmp_path / "drv.db")
+        _make_target(uncollapsed)
+        stats = apply_batch(
+            cf.coalesce(1), _writer_factory(uncollapsed), ["o_orderkey"], ["pos_offset"],
+            num_partitions=None, collapse=False, driver_apply=True,
+        )
+        assert _final_state(uncollapsed) == expected
+        assert stats["upserts"] > 0 and stats["deletes"] > 0
+
+        collapsed = str(tmp_path / "drvc.db")
+        _make_target(collapsed)
+        stats_c = apply_batch(
+            cf.coalesce(1), _writer_factory(collapsed), ["o_orderkey"], ["pos_offset"],
+            num_partitions=None, collapse=True, driver_apply=True,
+        )
+        assert _final_state(collapsed) == expected
+        # collapse applies at most one statement per key
+        assert stats_c["upserts"] + stats_c["deletes"] < stats["upserts"] + stats["deletes"]
+
+        with pytest.raises(ValueError, match="driver_apply"):
+            apply_batch(cf, _writer_factory(collapsed), ["o_orderkey"], ["pos_offset"],
+                        num_partitions=4, driver_apply=True)
+
     def test_replay_is_idempotent(self, spark, sf_dir, target_db):
         cf = orders_changefeed(spark, sf_dir).selectExpr(
             "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",

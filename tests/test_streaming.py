@@ -228,3 +228,63 @@ class TestKafkaAdapter:
         collapsed = last_write_wins(kept, ["key"], ["pos_offset"])
         expected = last_write_wins(env, ["key"], ["pos_offset"])
         assert collapsed.count() == expected.count()
+
+
+class TestTypedEnvelopeSource:
+    def test_single_parse_matches_double_parse(self, spark, sf_dir, tmp_path):
+        """read_typed_envelope_stream (text + ONE from_json with the
+        payload struct inlined — the Debezium nested-image wire shape)
+        must yield the same typed rows as the two-step shape (JSON
+        envelope source + a second from_json of the row images)."""
+        import json as _json
+
+        from xxt_cdc_spark.streaming.pipeline import read_typed_envelope_stream
+
+        env = to_envelope(orders_changefeed(spark, sf_dir)).orderBy("pos_offset").limit(2000)
+        rows = [r.asDict() for r in env.collect()]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "c0.json"), "w") as f:
+            for i, r in enumerate(rows):
+                # half the rows carry a micro-precision ts, half a
+                # plain ISO second — the lenient decode must take both
+                r["ts"] = r["ts"].isoformat() if r["ts"] else None
+                for c in ("before", "after"):
+                    r[c] = _json.loads(r[c]) if r[c] else None
+                f.write(_json.dumps(r) + "\n")
+
+        payload = (
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string"
+        )
+        got_rows = []
+
+        def sink(batch_df, _id):
+            got_rows.extend(
+                batch_df.selectExpr(
+                    "op", "pos_offset", "coalesce(after, before) p"
+                ).selectExpr("op", "pos_offset", "p.*").collect()
+            )
+
+        q = (
+            read_typed_envelope_stream(spark, src, payload)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        expected = (
+            env.selectExpr(
+                "op", "pos_offset",
+                f"from_json(coalesce(after, before), '{payload}') AS p",
+            )
+            .selectExpr("op", "pos_offset", "p.*")
+            .collect()
+        )
+        assert len(got_rows) == len(expected) == 2000
+        key = lambda r: (r.pos_offset, r.op)  # noqa: E731
+        assert sorted(got_rows, key=key) == sorted(expected, key=key)
+        # no row was nulled by a parse failure
+        assert all(r.o_orderkey is not None for r in got_rows)

@@ -71,10 +71,13 @@ ORACLE: dict[str, str] = {}
 #
 #   group A (50): relational2 14 + cdc 21 + text 11 + layout 1 +
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
-#   group B (50): vector 12 + streaming 14 + sketches 5 + corpus 4 +
+#   group B (49): vector 11 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 9 + relational 6 — swept when _ROUND is
-#                 even. (r6 state: 100 total — BOTH groups are at the
-#                 50 cap; r7+ additions must displace or fold.)
+#                 even. (r7 state: 99 total — group A at the 50 cap,
+#                 group B at 49 after the ann_graph_family fold
+#                 [nsw/hnsw/ivf_nsw singles → 1] made room for
+#                 ann_recall_report; further additions must displace
+#                 or fold, see ROADMAP.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their
@@ -85,7 +88,7 @@ ORACLE: dict[str, str] = {}
 # row through r4 — r4 VERDICT item 1). The trailing group still fills
 # the remaining sweep slots (50 − |lead|), giving its head a bonus
 # refresh. Bump _ROUND once per driver round when rotating.
-_ROUND = 6
+_ROUND = 7
 _GROUP_A = (relational2, cdc, text, layout, sketches2, quality)
 _GROUP_B = (vector, streaming, sketches, corpus, curation, relational)
 _ORDERED = _GROUP_A + _GROUP_B if _ROUND % 2 == 1 else _GROUP_B + _GROUP_A
