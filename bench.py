@@ -450,9 +450,34 @@ def bench_streaming(spark) -> dict:
             )
             con.commit()
             con.close()
-            db_holder[0] = db2
+            # warm the BULK plan shape before timing it: the latency
+            # pass warms only the driver-apply plan (no route exchange,
+            # no mapInPandas), so the distributed bulk plan would
+            # otherwise compile codegen inside the timed window
+            # (measured: batch-0 addBatch 2.9 s vs 0.65 s steady —
+            # ~35% of a 4-batch phase)
+            warm_db = os.path.join(tmp, "warm_bulk.db")
+            con = sqlite3.connect(warm_db)
+            con.execute(
+                "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+                " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+            )
+            con.commit()
+            con.close()
+            db_holder[0] = warm_db
             parts_holder[0] = 2
             driver_holder[0] = False  # bulk: distributed Arrow path
+            wbq = CDCStreamPipeline(
+                spark=spark,
+                source=read_typed_envelope_stream(
+                    spark, warm_src, PAYLOAD_DDL, max_files_per_trigger=8
+                ),
+                apply_fn=apply_fn,
+                checkpoint_dir=os.path.join(tmp, "warm_bulk_ck"),
+            ).start(available_now=True)
+            wbq.awaitTermination(240)
+
+            db_holder[0] = db2
             t0 = time.monotonic()
             bulk_q = CDCStreamPipeline(
                 spark=spark,

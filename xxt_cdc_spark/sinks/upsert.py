@@ -389,45 +389,13 @@ class JdbcUpsertWriter:
         batch has ~1 flip per 5 rows, i.e. ~1.3k commits per 7k-row
         micro-batch without the collapse. Converged state is
         identical: same per-key final statement, single serial writer."""
-        import numpy as np
-
         if len(pdf) == 0:
             return dict(self.stats)
         if collapse_keys:
             pdf = pdf.drop_duplicates(subset=collapse_keys, keep="last")
         conn, pooled = self._acquire()
         try:
-            is_del = (pdf["op"] == OP_DELETE).to_numpy()
-            ups_params = list(
-                pdf[self.columns][~is_del].itertuples(index=False, name=None)
-            ) if not is_del.all() else []
-            del_params = list(
-                pdf[self.key_cols][is_del].itertuples(index=False, name=None)
-            ) if is_del.any() else []
-            if collapse_keys:
-                # one statement per key: kind groups are order-free
-                for kind, params in (("delete", del_params), ("upsert", ups_params)):
-                    for i in range(0, len(params), self.batch_size):
-                        self._flush(conn, kind, params[i : i + self.batch_size])
-                return dict(self.stats)
-            # uncollapsed: preserve the per-key statement ORDER — flush
-            # contiguous same-kind runs exactly like apply_rows. The
-            # per-shape projections above are over kind-filtered rows,
-            # so map each run to its slice of the filtered list.
-            flips = np.flatnonzero(is_del[1:] != is_del[:-1]) + 1
-            bounds = [0, *flips.tolist(), len(pdf)]
-            n_del_before = np.cumsum(is_del)
-            for lo, hi in zip(bounds, bounds[1:]):
-                if is_del[lo]:
-                    a = int(n_del_before[lo] - 1) if lo else 0
-                    params = del_params[a : a + (hi - lo)]
-                    kind = "delete"
-                else:
-                    a = lo - (int(n_del_before[lo - 1]) if lo else 0)
-                    params = ups_params[a : a + (hi - lo)]
-                    kind = "upsert"
-                for i in range(0, len(params), self.batch_size):
-                    self._flush(conn, kind, params[i : i + self.batch_size])
+            self._flush_frame(conn, pdf, grouped=bool(collapse_keys))
             return dict(self.stats)
         except BaseException:
             if pooled:
@@ -440,6 +408,71 @@ class JdbcUpsertWriter:
                     conn.close()
                 except Exception:  # noqa: BLE001
                     pass
+
+    def apply_pdf_stream(self, frames) -> dict:
+        """``apply_pdf`` over an ITERATOR of pandas frames (the
+        mapInPandas block stream): one connection for the whole
+        partition, each block applied AS IT ARRIVES — the Arrow
+        transfer overlaps the sink writes exactly like the old
+        row-generator path (buffering all blocks first measured a
+        ~20% bulk-throughput loss: transfer and sqlite writes
+        serialized instead of pipelining). Per-key statement order is
+        preserved: blocks arrive in partition order and each block
+        flushes in run order."""
+        conn, pooled = self._acquire()
+        try:
+            n = 0
+            for pdf in frames:
+                if len(pdf):
+                    self._flush_frame(conn, pdf, grouped=False)
+                    n += len(pdf)
+            return dict(self.stats)
+        except BaseException:
+            if pooled:
+                self._evict(conn)
+                pooled = False
+            raise
+        finally:
+            if not pooled:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+
+    def _flush_frame(self, conn, pdf, grouped: bool) -> None:
+        """Run-split one frame into executemany flushes. ``grouped``
+        (valid ONLY post-collapse, one statement per key) emits two
+        order-free kind groups; otherwise contiguous same-kind runs
+        flush in frame order, exactly like ``apply_rows``' kind-flip
+        flushes."""
+        import numpy as np
+
+        is_del = (pdf["op"] == OP_DELETE).to_numpy()
+        ups_params = list(
+            pdf[self.columns][~is_del].itertuples(index=False, name=None)
+        ) if not is_del.all() else []
+        del_params = list(
+            pdf[self.key_cols][is_del].itertuples(index=False, name=None)
+        ) if is_del.any() else []
+        if grouped:
+            for kind, params in (("delete", del_params), ("upsert", ups_params)):
+                for i in range(0, len(params), self.batch_size):
+                    self._flush(conn, kind, params[i : i + self.batch_size])
+            return
+        flips = np.flatnonzero(is_del[1:] != is_del[:-1]) + 1
+        bounds = [0, *flips.tolist(), len(pdf)]
+        n_del_before = np.cumsum(is_del)
+        for lo, hi in zip(bounds, bounds[1:]):
+            if is_del[lo]:
+                a = int(n_del_before[lo] - 1) if lo else 0
+                params = del_params[a : a + (hi - lo)]
+                kind = "delete"
+            else:
+                a = lo - (int(n_del_before[lo - 1]) if lo else 0)
+                params = ups_params[a : a + (hi - lo)]
+                kind = "upsert"
+            for i in range(0, len(params), self.batch_size):
+                self._flush(conn, kind, params[i : i + self.batch_size])
 
     def apply_param_groups(self, upserts: list[tuple], deletes: list[tuple]) -> dict:
         """Apply pre-projected parameter tuples (upserts shaped like
@@ -951,19 +984,13 @@ def apply_batch(
         import pandas as pd
 
         def _run_arrow(blocks):
-            # ONE frame per partition (same memory posture as the row
-            # path, which buffered the partition as pickled Rows), ONE
-            # connection, then the vectorized run-split apply — no
-            # per-row dict/projection Python (r6 verdict item 2)
+            # vectorized per-block apply on ONE connection, consuming
+            # the Arrow stream AS IT ARRIVES — transfer overlaps the
+            # sink writes (buffering all blocks first measured a ~20%
+            # bulk-throughput loss); no per-row dict/projection Python
+            # (r6 verdict item 2)
             writer = writer_factory()
-            frames = list(blocks)
-            if len(frames) == 1:
-                pdf = frames[0]
-            elif frames:
-                pdf = pd.concat(frames, ignore_index=True)
-            else:
-                pdf = None
-            stats = writer.apply_pdf(pdf) if pdf is not None else dict(writer.stats)
+            stats = writer.apply_pdf_stream(blocks)
             _dead_letter(writer)
             yield pd.DataFrame({k: [v] for k, v in stats.items()})
 
