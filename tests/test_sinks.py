@@ -384,6 +384,28 @@ class TestRetryAndBreaker:
         assert w.stats["failures"] == 1
         assert len(w.dead_letters) == 1
 
+    def test_vectorized_path_dead_letters_identically(self, target_db):
+        """apply_pdf rides the same _flush retry/dead-letter machinery
+        as apply_rows — a non-retryable statement failure lands in
+        dead_letters, not a raise (r7 vectorized paths)."""
+        import pandas as pd
+
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(target_db),
+            table="missing_table",
+            columns=ORDERS_PAYLOAD,
+            key_cols=["o_orderkey"],
+            dialect="sqlite",
+            retry=RetryPolicy(max_retries=1, base_delay_s=0.001),
+        )
+        pdf = pd.DataFrame([
+            {"op": "I", "o_orderkey": 1, "o_custkey": 2, "o_orderstatus": "O",
+             "o_totalprice": 1.0, "o_orderdate": "2024-01-01", "o_orderpriority": "1"}
+        ])
+        w.apply_pdf(pdf)
+        assert w.stats["failures"] == 1
+        assert len(w.dead_letters) == 1
+
     def test_breaker_opens_and_recovers(self):
         b = CircuitBreaker(failure_threshold=3, cooldown_s=0.05)
         assert b.allow()

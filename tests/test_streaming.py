@@ -288,3 +288,84 @@ class TestTypedEnvelopeSource:
         assert sorted(got_rows, key=key) == sorted(expected, key=key)
         # no row was nulled by a parse failure
         assert all(r.o_orderkey is not None for r in got_rows)
+
+
+class TestLowLatencyPipeline:
+    def test_packaged_low_latency_posture_converges(self, spark, sf_dir, tmp_path):
+        """read_typed_envelope_stream + low_latency_apply_fn (the r7
+        latency posture as a first-class API) must converge the
+        changefeed to the same state as the batch apply."""
+        import json as _json
+        import sqlite3
+
+        from xxt_cdc_spark.changefeed import ORDERS_PAYLOAD
+        from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
+        from xxt_cdc_spark.streaming.pipeline import (
+            CDCStreamPipeline,
+            low_latency_apply_fn,
+            read_typed_envelope_stream,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        env = to_envelope(orders_changefeed(spark, sf_dir)).orderBy("pos_offset")
+        rows = [r.asDict() for r in env.collect()]
+        for i in range(3):
+            lo, hi = i * len(rows) // 3, (i + 1) * len(rows) // 3
+            with open(os.path.join(src, f"c{i}.json"), "w") as f:
+                for r in rows[lo:hi]:
+                    r = dict(r)
+                    r["ts"] = r["ts"].isoformat() if r["ts"] else None
+                    for c in ("before", "after"):
+                        r[c] = _json.loads(r[c]) if r[c] else None
+                    f.write(_json.dumps(r) + "\n")
+
+        payload = (
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string, o_orderpriority string"
+        )
+
+        def mk_db(name):
+            db = str(tmp_path / name)
+            con = sqlite3.connect(db)
+            con.execute(
+                "CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, o_custkey INTEGER,"
+                " o_orderstatus TEXT, o_totalprice REAL, o_orderdate TEXT, o_orderpriority TEXT)"
+            )
+            con.commit()
+            con.close()
+            return db
+
+        def wf(db):
+            return lambda: JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                table="orders", columns=ORDERS_PAYLOAD, key_cols=["o_orderkey"],
+                dialect="sqlite",
+            )
+
+        db_stream = mk_db("s.db")
+        pipe = CDCStreamPipeline(
+            spark=spark,
+            source=read_typed_envelope_stream(spark, src, payload, max_files_per_trigger=1),
+            apply_fn=low_latency_apply_fn(wf(db_stream), ["o_orderkey"], ["pos_offset"]),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(240)
+
+        db_batch = mk_db("b.db")
+        cf = orders_changefeed(spark, sf_dir).selectExpr(
+            "op", "pos_offset", "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "cast(o_orderdate as string) AS o_orderdate", "o_orderpriority",
+        )
+        apply_batch(cf, wf(db_batch), ["o_orderkey"], ["pos_offset"], 4)
+
+        def state(db):
+            con = sqlite3.connect(db)
+            out = sorted(con.execute(
+                "SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS TEXT) FROM orders"
+            ).fetchall())
+            con.close()
+            return out
+
+        assert state(db_stream) == state(db_batch)
