@@ -493,6 +493,13 @@ def bench_streaming(spark) -> dict:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         pct = snap.latency_percentiles()
         return {
+            # posture self-report (r7 changed the latency pass: typed
+            # single-parse source + driver-side vectorized apply with
+            # LWW collapse; r5/r6 measured the executor mapInPandas
+            # path applying every event — compare rounds accordingly.
+            # The bulk pass still applies EVERY event, distributed.)
+            "apply_posture": "typed_source+driver_apply+lww_collapse",
+            "bulk_apply_posture": "typed_source+distributed_arrow+no_collapse",
             "events": len(rows),
             "sec": dt,
             "events_per_sec": len(rows) / dt,
@@ -971,6 +978,8 @@ def main() -> None:
             stream_latency_p50_ms=stream["p50_ms"],
             stream_latency_p95_ms=stream["p95_ms"],
             stream_latency_p99_ms=stream["p99_ms"],
+            stream_apply_posture=stream.get("apply_posture"),
+            stream_bulk_apply_posture=stream.get("bulk_apply_posture"),
         )
     if mor:
         out.update(

@@ -40,7 +40,7 @@ def _mk_db(tmp_path, tag):
     return db
 
 
-def _writer(db, batch_size=7):
+def _writer(db, batch_size=7, multi_values=False):
     # tiny batch_size on purpose: forces mid-run batch splits too
     return JdbcUpsertWriter(
         connect_fn=lambda: sqlite3.connect(db, timeout=30),
@@ -49,6 +49,7 @@ def _writer(db, batch_size=7):
         key_cols=["k"],
         dialect="sqlite",
         batch_size=batch_size,
+        multi_values=multi_values,
     )
 
 
@@ -112,6 +113,18 @@ class TestVectorizedApplyProperty:
         c_stats = wc.apply_pdf(pdf.copy(), collapse_keys=["k"])
         assert _state(db_c) == ref
         assert c_stats["upserts"] + c_stats["deletes"] <= len(events)
+
+        # multi-VALUES rendering (one INSERT per chunk): same state,
+        # same stats — rows apply in VALUES order, so uncollapsed
+        # same-key runs inside one statement stay correct
+        db_m = _mk_db(tmp_path, "m")
+        wm = _writer(db_m, multi_values=True)
+        m_stats = wm.apply_pdf(pdf.copy())
+        assert _state(db_m) == ref
+        assert (m_stats["upserts"], m_stats["deletes"]) == (
+            ref_stats["upserts"],
+            ref_stats["deletes"],
+        )
 
         # apply_pdf_stream at an arbitrary block split: identical
         # statements and stats (blocks are just transfer granularity)

@@ -470,6 +470,21 @@ class TestSqlDialects:
         sql = self._writer("mysql")._upsert_sql()
         assert "ON DUPLICATE KEY UPDATE v=VALUES(v)" in sql and "%s" in sql
 
+    def test_multi_values_sql_per_dialect(self):
+        """multi_values renders ONE statement with n VALUES tuples —
+        the engine-side rewriteBatchedStatements posture (the
+        reference's HikariCP knob); cached per row count."""
+        sql = self._writer("mysql")._multi_upsert_sql(3)
+        assert sql.count("(%s, %s)") == 3
+        assert "ON DUPLICATE KEY UPDATE v=VALUES(v)" in sql
+        sql = self._writer("sqlite")._multi_upsert_sql(2)
+        assert sql.count("(?, ?)") == 2
+        assert "ON CONFLICT(k) DO UPDATE SET v=excluded.v" in sql
+        sql = self._writer("starrocks")._multi_upsert_sql(4)
+        assert sql.count("(?, ?)") == 4 and "ON " not in sql
+        w = self._writer("sqlite")
+        assert w._multi_upsert_sql(5) is w._multi_upsert_sql(5)  # cached
+
     def test_sqlite_upsert_sql(self):
         sql = self._writer("sqlite")._upsert_sql()
         assert "ON CONFLICT(k) DO UPDATE SET v=excluded.v" in sql
