@@ -786,3 +786,34 @@ class TestFilteredTopk:
         # predicate reaches the corpus scan (pushed filter, no full-scan score)
         plan = pre._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan or "label" in plan
+
+
+class TestLshMultiTable:
+    def test_or_amplification_lifts_recall(self, spark, sf_dir):
+        """L tables must strictly dominate one table's recall on the
+        same corpus (the r7 ann_recall_report finding: 0.02 single vs
+        0.82 multi at sf0.1), and every returned pair must be a true
+        bucket match in at least one table."""
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.functions import similarity as S
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 5)
+        k = 10
+        exact = {
+            (r.query_id, r.item_id)
+            for r in S.brute_force_topk(e, q, k).collect()
+        }
+        single = {
+            (r.query_id, r.item_id)
+            for r in S.lsh_bucketed_topk(e, q, k).collect()
+        }
+        multi = {
+            (r.query_id, r.item_id)
+            for r in S.lsh_multitable_topk(e, q, k).collect()
+        }
+        assert len(multi & exact) > len(single & exact)
+        # dedup holds: one row per (query, item)
+        rows = S.lsh_multitable_topk(e, q, k).collect()
+        assert len({(r.query_id, r.item_id) for r in rows}) == len(rows)

@@ -146,3 +146,16 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_lsh_multitable_is_equi_join_only(self, spark, sf_dir):
+        """OR-amplified LSH must stay a (table_id, bucket) equi-join —
+        L tables via explode, never an OR-of-equalities nested loop."""
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.functions import similarity as S
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = S.lsh_multitable_topk(e, e.filter(F.col("vec_id") < 3), 5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -151,6 +151,82 @@ def lsh_bucketed_topk(
     )
 
 
+# default multi-table LSH layout: 8 tables × 4 sign bits, disjoint
+# coordinate sets across the 64-dim test corpus. OR-amplification:
+# a true neighbor is a candidate if it shares ANY table's full bucket
+# — P(candidate) = 1 - (1 - p^b)^L vs the single-table p^b cliff.
+# Measured on the sf0.1 corpus (certified by ann_recall_report):
+# recall@10 = 0.82 at ~40% candidate fraction, vs 0.02 for one
+# 6-bit table; L=4 landed 0.50, so the default takes the 8-table
+# point of the curve.
+LSH_TABLES_DEFAULT: tuple[tuple[int, ...], ...] = (
+    (1, 9, 17, 25),
+    (5, 13, 21, 29),
+    (33, 41, 49, 57),
+    (37, 45, 53, 61),
+    (2, 10, 18, 26),
+    (6, 14, 22, 30),
+    (34, 42, 50, 58),
+    (38, 46, 54, 62),
+)
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: tuple[tuple[int, ...], ...] = LSH_TABLES_DEFAULT,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN (OR-amplification): L independent hash
+    tables, candidates = UNION of per-table bucket matches, deduped,
+    exactly scored, top-k.
+
+    Why it exists: the single-table kernel's recall collapses at
+    useful selectivities — the certified `ann_recall_report` measured
+    it at 0.02 recall@10 on the sf0.1 corpus, because one b-bit table
+    demands ALL b sign bits agree (p^b). Standard LSH practice (and
+    every production system) runs L tables and ORs the matches:
+    1-(1-p^b)^L. Still equi-join-only — each table is a bucket
+    equi-join at corpus scale, the same shuffle shape L times (or one
+    exploded join, as here), never a cross join; the scale argument of
+    the single-table kernel is unchanged.
+    """
+    t_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("t"), sign_lsh_bucket(vec_col, dims).alias("bucket")
+            )
+            for i, dims in enumerate(tables)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(t_arr).alias("tb"),
+    ).select("query_id", "qv", "tb.t", "tb.bucket")
+    c = corpus.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(t_arr).alias("tb"),
+    ).select("item_id", "cv", "tb.t", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("item_id") != F.col("query_id"))
+        # OR-dedup: a pair matching in several tables scores once
+        .groupBy("query_id", "item_id")
+        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+        .withColumn("cosine", cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cosine")
+    )
+
+
 def normalized(vec_col: str) -> Column:
     """Unit-normalize once per vector — O(N·d) instead of O(N²·d) when
     done before a pairwise join. The array fold is interpreted (no
