@@ -1007,6 +1007,36 @@ def main() -> None:
     except Exception:
         pass
     print(line)
+    # The driver records only the LAST ~2000 chars of stdout; the r7
+    # record outgrew that window, its tail capture sliced the JSON
+    # mid-object, and BENCH_r07 came back "parsed": null. Emit a
+    # SECOND, compact line AFTER the full one — duplicate aliases and
+    # count diagnostics dropped, query secs at 2 decimals — sized to
+    # fit the window whole, so the last parseable line in any tail
+    # capture is always a complete record. BENCH_local.json (committed)
+    # keeps the full-precision record; the trailing keys of the full
+    # line are flat scalars, so its truncated fragment can never be
+    # mistaken for a JSON object by a scan-based parser.
+    drop = {
+        "anchor_queries",          # values duplicated in "queries"
+        "stream_mor_latency_p50_ms",  # alias of apply_latency_p50_ms
+        "stream_mor_latency_p95_ms",  # alias of apply_latency_p95_ms
+        "stream_mor_batches",
+        "stream_batches",
+        "cdc_apply_events",
+        "cdc_apply_sec",
+        "binlog_events",
+        "cdc_fanout_per_table_overhead_ms",
+        "stream_apply_posture",
+        "stream_bulk_apply_posture",
+    }
+    compact = {k: v for k, v in out.items() if k not in drop}
+    for digits in (2, 1):
+        compact["queries"] = {q: round(s, digits) for q, s in out["queries"].items()}
+        cline = json.dumps(compact)
+        if len(cline) <= 1900:
+            break
+    print(cline)
 
 
 if __name__ == "__main__":

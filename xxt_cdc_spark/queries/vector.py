@@ -776,15 +776,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = df.select(F.lit(fam).alias("family"), "query_id", "item_id")
         out = d if out is None else out.unionByName(d)
     total = TOP_K * N_QUERIES
-    return (
+    hits = (
         out.join(exact, ["query_id", "item_id"], "left_semi")
         .groupBy("family")
         .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # LEFT-join hit counts onto the STATIC family list (hits coalesced
+    # to 0): a kernel whose recall collapses to zero must show
+    # recall_at_k=0 in the certified report, not vanish from it
+    # (r7 advice — the groupBy alone produces no group for zero hits).
+    families = spark.createDataFrame([(f,) for f, _ in fams], "family string")
+    return (
+        families.join(hits, "family", "left")
         .select(
             "family",
-            "hits",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
             F.lit(total).cast("long").alias("total"),
-            F.round(F.col("hits") / F.lit(float(total)), 6).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(total)), 6
+            ).alias("recall_at_k"),
         )
         .orderBy("family")
     )
@@ -802,15 +812,22 @@ approx AS (
   SELECT 'lsh_multi' AS family, query_id, item_id FROM ({ANN_LSH_MULTI_SQL})
   UNION ALL
   SELECT 'pq' AS family, query_id, item_id FROM ({ANN_PQ_SQL})
+),
+fams(family) AS (VALUES ('ivf'), ('lsh'), ('lsh_multi'), ('pq')),
+hit_counts AS (
+  SELECT family, COUNT(*) AS hits
+  FROM approx a
+  WHERE EXISTS (SELECT 1 FROM exact e
+                WHERE e.query_id = a.query_id AND e.item_id = a.item_id)
+  GROUP BY family
 )
-SELECT family, CAST(COUNT(*) AS BIGINT) AS hits,
+-- static family list LEFT-joined so a zero-recall kernel reports
+-- recall_at_k=0 instead of vanishing (same shape as the Spark kernel)
+SELECT f.family, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        CAST({TOP_K * N_QUERIES} AS BIGINT) AS total,
-       ROUND(COUNT(*) / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
-FROM approx a
-WHERE EXISTS (SELECT 1 FROM exact e
-              WHERE e.query_id = a.query_id AND e.item_id = a.item_id)
-GROUP BY family
-ORDER BY family
+       ROUND(COALESCE(h.hits, 0) / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
+FROM fams f LEFT JOIN hit_counts h ON f.family = h.family
+ORDER BY f.family
 """
 
 

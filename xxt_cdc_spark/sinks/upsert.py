@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xxt_cdc_spark.model.envelope import OP_DELETE
-from xxt_cdc_spark.operators.collapse import last_write_wins
+from xxt_cdc_spark.operators.collapse import last_write_wins, order_exprs
 from xxt_cdc_spark.operators.routing import route
 
 
@@ -219,6 +219,15 @@ class JdbcUpsertWriter:
         # executemany — they are a small fraction of a changefeed and
         # row-value IN lists complicate composite-key dialects.
         self.multi_values = multi_values
+        # Bind-parameter budget per multi-VALUES statement: SQLite caps
+        # host parameters at SQLITE_MAX_VARIABLE_NUMBER (999 before
+        # 3.32, 32766 after) and MySQL at max_allowed_packet. Blowing
+        # the cap is NON-retryable, so an uncapped wide-table flush
+        # (batch_size rows × len(columns) placeholders) would
+        # dead-letter whole chunks on a config-shaped limit. 999 is the
+        # floor every supported engine honors; _flush splits multi
+        # chunks to at most this many rows per statement.
+        self._multi_rows_cap = max(1, 999 // max(1, len(columns)))
         self.connect_fn = connect_fn
         # per-connection tuning statements (O20 parity — the reference's
         # Hikari cachePrepStmts/rewriteBatchedStatements knobs; e.g.
@@ -539,8 +548,51 @@ class JdbcUpsertWriter:
                 except Exception:  # noqa: BLE001
                     pass
 
+    def apply_ordered_params(self, seq: list[tuple[str, tuple]]) -> dict:
+        """Apply pre-projected ``(kind, params)`` tuples IN ORDER,
+        flushing on kind flips exactly like ``apply_rows``. This is the
+        order-preserving counterpart of ``apply_param_groups`` for
+        batches that contain KEYLESS rows: a keyless row can carry
+        several statements for the same underlying row, so the
+        two-group (deletes-then-upserts) apply would turn an
+        insert-then-delete sequence into delete-then-insert and
+        resurrect the row (r7 advice)."""
+        conn, pooled = self._acquire()
+        try:
+            pending: list[tuple] = []
+            pending_kind: str | None = None
+            for kind, p in seq:
+                if kind != pending_kind and pending:
+                    self._flush(conn, pending_kind, pending)
+                    pending = []
+                pending_kind = kind
+                pending.append(p)
+                if len(pending) >= self.batch_size:
+                    self._flush(conn, pending_kind, pending)
+                    pending = []
+            if pending:
+                self._flush(conn, pending_kind, pending)
+            return dict(self.stats)
+        except BaseException:
+            if pooled:
+                self._evict(conn)
+                pooled = False
+            raise
+        finally:
+            if not pooled:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+
     def _flush(self, conn, kind: str, params: list[tuple]) -> None:
         multi = kind == "upsert" and self.multi_values and len(params) > 1
+        if multi and len(params) > self._multi_rows_cap:
+            # split to the placeholder budget (see __init__) — each
+            # sub-chunk keeps its own retry/dead-letter accounting
+            for i in range(0, len(params), self._multi_rows_cap):
+                self._flush(conn, kind, params[i : i + self._multi_rows_cap])
+            return
         if multi:
             sql = self._multi_upsert_sql(len(params))
             flat = [x for p in params for x in p]
@@ -777,6 +829,17 @@ def apply_batch_fanout(
                 return
             pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             keyed = pdf["key"].notna() & (pdf["key"] != "")
+            # Tables carrying keyless rows must apply ORDER-PRESERVING:
+            # a keyless row can hold several statements for one
+            # underlying row, so the two-group apply_param_groups
+            # (all deletes, then all upserts) would flip an
+            # insert-then-delete into delete-then-insert and resurrect
+            # the row (r7 advice). Those tables route through
+            # apply_ordered_params (kind-flip flushes in frame order);
+            # fully-keyed tables keep the cheap two-group path.
+            keyless_tables: set[str] = (
+                set() if bool(keyed.all()) else set(pdf.loc[~keyed, "table"])
+            )
             if bool(keyed.all()):
                 pdf = pdf.drop_duplicates(["table", "key"], keep="last")
             elif bool(keyed.any()):
@@ -786,6 +849,7 @@ def apply_batch_fanout(
             writers: dict[str, object] = {}
             ups: dict[str, list] = {}
             dels: dict[str, list] = {}
+            seq: dict[str, list] = {}
             skipped: set[str] = set()
             deferred_keys: set[str] = set()
             for t, op, key, before, after in pdf[
@@ -809,20 +873,33 @@ def apply_batch_fanout(
                     writers[t] = writer
                     ups[t] = []
                     dels[t] = []
+                    if t in keyless_tables:
+                        seq[t] = []
                 if op == OP_DELETE:
                     k = _s(key)
                     src = json.loads(k) if k else {}
                     b = _s(before)
                     if b:
                         src = {**json.loads(b), **src}
-                    dels[t].append(tuple(src.get(c) for c in writer.key_cols))
+                    p = tuple(src.get(c) for c in writer.key_cols)
+                    if t in keyless_tables:
+                        seq[t].append(("delete", p))
+                    else:
+                        dels[t].append(p)
                 else:
                     a = _s(after)
                     src = json.loads(a) if a else {}
-                    ups[t].append(tuple(src.get(c) for c in writer.columns))
+                    p = tuple(src.get(c) for c in writer.columns)
+                    if t in keyless_tables:
+                        seq[t].append(("upsert", p))
+                    else:
+                        ups[t].append(p)
             applied_local: dict[str, int] = {}
             for t, writer in writers.items():
-                stats = writer.apply_param_groups(ups[t], dels[t])
+                if t in keyless_tables:
+                    stats = writer.apply_ordered_params(seq[t])
+                else:
+                    stats = writer.apply_param_groups(ups[t], dels[t])
                 applied_local[t] = stats["upserts"] + stats["deletes"]
             if deferred_keys:
                 commit_pooled(deferred_keys)
@@ -971,7 +1048,12 @@ def apply_batch(
         # O(rows) drop_duplicates, no shuffle — so the plan below stays
         # sort-only either way
         writer = writer_factory()
-        sorted_df = batch_df.sortWithinPartitions(*order_cols)
+        # rotation-safe sort (order_exprs, not raw columns): the pandas
+        # LWW collapse below is keep="last" over FRAME order, so a
+        # binlog suffix widening (binlog.999999 → binlog.1000000) under
+        # a plain lexicographic sort would keep the pre-rotation row
+        # (r7 advice — same hazard route()/last_write_wins already guard)
+        sorted_df = batch_df.sortWithinPartitions(*order_exprs(order_cols))
         # toArrow() (public, Spark 4) always collects via Arrow —
         # toPandas() silently falls back to row-at-a-time pickle when
         # spark.sql.execution.arrow.pyspark.enabled=false (measured
@@ -1004,7 +1086,7 @@ def apply_batch(
     if num_partitions is None:
         if collapse:
             raise ValueError("num_partitions=None (transport-aligned apply) requires collapse=False")
-        routed = batch_df.sortWithinPartitions(*order_cols)
+        routed = batch_df.sortWithinPartitions(*order_exprs(order_cols))
     else:
         # collapse BEFORE the route: the window runs at
         # shuffle.partitions and pays a second exchange, but Spark's
