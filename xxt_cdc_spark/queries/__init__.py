@@ -71,13 +71,11 @@ ORACLE: dict[str, str] = {}
 #
 #   group A (50): relational2 14 + cdc 21 + text 11 + layout 1 +
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
-#   group B (49): vector 11 + streaming 14 + sketches 5 + corpus 4 +
+#   group B (50): vector 12 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 9 + relational 6 — swept when _ROUND is
-#                 even. (r7 state: 99 total — group A at the 50 cap,
-#                 group B at 49 after the ann_graph_family fold
-#                 [nsw/hnsw/ivf_nsw singles → 1] made room for
-#                 ann_recall_report; further additions must displace
-#                 or fold, see ROADMAP.)
+#                 even. (r8 state: 100 total — BOTH groups at the 50
+#                 cap after ann_graph_recall joined vector; any further
+#                 addition must displace or fold, see ROADMAP.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their

@@ -831,11 +831,85 @@ ORDER BY f.family
 """
 
 
+# --- graph-ANN recall at PRACTICAL ef (r7 verdict item 5) ---------------------
+GRAPH_M = 8
+GRAPH_EF = 48
+
+
+def ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the NSW and HNSW graph indexes at their PRACTICAL
+    search parameters (m=8, ef_search=48 — the configuration the
+    pytest recall gate runs) against the exact brute-force kernel,
+    registered so the accuracy/cost trade-off of the graph family is a
+    driver-visible, regression-gated number like ann_recall_report's
+    (r7 verdict item 5).
+
+    Oracle honesty: greedy graph descent has NO SQL form, so unlike
+    ann_recall_report the DuckDB mirror cannot recompute this recall
+    independently. Instead it PINS the expected hit counts — the
+    multimodal_decode pinned-closed-form precedent — which is sound
+    because the whole pipeline is deterministic: fixed-seed graph
+    builds, hash-derived HNSW levels, id tie-breaks (two consecutive
+    runs are asserted identical in tests/test_functions.py). The pins
+    are keyed by an embeddings-content signature (SUM(label): the
+    corpora at sf0.001/sf0.01 have equal row counts but different
+    vectors), so any change to the build, the search, or the data
+    flips the value hash. An unpinned dataset yields NULL hits → a
+    loud mismatch, never a silent pass."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "item_id")
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    fams = [
+        ("hnsw", S.hnsw_topk(e, q, TOP_K, m=GRAPH_M, ef_search=GRAPH_EF)),
+        ("nsw", S.nsw_topk(e, q, TOP_K, m=GRAPH_M, ef_search=GRAPH_EF)),
+    ]
+    out = None
+    for fam, df in fams:
+        d = df.select(F.lit(fam).alias("family"), "query_id", "item_id")
+        out = d if out is None else out.unionByName(d)
+    total = TOP_K * N_QUERIES
+    hits = (
+        out.join(exact, ["query_id", "item_id"], "left_semi")
+        .groupBy("family")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    families = spark.createDataFrame([(f,) for f, _ in fams], "family string")
+    return (
+        families.join(hits, "family", "left")
+        .select(
+            "family",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(total)), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("family")
+    )
+
+
+# Pinned per-dataset expected hits (family → signature → hits), measured
+# once with two-run determinism confirmation; signature = SUM(label)
+# over embeddings (2268=sf0.001, 2270=sf0.01, 9063=sf0.1).
+ANN_GRAPH_RECALL_SQL = f"""
+WITH sig AS (SELECT CAST(SUM(label) AS BIGINT) AS s FROM embeddings),
+pins(family, sig, hits) AS (VALUES
+  ('hnsw', 2268, 50), ('hnsw', 2270, 49), ('hnsw', 9063, 50),
+  ('nsw',  2268, 50), ('nsw',  2270, 49), ('nsw',  9063, 50))
+SELECT p.family, CAST(p.hits AS BIGINT) AS hits,
+       CAST({TOP_K * N_QUERIES} AS BIGINT) AS total,
+       ROUND(p.hits / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
+FROM pins p JOIN sig ON p.sig = sig.s
+ORDER BY p.family
+"""
+
+
 QUERIES = {
     "ann_filtered_topk": ann_filtered_topk,
     "emb_quantize_int8": emb_quantize_int8,
     "ann_graph_family": ann_graph_family,
     "ann_recall_report": ann_recall_report,
+    "ann_graph_recall": ann_graph_recall,
     "ann_incremental_ivf": ann_incremental_ivf,
     "vector_hof_family": vector_hof_family,
     "multimodal_features": multimodal_features,
@@ -850,6 +924,7 @@ ORACLE = {
     "emb_quantize_int8": QUANTIZE_INT8_SQL,
     "ann_graph_family": ANN_GRAPH_SQL,
     "ann_recall_report": ANN_RECALL_SQL,
+    "ann_graph_recall": ANN_GRAPH_RECALL_SQL,
     "ann_incremental_ivf": ANN_INCR_IVF_SQL,
     "vector_hof_family": HOF_FAMILY_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
