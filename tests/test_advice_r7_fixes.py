@@ -253,3 +253,74 @@ class TestDriverApplyRotationSafeOrder:
         con = sqlite3.connect(db)
         assert con.execute("SELECT k, v FROM t").fetchall() == [(1, 2)]
         con.close()
+
+
+class TestFanoutWriterCache:
+    def test_cached_writers_delta_account_and_converge(self, spark, tmp_path):
+        """cache_writers: batch 2 reuses batch 1's writers (cumulative
+        stats), yet applied counts must be per-batch (delta) and the
+        final state identical to the uncached path."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import close_pooled_connections
+
+        n_events, n_tables = 2_000, 50
+        env = spark.range(n_events).select(
+            F.lit("d").alias("db"),
+            F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+            F.lit("I").alias("op"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("binlog.000001").alias("pos_file"),
+            F.col("id").alias("pos_offset"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.to_json(F.struct(F.floor(F.col("id") / n_tables).alias("k"))).alias("key"),
+            F.lit(None).cast("string").alias("before"),
+            F.to_json(
+                F.struct(F.floor(F.col("id") / n_tables).alias("k"), F.col("id").alias("v"))
+            ).alias("after"),
+        )
+        db = str(tmp_path / "wc.db")
+        con = sqlite3.connect(db)
+        for i in range(n_tables):
+            con.execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.commit()
+        con.close()
+
+        def sink_factory(table):
+            def make():
+                import sqlite3 as _sq
+
+                from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter as _W
+
+                return _W(
+                    connect_fn=lambda: _sq.connect(db, timeout=60),
+                    table=table, columns=["k", "v"], key_cols=["k"],
+                    dialect="sqlite", pool_key=f"wc:{db}",
+                )
+
+            return TableSink(make, ["k"], None)
+
+        try:
+            for batch in range(2):
+                applied = apply_batch_fanout(
+                    env, sink_factory=sink_factory, num_partitions=2,
+                    coalesce_commits=True, cache_writers=f"wc:{db}",
+                )
+                assert sum(applied.values()) == n_events, (
+                    f"batch {batch}: cached writers must delta-account, "
+                    f"got {sum(applied.values())}"
+                )
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db)
+        # LWW: per (table, k) the max id wins
+        for i in range(0, n_tables, 17):
+            got = dict(con.execute(f"SELECT k, v FROM t{i}").fetchall())
+            want = {
+                k: max(v for v in range(n_events) if v % n_tables == i and v // n_tables == k)
+                for k in set(v // n_tables for v in range(n_events) if v % n_tables == i)
+            }
+            assert got == want, (i, got, want)
+        con.close()
