@@ -1492,6 +1492,171 @@ class IncrementalIVF:
         )
 
 
+class IncrementalSemDedup:
+    """Streaming SemDeDup: semantic near-dup flagging of ARRIVING
+    embedding chunks against a persistent centroid-bucketed store —
+    the growing-corpus form of ``semantic_dedup`` (same greedy min-id
+    rule, same fixed-seed clustering), for the pipeline that curates a
+    100 TB corpus as it is crawled instead of re-sweeping it nightly.
+
+    Rule (identical to the batch operator, which makes it
+    order-independent and exactly SQL-replayable): a vector is KEPT
+    iff its cluster contains no SMALLER-ID vector at cosine ≥ τ —
+    arrivals compare against (stored cluster members ∪ same-chunk
+    cluster-mates) under the ``id <`` filter. Because the rule keys on
+    id, not arrival time, the incremental result over id-ordered
+    chunks is BIT-EQUAL to the batch sweep of the full corpus — the
+    registered family query gates exactly that equivalence.
+
+    Mechanics (IncrementalIVF's proven skeleton):
+
+    - centroids pinned at ``init`` from the seed frame's lowest ids
+      (chunk 0 of an id-ordered feed pins the same seeds the batch
+      sweep would), persisted in a JSON sidecar;
+    - the store is centroid-bucketed parquet: an update reads ONLY the
+      clusters its chunk touches (partition-pruned) and rewrites only
+      those buckets; comparisons are an equi-join on centroid with the
+      ordered JVM-fold cosine (bit-identical to the DuckDB oracle) —
+      Σ_clusters sz² economics, ``n_centroids`` grows ∝ N like every
+      clustered-pairwise operator here;
+    - the merge is a keyed LWW REPLACE, so chunk redelivery is
+      idempotent (the replayed flags recompute identically: the
+      ``id <`` filter excludes later-arrived larger ids).
+
+    Caveat (documented, IncrementalDeduper-class): kept flags are
+    exact when ids arrive nondecreasing (the changefeed contract). An
+    out-of-order SMALLER id arriving late is itself flagged correctly,
+    but previously stored larger-id near-neighbors are not revisited —
+    re-flag those clusters by replaying their chunks if feeds can
+    reorder.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        threshold: float = 0.45,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.threshold = threshold
+        self.n_centroids = n_centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.store = _centroid_bucketed_state(
+            spark, os.path.join(path, "vectors"), id_col, n_centroids
+        )
+        self._cen_path = os.path.join(path, "_centroids.json")
+
+    def init(self, seeds: DataFrame) -> None:
+        """Pin centroids from the ``n_centroids`` lowest-id seed
+        vectors; initialize the empty store (id, vec, centroid, kept)."""
+        import json
+        import os
+
+        from pyspark.sql import types as T
+
+        rows = (
+            seeds.select(self.id_col, self.vec_col)
+            .orderBy(self.id_col)
+            .limit(self.n_centroids)
+            .collect()
+        )
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._cen_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([[float(x) for x in r[1]] for r in rows], f)
+        os.replace(tmp, self._cen_path)
+        vec_type = seeds.schema[self.vec_col].dataType
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(self.id_col, T.LongType()),
+                    T.StructField(self.vec_col, vec_type),
+                    T.StructField("centroid", T.IntegerType()),
+                    T.StructField("kept", T.IntegerType()),
+                ]
+            ),
+        )
+        self.store.init(empty)
+
+    def _centroids_df(self) -> DataFrame:
+        import json
+
+        try:
+            with open(self._cen_path) as f:
+                cens = json.load(f)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"IncrementalSemDedup at {self.path} not initialized; call init() first"
+            ) from None
+        return self.spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cens)], "centroid int, cvec array<double>"
+        )
+
+    def update(self, chunk: DataFrame, chunk_id: int) -> dict:
+        """Flag a chunk against (store ∪ itself) and fold it in.
+        Returns the store's apply stats (touched buckets, upserts)."""
+        assigned = _nearest_centroids(
+            chunk.select(F.col(self.id_col).cast("long").alias(self.id_col), self.vec_col),
+            self._centroids_df(),
+            1,
+            self.id_col,
+            self.vec_col,
+            self.id_col,
+            self.vec_col,
+        ).localCheckpoint(eager=True)  # reused thrice; route plan runs once
+        # bounded metadata collect: the touched list ids (≤ n_centroids)
+        probed = sorted(r[0] for r in assigned.select("centroid").distinct().collect())
+        others = assigned.select(
+            F.col(self.id_col).alias("j"), F.col(self.vec_col).alias("vb"), "centroid"
+        )
+        prior = self.store.read_buckets(probed).select(
+            F.col(self.id_col).alias("j"), F.col(self.vec_col).alias("vb"), "centroid"
+        )
+        # a replayed chunk's own ids are also in `prior`; the id< filter
+        # drops the self-pair and duplicate js collapse in the distinct
+        others = others.unionByName(prior)
+        dups = (
+            assigned.select(
+                "centroid", F.col(self.id_col).alias("i"), F.col(self.vec_col).alias("va")
+            )
+            .join(others, "centroid")
+            .filter(F.col("j") < F.col("i"))
+            .filter(cosine("va", "vb") >= self.threshold)
+            .select(F.col("i").alias(self.id_col))
+            .distinct()
+        )
+        flagged = (
+            assigned.join(dups.withColumn("_dup", F.lit(1)), self.id_col, "left")
+            .select(
+                self.id_col,
+                self.vec_col,
+                "centroid",
+                F.when(F.col("_dup").isNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("kept"),
+            )
+        )
+        changes = flagged.withColumn("op", F.lit("u")).withColumn(
+            "_chunk", F.lit(int(chunk_id)).cast("long")
+        )
+        return self.store.apply(changes, order_cols=["_chunk"])
+
+    def state(self) -> DataFrame:
+        """Every ingested id with its cluster and kept flag."""
+        return self.store.read().select(
+            self.id_col, F.col("centroid").cast("long").alias("centroid"), "kept"
+        )
+
+
 def quantize_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",

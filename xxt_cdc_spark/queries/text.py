@@ -698,20 +698,59 @@ SEMDEDUP_T = 0.38
 SEMDEDUP_CENTROIDS = 16
 
 
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (functions/similarity.py::
-    semantic_dedup): deterministic fixed-seed clustering, then the
-    greedy min-id sweep within each cluster — a document is dropped iff
-    a smaller-id cluster-mate sits at cosine ≥ τ. The fold strategy's
-    ordered JVM cosine is bit-identical to the DuckDB list-fold, so the
-    keep/drop bit for every document is value-hash gated (the
-    vectorized BLAS twin is pytest-gated against this one)."""
+def dedup_semantic_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in BOTH execution modes under one oracle rule (r8 —
+    replaces the batch-only dedup_semantic entry; same greedy min-id
+    sweep within deterministic fixed-seed clusters):
+
+    - ``batch``: functions/similarity.py::semantic_dedup (fold
+      strategy — ordered JVM cosine, bit-identical to the DuckDB
+      list-fold; the vectorized BLAS twin stays pytest-gated against
+      it). Cluster labels are the seed vec_ids.
+    - ``incremental``: IncrementalSemDedup — the corpus arrives in
+      three id-ordered chunks folded into a persistent
+      centroid-bucketed store (chunk 0 replayed: the keyed LWW merge
+      must be a no-op), centroids pinned from chunk 0's lowest ids.
+      Cluster labels are the pinned 0-based centroid indexes.
+
+    Because the keep/drop rule keys on id (not arrival), the
+    incremental mode's flags are BIT-EQUAL to the batch sweep of the
+    full corpus — this query gates that equivalence in the driver's
+    value hash: the oracle replays the SAME SQL rule for both modes,
+    differing only in each mode's native cluster labeling."""
+    import shutil
+    import tempfile
+
     from xxt_cdc_spark.functions import similarity as S
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.semantic_dedup(
-        emb, SEMDEDUP_T, n_centroids=SEMDEDUP_CENTROIDS, strategy="fold"
-    ).orderBy("vec_id")
+    batch = (
+        S.semantic_dedup(emb, SEMDEDUP_T, n_centroids=SEMDEDUP_CENTROIDS, strategy="fold")
+        .select(F.lit("batch").alias("mode"), "vec_id", "centroid", "kept")
+    )
+    state = tempfile.mkdtemp(prefix="xxt_incr_semdd_")
+    try:
+        idx = S.IncrementalSemDedup(
+            spark, state, threshold=SEMDEDUP_T, n_centroids=SEMDEDUP_CENTROIDS
+        )
+        mx = emb.agg(F.max("vec_id")).first()[0]
+        cuts = [0, (mx + 1) // 3, 2 * (mx + 1) // 3, mx + 1]
+        idx.init(emb.filter(F.col("vec_id") < cuts[1]))
+        for k in (0, 1, 2, 0):  # chunk 0 twice: replay must be a no-op
+            lo, hi = cuts[k], cuts[k + 1]
+            idx.update(
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), chunk_id=k
+            )
+        inc = idx.state().select(
+            F.lit("incremental").alias("mode"), "vec_id", "centroid", "kept"
+        )
+        return (
+            batch.unionByName(inc)
+            .orderBy("mode", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
 
 
 def _semdedup_sql() -> str:
@@ -736,16 +775,42 @@ dups AS (
   SELECT DISTINCT b.item_id
   FROM assigned a JOIN assigned b ON a.centroid = b.centroid AND a.item_id < b.item_id
   WHERE {_cos_sql('a.cv', 'b.cv')} >= {SEMDEDUP_T}
+),
+-- incremental mode: SAME rule, cluster labels are the pinned 0-based
+-- centroid indexes (monotone renumbering of the seed ids, so the
+-- assignment tie-break is unchanged)
+iseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_CENTROIDS}
+),
+iassigned AS (
+  SELECT item_id, cv, centroid FROM (
+    SELECT c.vec_id AS item_id, c.embedding AS cv, s.centroid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('c.embedding', 's.cvec')} DESC, s.centroid) AS arank
+    FROM embeddings c CROSS JOIN iseeds s
+  ) WHERE arank = 1
+),
+idups AS (
+  SELECT DISTINCT b.item_id
+  FROM iassigned a JOIN iassigned b ON a.centroid = b.centroid AND a.item_id < b.item_id
+  WHERE {_cos_sql('a.cv', 'b.cv')} >= {SEMDEDUP_T}
 )
-SELECT a.item_id AS vec_id, CAST(a.centroid AS BIGINT) AS centroid,
-       CAST(CASE WHEN d.item_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
-FROM assigned a LEFT JOIN dups d ON d.item_id = a.item_id
-ORDER BY vec_id
+SELECT * FROM (
+  SELECT 'batch' AS mode, a.item_id AS vec_id, CAST(a.centroid AS BIGINT) AS centroid,
+         CAST(CASE WHEN d.item_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+  FROM assigned a LEFT JOIN dups d ON d.item_id = a.item_id
+  UNION ALL
+  SELECT 'incremental' AS mode, a.item_id AS vec_id, CAST(a.centroid AS BIGINT) AS centroid,
+         CAST(CASE WHEN d.item_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+  FROM iassigned a LEFT JOIN idups d ON d.item_id = a.item_id
+)
+ORDER BY mode, vec_id
 """
 
 
 QUERIES = {
-    "dedup_semantic": dedup_semantic,
+    "dedup_semantic_family": dedup_semantic_family,
     "text_profile": text_profile,
     "fuzzy_join_part_names": fuzzy_join_part_names,
     "dedup_incremental_family": dedup_incremental_family,
@@ -759,7 +824,7 @@ QUERIES = {
 }
 
 ORACLE = {
-    "dedup_semantic": _semdedup_sql(),
+    "dedup_semantic_family": _semdedup_sql(),
     "text_profile": TEXT_PROFILE_SQL,
     "fuzzy_join_part_names": FUZZY_JOIN_SQL,
     "dedup_incremental_family": DEDUP_INCREMENTAL_FAMILY_SQL,
