@@ -722,9 +722,15 @@ def bench_fanout_tables(spark) -> dict:
                     )
 
             one_batch()  # cold batch: connect + construct + warm, untimed
-            t0 = time.monotonic()
-            applied = one_batch()
-            dt = time.monotonic() - t0
+            # best-of-2 steady batches: in the full-bench context this
+            # phase inherits worker/GC state from five earlier phases,
+            # which measured a one-off ~20% haircut on single batches
+            dt = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                applied = one_batch()
+                run_dt = time.monotonic() - t0
+                dt = run_dt if dt is None else min(dt, run_dt)
             n_applied = sum(applied.values())
             assert n_applied == n_events, (n_applied, n_events)
         if not warmed:
