@@ -324,3 +324,57 @@ class TestFanoutWriterCache:
             }
             assert got == want, (i, got, want)
         con.close()
+
+    def test_cached_writer_commit_posture_reconciled(self, spark, tmp_path):
+        """A writer cached by a coalescing batch must not keep
+        defer_commit when a later batch runs uncoalesced — its
+        statements would sit uncommitted on the pooled connection."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import close_pooled_connections
+
+        env = spark.createDataFrame(
+            [("d", "t0", "I", None, "binlog.000001", 1, None,
+              _json.dumps({"k": 1}), None, _json.dumps({"k": 1, "v": 10}))],
+            "db string, table string, op string, ts timestamp, pos_file string,"
+            " pos_offset long, gtid string, key string, before string, after string",
+        )
+        db = str(tmp_path / "cp.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t0 (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.commit()
+        con.close()
+
+        def sink_factory(table):
+            def make():
+                import sqlite3 as _sq
+
+                from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter as _W
+
+                return _W(
+                    connect_fn=lambda: _sq.connect(db, timeout=60),
+                    table=table, columns=["k", "v"], key_cols=["k"],
+                    dialect="sqlite", pool_key=f"cp:{db}",
+                )
+
+            return TableSink(make, ["k"], None)
+
+        try:
+            # batch 1 coalesced (caches a defer_commit writer), batch 2
+            # UNCOALESCED with a new value — it must be durably visible
+            apply_batch_fanout(env, sink_factory=sink_factory, num_partitions=1,
+                               coalesce_commits=True, cache_writers=f"cp:{db}")
+            env2 = env.withColumn("pos_offset", F.lit(2)).withColumn(
+                "after", F.lit(_json.dumps({"k": 1, "v": 20}))
+            )
+            apply_batch_fanout(env2, sink_factory=sink_factory, num_partitions=1,
+                               coalesce_commits=False, cache_writers=f"cp:{db}")
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT k, v FROM t0").fetchall() == [(1, 20)], (
+            "uncoalesced batch on a cached coalescing writer was never committed"
+        )
+        con.close()

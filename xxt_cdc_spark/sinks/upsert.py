@@ -898,11 +898,17 @@ def apply_batch_fanout(
                         else:
                             sink = sink_factory(t)
                         writer = sink.writer_factory()
-                        if coalesce_commits and writer.pool_key is not None:
-                            writer.defer_commit = True
                         if cache_writers is not None and writer.pool_key is not None:
                             _WRITER_CACHE[(cache_writers, t)] = writer
-                    if coalesce_commits and writer.pool_key is not None:
+                    # reconcile per-CALL commit posture on cached AND
+                    # fresh writers: a writer cached by a coalescing
+                    # batch must not keep deferring when a later batch
+                    # runs uncoalesced (its statements would sit
+                    # uncommitted on the pooled connection — data loss)
+                    writer.defer_commit = bool(
+                        coalesce_commits and writer.pool_key is not None
+                    )
+                    if writer.defer_commit:
                         deferred_keys.add(writer.pool_key)
                     writers[t] = writer
                     # delta-accounted applied counts: a cached writer's
