@@ -61,9 +61,10 @@ def ann_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NSW graph search with ef covering the whole corpus: greedy
     exploration must return EXACTLY the brute-force top-k — an oracle
     gate on the graph build/search machinery itself (connectivity,
-    candidate ordering, tie-breaks). Recall at practical ef stays
-    pytest-gated; cosines round to 9 decimals on both sides because
-    the numpy re-score and DuckDB differ in the last ulp."""
+    candidate ordering, tie-breaks). Recall at practical ef is
+    driver-gated by ann_graph_recall (r8); cosines round to 9 decimals
+    on both sides because the numpy re-score and DuckDB differ in the
+    last ulp."""
     e = _emb(spark, sf_dir)
     out = S.nsw_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K, ef_search=1_000_000
@@ -90,7 +91,8 @@ def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exhaustive-ef limit as ann_nsw_topk: layer 0 is connected by
     construction, so ef covering the corpus makes the beam search equal
     brute force exactly — gating the hierarchy build, descent, and
-    layer-0 search machinery. Practical-ef recall stays pytest-gated."""
+    layer-0 search machinery. Practical-ef recall is driver-gated
+    by ann_graph_recall (r8)."""
     e = _emb(spark, sf_dir)
     out = S.hnsw_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), TOP_K, ef_search=1_000_000
@@ -440,7 +442,9 @@ def ann_ivf_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids and ef covering every bucket make it provably equal to
     flat IVF, so the SAME DuckDB oracle gates the whole composition —
     routing, per-bucket graph build, in-task search, and the final
-    per-query merge. Practical-ef recall stays pytest-gated; cosines
+    per-query merge. NSW practical-ef recall is driver-gated by
+    ann_graph_recall (r8; the composition itself stays exhaustive-limit
+    gated here); cosines
     round to 9 decimals (numpy vs DuckDB last-ulp)."""
     e = _emb(spark, sf_dir)
     out = S.ivf_nsw_topk(
