@@ -159,3 +159,54 @@ class TestPlanShapes:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_incremental_semdedup_candidates_equi_join_on_centroid(self, spark, sf_dir):
+        """IncrementalSemDedup.update's dup-candidate join must key on
+        the centroid (equi-join, Σsz² within clusters) — the only
+        CartesianProduct-shaped node allowed anywhere in the update is
+        the BROADCAST centroid-assignment crossJoin (O(N·C) routing,
+        documented), never an all-pairs corpus join."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.functions import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        state = tempfile.mkdtemp(prefix="semdd_plan_")
+        try:
+            idx = S.IncrementalSemDedup(spark, state, threshold=0.38, n_centroids=8)
+            idx.init(emb)
+            idx.update(emb.filter(F.col("vec_id") < 50), chunk_id=0)
+            # rebuild the flagged plan the way update() does, and
+            # inspect it (update() itself materializes through the
+            # store apply, so re-derive the candidate join plan)
+            assigned = S._nearest_centroids(
+                emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding"),
+                idx._centroids_df(), 1, "vec_id", "embedding", "vec_id", "embedding",
+            )
+            others = assigned.select(
+                F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), "centroid"
+            ).unionByName(
+                idx.store.read_buckets(list(range(8))).select(
+                    F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), "centroid"
+                )
+            )
+            dups = (
+                assigned.select("centroid", F.col("vec_id").alias("i"),
+                                F.col("embedding").alias("va"))
+                .join(others, "centroid")
+                .filter(F.col("j") < F.col("i"))
+                .filter(S.cosine("va", "vb") >= 0.38)
+            )
+            plan = dups._sc._jvm.PythonSQLUtils.explainString(
+                dups._jdf.queryExecution(), "formatted"
+            )
+            # centroid equi-join for candidates; the only cross-shaped
+            # node is the broadcast centroid assignment (tiny side)
+            assert "CartesianProduct" not in plan
+            joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+            assert joins >= 1
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
