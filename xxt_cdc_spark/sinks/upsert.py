@@ -672,6 +672,7 @@ def apply_batch_multi(
     num_partitions: int = 8,
     fanout_threshold: int = 16,
     coalesce_commits: bool = False,
+    cache_writers: str | None = None,
 ) -> dict[str, int]:
     """foreachBatch body for a MULTI-TABLE envelope stream (the
     reference replicates up to 100k tables through one pipeline).
@@ -692,14 +693,20 @@ def apply_batch_multi(
     ``count()`` actions (round-1 verdict: 2+ jobs × 100k tables per
     micro-batch is a driver-side scale-killer). Tables absent from
     ``sinks`` are skipped (same posture as the T5 filter). Returns
-    rows-applied per table.
+    rows-applied per table. ``cache_writers`` forwards to the fanout
+    path (per-table writer reuse across micro-batches — see
+    ``apply_batch_fanout``; the per-table path constructs a handful of
+    writers per batch, not worth caching).
     """
     from xxt_cdc_spark.operators.normalize import envelope_to_typed
 
     present = [r["table"] for r in env_df.select("table").distinct().collect()]
     tables = [t for t in present if t in sinks]
     if len(tables) > fanout_threshold:
-        return apply_batch_fanout(env_df, sinks, num_partitions, coalesce_commits)
+        return apply_batch_fanout(
+            env_df, sinks, num_partitions, coalesce_commits,
+            cache_writers=cache_writers,
+        )
 
     applied: dict[str, int] = {}
     for table in tables:
