@@ -119,3 +119,65 @@ class TestIncrementalSemDedup:
             assert healed == {r.vec_id: r.kept for r in batch}
         finally:
             shutil.rmtree(state, ignore_errors=True)
+
+
+class TestStreamingIntegration:
+    def test_foreachbatch_stream_equals_batch(self, spark, emb, tmp_path):
+        """The production wiring: documents' embeddings ARRIVE as a
+        stream and foreachBatch folds each micro-batch into the
+        persistent store — the final kept flags must equal the batch
+        sweep (same id-keyed rule; ids arrive nondecreasing)."""
+        import json as _json
+
+        rows = sorted(
+            ((r.vec_id, list(r.embedding)) for r in emb.collect()),
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        cuts = [0, len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+        for i in range(3):
+            with open(src / f"c{i}.json", "w") as f:
+                for vid, vec in rows[cuts[i]:cuts[i + 1]]:
+                    f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        from conftest import stamp_feed
+
+        stamp_feed(src)
+
+        state = tempfile.mkdtemp(prefix="semdd_s_")
+        try:
+            idx = S.IncrementalSemDedup(spark, state, threshold=T, n_centroids=C)
+            idx.init(emb.filter(F.col("vec_id") < rows[cuts[1]][0]))
+
+            vec_type = emb.schema["embedding"].dataType.simpleString()
+
+            def fold(batch_df, batch_id):
+                # align the wire type to the store's (JSON floats read
+                # as double; the store's add-only evolution guard
+                # correctly REFUSES a same-name type drift — typed-cast
+                # at the ingress is the caller's contract)
+                if batch_df.count():
+                    idx.update(
+                        batch_df.withColumn(
+                            "embedding", F.col("embedding").cast(vec_type)
+                        ),
+                        chunk_id=batch_id,
+                    )
+
+            q = (
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", "1")
+                .json(str(src))
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            inc = {(r.vec_id, r.kept) for r in idx.state().collect()}
+            batch = {
+                (r.vec_id, r.kept)
+                for r in S.semantic_dedup(emb, T, n_centroids=C, strategy="fold").collect()
+            }
+            assert inc == batch
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
