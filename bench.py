@@ -556,6 +556,56 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
         return {"batches": len(durs), "p50_ms": pct(0.5), "p95_ms": pct(0.95)}
 
 
+# ---- streaming-drift anchor (r8 VERDICT item 4) ----------------------------
+# PINNED micro-workload: DO NOT CHANGE bench_stream_anchor — its P50 is
+# the streaming analogue of anchor_ratio. The CPU anchor queries cannot
+# see streaming-box drift (r8 measured r7's OWN code at 291 ms P50 on a
+# day its official record said 230 — invisible to anchor_ratio), so the
+# bench carries a fixed trivial foreachBatch stream whose per-trigger
+# latency isolates exactly the drifting component: trigger scheduling +
+# offset/commit WAL + Python worker dispatch, with a constant 100-row
+# payload. Cross-round deltas in stream_latency_* / mor latency should
+# be read against stream_anchor_ratio = p50 / pinned official. Refresh
+# the pin to the new official once per round, like anchor_official.
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 192.0  # r9 local pin (2026-08-15)
+
+
+def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:
+    """Fixed-shape streaming micro-anchor (see pin note above)."""
+    import json as _json
+
+    def _noop(batch_df, _id):
+        batch_df.count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 500)
+            .load()
+            .select("timestamp", "value")
+            .writeStream.foreachBatch(_noop)
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        time.sleep(seconds)
+        q.stop()
+        q.awaitTermination(60)
+        durs = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                j = p.json() if callable(getattr(p, "json", None)) else p.json
+                p = _json.loads(j)
+            if p.get("numInputRows"):
+                durs.append(float(p["durationMs"]["triggerExecution"]))
+        durs = sorted(durs[5:])  # same JIT warm-up skip as the MOR pass
+
+        def pct(f: float):
+            return durs[min(len(durs) - 1, int(round(f * (len(durs) - 1))))] if durs else None
+
+        return {"batches": len(durs), "p50_ms": pct(0.5), "p95_ms": pct(0.95)}
+
+
 def bench_binlog_transport(spark) -> dict:
     """S1 transport throughput: the whole sf changefeed written as
     rotated binlog files, then drained through the xxt_binlog
@@ -614,8 +664,13 @@ def bench_binlog_transport(spark) -> dict:
             # amortizes to nothing on a long-running stream, so
             # wall-clock would misreport the sustained rate
             rate = n / (exec_ms / 1000.0) if exec_ms else 0.0
+            if attempt == 0:
+                first_rate = rate
             if best is None or rate > best["events_per_sec"]:
                 best = {"events": n, "sec": dt, "events_per_sec": rate}
+        # disclose the cold-drain number next to the best-of-2 (r8
+        # ADVICE: both measurement postures visible in the record)
+        best["events_per_sec_first_drain"] = first_rate
     return best
 
 
@@ -721,7 +776,9 @@ def bench_fanout_tables(spark) -> dict:
                         cache_writers=f"fan:{db}",
                     )
 
-            one_batch()  # cold batch: connect + construct + warm, untimed
+            t0 = time.monotonic()
+            one_batch()  # cold batch: connect + construct + warm, not the metric
+            cold_dt = time.monotonic() - t0
             # best-of-2 steady batches: in the full-bench context this
             # phase inherits worker/GC state from five earlier phases,
             # which measured a one-off ~20% haircut on single batches
@@ -737,7 +794,11 @@ def bench_fanout_tables(spark) -> dict:
             warmed = True  # first pass = codegen/worker warmup, untimed
             continue
         secs[n_tables] = dt
+        # steady-state metric (batch-2+ of an endless streaming batch
+        # sequence) PLUS the cold first-batch number for disclosure —
+        # both postures visible in the record (r8 ADVICE)
         out[f"events_per_sec_{n_tables}t"] = round(n_events / dt)
+        out[f"events_per_sec_{n_tables}t_cold"] = round(n_events / cold_dt)
 
     # SHARD-ALIGNED 10000t point: the same batch against 4 target DB
     # files (tables crc-sharded — the multi-instance deployment the
@@ -805,13 +866,20 @@ def bench_fanout_tables(spark) -> dict:
                     cache_writers=f"fan:{dbs[0]}",
                 )
 
-            sh_batch()  # cold batch untimed — steady-state posture (r8)
+            t0 = time.monotonic()
+            sh_batch()  # cold batch: steady-state posture (r8), timed for disclosure
+            sh_cold_dt = time.monotonic() - t0
             t0 = time.monotonic()
             applied = sh_batch()
             dt = time.monotonic() - t0
             assert sum(applied.values()) == n_events, (sum(applied.values()), n_events)
             best = dt if best is None else min(best, dt)
     out["events_per_sec_10000t_sharded4"] = round(n_events / best)
+    out["events_per_sec_10000t_sharded4_cold"] = round(n_events / sh_cold_dt)
+    # explicit posture label (r8 ADVICE): every events_per_sec_* field
+    # above is the steady-state batch (best-of-2 after an untimed cold
+    # batch, cache_writers on); *_cold fields are the first batch
+    out["posture"] = "steady_state_best_of_2; *_cold = first batch"
     # least-squares slope of wall-time vs table count → ms per extra table
     xs, ys = list(secs), [secs[w] for w in secs]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
@@ -863,6 +931,9 @@ def _stream_phase_main() -> None:
     )
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     errors: dict[str, str] = {}
+    # drift anchor FIRST (fixed position in the phase, part of the pin:
+    # it must see the same session state every round — a fresh JVM)
+    anchor = _guard(errors, "stream_anchor", bench_stream_anchor, spark)
     stream = _guard(errors, "stream", bench_streaming, spark)
     # best-of-2 (min P95) on the MOR pass too — it is THE headline
     # apply-latency posture and single-shot runs vary ±20% (GC timing)
@@ -872,7 +943,7 @@ def _stream_phase_main() -> None:
         # one attempt may have failed while the other succeeded — a
         # phantom error next to valid numbers misreads as a broken phase
         errors.pop("mor", None)
-    out = {"stream": stream, "mor": mor, "errors": errors}
+    out = {"stream": stream, "mor": mor, "stream_anchor": anchor, "errors": errors}
     try:
         spark.stop()
     except Exception:
@@ -912,6 +983,7 @@ def main() -> None:
     # headline loop below must not inherit its residue either
     iso = _run_stream_phase_isolated()
     stream, mor = iso.get("stream"), iso.get("mor")
+    stream_anchor = iso.get("stream_anchor")
     errors: dict[str, str] = dict(iso.get("errors") or {})
 
     # keep stdout clean: the one JSON line must be parseable
@@ -1011,9 +1083,24 @@ def main() -> None:
     if fanout:
         out["cdc_fanout_tables_per_sec"] = fanout["events_per_sec"]
         out["cdc_fanout_per_table_overhead_ms"] = fanout["per_table_overhead_ms"]
+        out["cdc_fanout_posture"] = fanout.get("posture")
         for k, v in fanout.items():
             if k.startswith("events_per_sec_"):
                 out[f"cdc_fanout_{k}"] = v
+    if binlog and "events_per_sec_first_drain" in binlog:
+        out["binlog_events_per_sec_first_drain"] = round(
+            binlog["events_per_sec_first_drain"]
+        )
+    if stream_anchor and stream_anchor.get("p50_ms") is not None:
+        # streaming-drift calibration (r8 VERDICT item 4): ratio > 1
+        # means today's box runs the PINNED micro-stream slower than
+        # when the official was recorded — divide streaming latency
+        # deltas by it, exactly like anchor_ratio for CPU queries
+        out["stream_anchor_p50_ms"] = stream_anchor["p50_ms"]
+        if STREAM_ANCHOR_OFFICIAL_P50_MS:
+            out["stream_anchor_ratio"] = round(
+                stream_anchor["p50_ms"] / STREAM_ANCHOR_OFFICIAL_P50_MS, 3
+            )
     if stream:
         out.update(
             stream_events_per_sec=round(stream["events_per_sec"]),
@@ -1073,8 +1160,15 @@ def main() -> None:
         "cdc_fanout_per_table_overhead_ms",
         "stream_apply_posture",
         "stream_bulk_apply_posture",
+        "cdc_fanout_posture",
+        "binlog_events_per_sec_first_drain",
+        "stream_anchor_p50_ms",  # ratio stays; pin source lives in BENCH_local
     }
-    compact = {k: v for k, v in out.items() if k not in drop}
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in drop and not k.endswith("_cold")
+    }
     for digits in (2, 1):
         compact["queries"] = {q: round(s, digits) for q, s in out["queries"].items()}
         cline = json.dumps(compact)

@@ -1401,6 +1401,15 @@ class IncrementalIVF:
             .limit(self.n_centroids)
             .collect()
         )
+        if len(rows) < self.n_centroids:
+            # same guard as IncrementalSemDedup.init (r8 ADVICE): a
+            # short seed frame silently pins fewer centroids and skews
+            # routing/recall; fail loudly at init instead.
+            raise ValueError(
+                f"IncrementalIVF.init needs >= n_centroids="
+                f"{self.n_centroids} seed vectors, got {len(rows)} — "
+                "feed a larger seed chunk or lower n_centroids"
+            )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._cen_path + ".tmp"
         with open(tmp, "w") as f:
@@ -1567,6 +1576,16 @@ class IncrementalSemDedup:
             .limit(self.n_centroids)
             .collect()
         )
+        if len(rows) < self.n_centroids:
+            # Silently accepting a short seed frame pins fewer/different
+            # centroids than the batch sweep's global lowest-n_centroids
+            # and surfaces later as a confusing value-hash mismatch
+            # instead of a clear error (r8 ADVICE). Fail loudly.
+            raise ValueError(
+                f"IncrementalSemDedup.init needs >= n_centroids="
+                f"{self.n_centroids} seed vectors, got {len(rows)} — "
+                "feed a larger seed chunk or lower n_centroids"
+            )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._cen_path + ".tmp"
         with open(tmp, "w") as f:

@@ -733,8 +733,19 @@ def dedup_semantic_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = S.IncrementalSemDedup(
             spark, state, threshold=SEMDEDUP_T, n_centroids=SEMDEDUP_CENTROIDS
         )
-        mx = emb.agg(F.max("vec_id")).first()[0]
-        cuts = [0, (mx + 1) // 3, 2 * (mx + 1) // 3, mx + 1]
+        # Tertile cuts from the ORDERED id distribution, not max-id
+        # arithmetic (r8 ADVICE): a sparse or high-offset id space
+        # still yields three ~equal chunks, so chunk 0 always carries
+        # enough rows to pin the same lowest-16 centroids the batch
+        # sweep uses (IncrementalSemDedup.init now also raises on a
+        # short seed). Exact percentile here; at corpus scale the
+        # engine-side chunker would use approx_percentile.
+        b = emb.agg(
+            F.min("vec_id").alias("lo"),
+            F.expr("percentile(vec_id, array(1.0D/3, 2.0D/3))").alias("p"),
+            F.max("vec_id").alias("hi"),
+        ).first()
+        cuts = [b["lo"], int(b["p"][0]) + 1, int(b["p"][1]) + 1, b["hi"] + 1]
         idx.init(emb.filter(F.col("vec_id") < cuts[1]))
         for k in (0, 1, 2, 0):  # chunk 0 twice: replay must be a no-op
             lo, hi = cuts[k], cuts[k + 1]

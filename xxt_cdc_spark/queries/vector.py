@@ -855,11 +855,17 @@ def ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the whole pipeline is deterministic: fixed-seed graph
     builds, hash-derived HNSW levels, id tie-breaks (two consecutive
     runs are asserted identical in tests/test_functions.py). The pins
-    are keyed by an embeddings-content signature (SUM(label): the
-    corpora at sf0.001/sf0.01 have equal row counts but different
-    vectors), so any change to the build, the search, or the data
+    are keyed by an embeddings-content signature (row count + a DuckDB
+    hash-checksum over every (vec_id, embedding, label) row — r8
+    ADVICE upgraded this from the weakly collision-resistant
+    SUM(label)), so any change to the build, the search, or the data
     flips the value hash. An unpinned dataset yields NULL hits → a
-    loud mismatch, never a silent pass."""
+    loud mismatch, never a silent pass. This query is therefore a
+    REGRESSION PIN, not an independent recall oracle: the pinned hit
+    counts were measured from this implementation (a pre-existing
+    search bug would be baked in) — the independent accuracy evidence
+    is the exact-kernel recall gate in tests/test_functions.py and
+    ann_recall_report's SQL-recomputed families."""
     exact = ann_topk_cosine(spark, sf_dir).select("query_id", "item_id")
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES)
@@ -893,17 +899,31 @@ def ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Pinned per-dataset expected hits (family → signature → hits), measured
-# once with two-run determinism confirmation; signature = SUM(label)
-# over embeddings (2268=sf0.001, 2270=sf0.01, 9063=sf0.1).
+# once with two-run determinism confirmation. Signature (r8 ADVICE —
+# the earlier SUM(label) pinned adjacent values 2268/2270 across
+# datasets, weak collision resistance) = (row count, DuckDB
+# hash-checksum over every (vec_id, full embedding text, label) row,
+# mod 1e9+7): any change to any vector component, id, label, or the
+# row count re-keys the pins and forces a LOUD mismatch.
+# (n=500,h=744575515)=sf0.001, (500,816977269)=sf0.01,
+# (2000,189686848)=sf0.1.
 ANN_GRAPH_RECALL_SQL = f"""
-WITH sig AS (SELECT CAST(SUM(label) AS BIGINT) AS s FROM embeddings),
-pins(family, sig, hits) AS (VALUES
-  ('hnsw', 2268, 50), ('hnsw', 2270, 49), ('hnsw', 9063, 50),
-  ('nsw',  2268, 50), ('nsw',  2270, 49), ('nsw',  9063, 50))
+WITH sig AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(hash(vec_id, CAST(embedding AS VARCHAR), label)
+                       AS HUGEINT) % 1000000007) % 1000000007 AS BIGINT) AS h
+  FROM embeddings),
+pins(family, n, h, hits) AS (VALUES
+  ('hnsw',  500, 744575515, 50),
+  ('hnsw',  500, 816977269, 49),
+  ('hnsw', 2000, 189686848, 50),
+  ('nsw',   500, 744575515, 50),
+  ('nsw',   500, 816977269, 49),
+  ('nsw',  2000, 189686848, 50))
 SELECT p.family, CAST(p.hits AS BIGINT) AS hits,
        CAST({TOP_K * N_QUERIES} AS BIGINT) AS total,
        ROUND(p.hits / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
-FROM pins p JOIN sig ON p.sig = sig.s
+FROM pins p JOIN sig ON p.n = sig.n AND p.h = sig.h
 ORDER BY p.family
 """
 

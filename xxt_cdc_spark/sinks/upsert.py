@@ -152,6 +152,40 @@ def pool_stats() -> dict:
 # writer's stats are cumulative.
 _WRITER_CACHE: dict[tuple[str, str], object] = {}
 
+# Bound on dead letters retained by a CACHED writer: a fresh writer's
+# dead_letters die with the batch, but a cached one would accumulate
+# forever (r8 ADVICE). Callers that persist dead letters drain the list
+# per batch; this cap is the backstop for callers that do not.
+_CACHED_DEAD_LETTER_CAP = 10_000
+
+
+# Module-level cache accessors: the fanout dispatch closure must NOT
+# touch _WRITER_CACHE/_POOL_LOCK directly — cloudpickle serializes the
+# nested closure by value and a captured _thread.lock is unpicklable;
+# these module functions pickle by reference and run against the
+# WORKER process's module globals (the per-process cache they guard).
+def _writer_cache_get(ns: str, t: str):
+    with _POOL_LOCK:
+        return _WRITER_CACHE.get((ns, t))
+
+
+def _writer_cache_put(ns: str, t: str, writer) -> None:
+    with _POOL_LOCK:
+        _WRITER_CACHE[(ns, t)] = writer
+
+
+def _writer_cache_evict(ns: str, t: str, writer) -> None:
+    with _POOL_LOCK:
+        if _WRITER_CACHE.get((ns, t)) is writer:
+            del _WRITER_CACHE[(ns, t)]
+
+
+def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> None:
+    """Keep only the most recent ``cap`` dead letters on a writer that
+    outlives its batch (the per-process writer cache — r8 ADVICE)."""
+    if len(writer.dead_letters) > cap:
+        del writer.dead_letters[: len(writer.dead_letters) - cap]
+
 
 def close_pooled_connections() -> None:
     """Close and forget every pooled connection in this process (and
@@ -664,6 +698,12 @@ class TableSink:
     writer_factory: Callable[[], "JdbcUpsertWriter"]
     key_cols: list[str]
     schema: object  # pyspark StructType of the table's row image
+    # Optional sink-config identity (e.g. the target JDBC URL): when
+    # set, a writer cached under ``cache_writers`` records it and any
+    # later batch whose registration carries a DIFFERENT fingerprint
+    # evicts and rebuilds instead of silently applying to the old
+    # target (r8 ADVICE — cache-hit config drift).
+    fingerprint: str | None = None
 
 
 def apply_batch_multi(
@@ -809,12 +849,32 @@ def apply_batch_fanout(
     The namespace MUST be unique per sink CONFIGURATION (embed the
     target identity, e.g. ``f"pipe:{jdbc_url}"``): a cache hit skips
     the factory entirely, so a reused namespace pointing at a
-    different target would silently apply to the OLD target.
+    different target would silently apply to the OLD target. Three
+    safety nets back that contract (r8 ADVICE): with explicit
+    ``sinks``, every hit re-validates the table is still registered
+    with the same key columns and ``TableSink.fingerprint`` (evict +
+    rebuild on drift, skip on deregistration); with ``sink_factory``,
+    an optional ``sink_factory.fingerprint`` attribute folds into the
+    cache key so a config change misses by construction; and cached
+    writers cap retained dead letters at ``_CACHED_DEAD_LETTER_CAP``.
     """
     import json
 
     if (sinks is None) == (sink_factory is None):
         raise ValueError("pass exactly one of sinks= or sink_factory=")
+
+    # Fold an optional factory-level config fingerprint into the cache
+    # namespace (r8 ADVICE): with ``sink_factory`` the per-hit registry
+    # validation used for explicit ``sinks`` is unavailable (calling
+    # the factory on every hit would re-pay the construction cost the
+    # cache exists to remove), so a ``sink_factory.fingerprint``
+    # attribute — when the caller sets one — turns a config change into
+    # a cache MISS by key instead of relying on the namespace contract.
+    cache_ns = cache_writers
+    if cache_writers is not None and sink_factory is not None:
+        _factory_fp = getattr(sink_factory, "fingerprint", None)
+        if _factory_fp is not None:
+            cache_ns = f"{cache_writers}#{_factory_fp}"
 
     # ONE exchange: hash-route + in-partition position sort only. The
     # LWW collapse happens INSIDE the dispatch loop below — rows arrive
@@ -894,19 +954,41 @@ def apply_batch_fanout(
                 if writer is None:
                     if t in skipped:
                         continue  # unregistered table: skip, as ever
+                    sink = None
                     if cache_writers is not None:
-                        writer = _WRITER_CACHE.get((cache_writers, t))
+                        writer = _writer_cache_get(cache_ns, t)
+                        if writer is not None and sinks is not None:
+                            # re-validate every hit against the CURRENT
+                            # registry (r8 ADVICE): a table removed from
+                            # ``sinks`` must stop applying, and one
+                            # re-registered with different key columns
+                            # or a different config fingerprint must
+                            # evict + rebuild, not reuse the old target.
+                            sink = sinks.get(t)
+                            if (
+                                sink is None
+                                or list(sink.key_cols) != list(writer.key_cols)
+                                or getattr(sink, "fingerprint", None)
+                                != getattr(writer, "_cache_fingerprint", None)
+                            ):
+                                _writer_cache_evict(cache_ns, t, writer)
+                                writer = None
+                                if sink is None:
+                                    skipped.add(t)
+                                    continue
                     if writer is None:
-                        if sinks is not None:
-                            if t not in sinks:
-                                skipped.add(t)
-                                continue
-                            sink = sinks[t]
-                        else:
-                            sink = sink_factory(t)
+                        if sink is None:
+                            if sinks is not None:
+                                if t not in sinks:
+                                    skipped.add(t)
+                                    continue
+                                sink = sinks[t]
+                            else:
+                                sink = sink_factory(t)
                         writer = sink.writer_factory()
                         if cache_writers is not None and writer.pool_key is not None:
-                            _WRITER_CACHE[(cache_writers, t)] = writer
+                            writer._cache_fingerprint = getattr(sink, "fingerprint", None)
+                            _writer_cache_put(cache_ns, t, writer)
                     # reconcile per-CALL commit posture on cached AND
                     # fresh writers: a writer cached by a coalescing
                     # batch must not keep deferring when a later batch
@@ -951,6 +1033,11 @@ def apply_batch_fanout(
                 else:
                     stats = writer.apply_param_groups(ups[t], dels[t])
                 applied_local[t] = stats["upserts"] + stats["deletes"] - base[t]
+                # a CACHED writer outlives the batch — cap its retained
+                # dead letters so failures can't grow memory unbounded
+                # across micro-batches (r8 ADVICE); most recent kept
+                if cache_writers is not None:
+                    _trim_cached_dead_letters(writer)
             if deferred_keys:
                 commit_pooled(deferred_keys)
             yield pd.DataFrame(
