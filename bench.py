@@ -1051,11 +1051,11 @@ def main() -> None:
     # officials (refresh alongside PREV_HEADLINE once per round).
     # anchor_ratio > 1 means this box/run is slower than when the
     # previous official was recorded — divide other deltas by it.
-    anchor_official = {  # BENCH_r07 officials (BENCH_local mirror — the
-        # driver's r7 tail capture truncated; see the compact-line fix)
-        "q1_pricing_summary": 1.552,
-        "q3_top_orders": 1.351,
-        "lead_lag_user_gaps": 1.152,
+    anchor_official = {  # BENCH_r08 officials (BENCH_local mirror),
+        # refreshed r9 per the once-per-round pin protocol
+        "q1_pricing_summary": 1.864,
+        "q3_top_orders": 1.470,
+        "lead_lag_user_gaps": 1.085,
     }
     ratios = sorted(
         per_query[q] / v for q, v in anchor_official.items() if q in per_query

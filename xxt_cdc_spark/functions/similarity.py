@@ -1538,6 +1538,17 @@ class IncrementalSemDedup:
     but previously stored larger-id near-neighbors are not revisited —
     re-flag those clusters by replaying their chunks if feeds can
     reorder.
+
+    Measured decade (SCALING.md round-9, tools/semdedup_slope.py):
+    10× vectors → 5.2× wall at ``n_centroids`` ∝ N; per-chunk update
+    cost grows with stored rows PER TOUCHED BUCKET (uniform chunks
+    touch every bucket, so bucket pruning pays off only for localized
+    chunks — pinned separately by the unit tests). Knob finding: the
+    ``n_centroids`` ∝ N contract is the asymptotic-economics lever
+    (candidate pairs grow 100× across a decade without it, 10× with);
+    below ~10⁵ vectors per-bucket fixed costs dominate and FEWER
+    centroids measures faster — scale the knob for corpus-sized
+    stores, not for small ones.
     """
 
     def __init__(
