@@ -73,9 +73,9 @@ ORACLE: dict[str, str] = {}
 #                 sketches2 2 + quality 1 — swept when _ROUND is odd.
 #   group B (50): vector 12 + streaming 14 + sketches 5 + corpus 4 +
 #                 curation 9 + relational 6 — swept when _ROUND is
-#                 even. (r8 state: 100 total — BOTH groups at the 50
-#                 cap after ann_graph_recall joined vector; any further
-#                 addition must displace or fold, see ROADMAP.)
+#                 even. (r9 state: 100 total — BOTH groups at the 50
+#                 cap; additions must fold into a family or displace a
+#                 named key per the registry-at-cap policy in ROADMAP.)
 # tests/test_registry_rotation.py asserts both groups stay ≤ 50 so
 # these counts can never silently drift past the sweep cap.
 # New queries join the group whose lead round comes next (keeps their
