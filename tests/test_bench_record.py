@@ -1,0 +1,51 @@
+"""The bench's compact second line is what survives the driver's
+~2000-char stdout tail capture (BENCH_r07 parsed null when the full
+line outgrew it) — pin its invariants against the REAL current record
+shape (the committed BENCH_local.json mirror) so a field added to the
+full record cannot silently push the compact line past the window.
+No Spark needed: pure record-shaping logic."""
+
+import json
+import os
+
+import bench
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _current_record() -> dict:
+    with open(os.path.join(_REPO, "BENCH_local.json")) as f:
+        return json.load(f)
+
+
+def test_compact_line_fits_budget_on_current_record():
+    out = _current_record()
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)  # one complete parseable object
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["value"] == out["value"]
+
+
+def test_compact_drops_diagnostics_keeps_calibration():
+    out = _current_record()
+    parsed = json.loads(bench.compact_record(out))
+    # calibration fields MUST survive — verdicts divide by them
+    assert "anchor_ratio" in parsed
+    if "stream_anchor_ratio" in out:
+        assert "stream_anchor_ratio" in parsed
+    # disclosure/diagnostic fields must not bloat the window
+    assert not any(k.endswith("_cold") for k in parsed)
+    for k in bench._COMPACT_DROP:
+        assert k not in parsed, k
+
+
+def test_compact_survives_headline_growth():
+    """Even with a padded query map (future headline growth), the
+    rounding fallback must land the line inside the budget."""
+    out = _current_record()
+    out = dict(out)
+    out["queries"] = {**out["queries"], **{f"future_query_{i}": 1.234 for i in range(14)}}
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    json.loads(line)

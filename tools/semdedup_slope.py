@@ -16,8 +16,11 @@ update wall clocks reported separately so TWO claims are checkable:
    flat-ish per-chunk costs mean updates read only the touched
    buckets, not the whole store.
 
-Usage: python tools/semdedup_slope.py <sf_dir> <n_centroids> [n_chunks=10]
-Prints one JSON line.
+Usage: python tools/semdedup_slope.py <sf_dir> <n_centroids> [n_chunks=10] [max_chunks]
+Prints one progress JSON line per chunk (flushed — a long run killed
+mid-way still yields its per-chunk data) and a final summary line.
+``max_chunks`` stops early for runs whose per-chunk profile already
+answers the question (the summary line then says it was partial).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def main() -> None:
     sf_dir = sys.argv[1]
     n_centroids = int(sys.argv[2])
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    max_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else n_chunks
 
     from pyspark.sql import functions as F
 
@@ -68,12 +72,13 @@ def main() -> None:
         idx.init(emb.filter(F.col("vec_id") < cuts[1]))
         init_s = round(time.monotonic() - t0, 3)
         chunk_s = []
-        for k in range(n_chunks):
+        for k in range(min(n_chunks, max_chunks)):
             lo, hi = cuts[k], cuts[k + 1]
             chunk = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
             t0 = time.monotonic()
             idx.update(chunk, chunk_id=k)
             chunk_s.append(round(time.monotonic() - t0, 3))
+            print(json.dumps({"chunk": k, "sec": chunk_s[-1]}), flush=True)
         kept = idx.state().filter("kept = 1").count()
         print(
             json.dumps(
@@ -82,6 +87,8 @@ def main() -> None:
                     "vectors": n,
                     "n_centroids": n_centroids,
                     "n_chunks": n_chunks,
+                    "chunks_run": len(chunk_s),
+                    "partial": len(chunk_s) < n_chunks,
                     "init_sec": init_s,
                     "chunk_sec": chunk_s,
                     "total_sec": round(sum(chunk_s), 3),

@@ -1539,16 +1539,17 @@ class IncrementalSemDedup:
     re-flag those clusters by replaying their chunks if feeds can
     reorder.
 
-    Measured decade (SCALING.md round-9, tools/semdedup_slope.py):
-    10× vectors → 5.2× wall at ``n_centroids`` ∝ N; per-chunk update
-    cost grows with stored rows PER TOUCHED BUCKET (uniform chunks
-    touch every bucket, so bucket pruning pays off only for localized
-    chunks — pinned separately by the unit tests). Knob finding: the
-    ``n_centroids`` ∝ N contract is the asymptotic-economics lever
-    (candidate pairs grow 100× across a decade without it, 10× with);
-    below ~10⁵ vectors per-bucket fixed costs dominate and FEWER
-    centroids measures faster — scale the knob for corpus-sized
-    stores, not for small ones.
+    Measured decades (SCALING.md round-9 + addendum,
+    tools/semdedup_slope.py; 2k → 20k → 200k vectors): per-chunk
+    update cost grows with stored rows PER TOUCHED BUCKET (uniform
+    chunks touch every bucket, so bucket pruning pays off only for
+    localized chunks — pinned separately by the unit tests). Knob
+    finding, measured at 200k: **size ``n_centroids`` ∝ √N** — total
+    cost = pair work (∝ N²/n_cen) + per-bucket overhead (∝ n_cen per
+    update), and the √N optimum beat both the unscaled and the ∝ N
+    postures by 3-5× wall (319 vs 1504 vs 1011 s on the 5-chunk
+    partial). Scale ∝ N only when per-item verify cost must be
+    hard-bounded against adversarial bucket skew.
     """
 
     def __init__(
