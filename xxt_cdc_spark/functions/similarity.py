@@ -1364,6 +1364,12 @@ class IncrementalIVF:
       vectors — the registered oracle gates assignment, storage,
       pruning, and merge on that limit; partial-probe recall is
       pytest-gated.
+    - Sizing: ``n_centroids`` ∝ √N (the classical IVF rule) — measured
+      for this store design on the sibling IncrementalSemDedup
+      (identical bucketed-parquet mechanics, SCALING.md round-9
+      addendum): per-bucket file/task overhead grows ∝ n_centroids per
+      update, so ∝ N sizing loses to √N by 2-3× wall once bucket
+      count passes the core count.
     """
 
     def __init__(
