@@ -261,11 +261,29 @@ class ParquetStateTable:
     def _overwrite_dynamic(self, merged: DataFrame) -> None:
         """Dynamic partition overwrite with the session conf saved and
         restored (a leaked dynamic mode would silently turn a later
-        user's full overwrite into a partial one)."""
+        user's full overwrite into a partial one).
+
+        The merged frame arrives key-hash-partitioned (the merge's own
+        shuffle), so writing it directly sprays every bucket across up
+        to spark.sql.shuffle.partitions sliver files PER REWRITE —
+        measured 31 files/bucket at 32 shuffle partitions, and at
+        1600 buckets the resulting ~50k file commits+opens were the
+        dominant update cost (SCALING.md round-9 addendum). One extra
+        exchange ON THE BUCKET COLUMN makes every bucket exactly one
+        task's rows → ONE file per bucket directory per rewrite; the
+        store stays read-efficient for the partition-pruned probes all
+        the incremental operators rely on. Buckets larger than one
+        comfortable task are the n_buckets knob's job (size ∝ √N), not
+        the writer's."""
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(self.root)
+            (
+                merged.repartition(F.col(_BUCKET))
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(self.root)
+            )
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
