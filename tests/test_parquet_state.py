@@ -157,3 +157,24 @@ class TestMergeValidation:
                 spark.createDataFrame([("I", 1, 5, 0)], "op string, k long, a long, pos long"),
                 ["pos"],
             )
+
+
+class TestOneFileRewrites:
+    def test_rewrite_leaves_one_data_file_per_bucket(self, spark, sf_dir, tmp_path):
+        """r9 regression pin: the merged frame reaches the dynamic
+        overwrite KEY-hash partitioned, and without the bucket-column
+        exchange each rewrite sprayed a bucket across up to
+        shuffle-partitions sliver files (~50k file commits/update at
+        1600 buckets — SCALING.md round-9). Every rewritten bucket dir
+        must hold exactly ONE data file afterward."""
+        table = _mk(spark, sf_dir, tmp_path)
+        table.apply(orders_changefeed(spark, sf_dir), ["pos_offset"])
+        for d in os.listdir(table.root):
+            if not d.startswith("bucket="):
+                continue
+            data = [
+                f
+                for f in os.listdir(os.path.join(table.root, d))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            assert len(data) == 1, (d, data)
