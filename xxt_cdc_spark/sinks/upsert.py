@@ -182,9 +182,36 @@ def _writer_cache_evict(ns: str, t: str, writer) -> None:
 
 def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> None:
     """Keep only the most recent ``cap`` dead letters on a writer that
-    outlives its batch (the per-process writer cache — r8 ADVICE)."""
+    outlives its batch (the per-process writer cache — r8 ADVICE). A
+    cached writer is shared cross-thread (two streams, one namespace),
+    so the mutation runs under ``_POOL_LOCK`` — the cheap length probe
+    stays outside to keep the no-failure hot path lock-free (r9
+    ADVICE: an unsynchronized ``del`` could race a concurrent append)."""
     if len(writer.dead_letters) > cap:
-        del writer.dead_letters[: len(writer.dead_letters) - cap]
+        with _POOL_LOCK:
+            excess = len(writer.dead_letters) - cap
+            if excess > 0:
+                del writer.dead_letters[:excess]
+
+
+def evict_pooled_connection(pool_key: str) -> None:
+    """Close and forget ONE pooled connection. Used by the fanout
+    dispatch when a cached writer's config fingerprint drifts: the
+    rebuilt writer acquires by ``pool_key``, so if the caller repointed
+    the target while reusing the key, the pool — not just the writer
+    cache — must drop the old connection or the rebuilt writer would
+    silently keep writing to the old target (r9 ADVICE). Siblings
+    sharing the key simply reconnect through their own ``connect_fn``;
+    a sibling mid-flight on the closed handle fails, the micro-batch
+    replays, and PK-upsert idempotence converges it — the same recovery
+    contract as ``commit_pooled`` eviction."""
+    with _POOL_LOCK:
+        conn = _CONN_POOL.pop(pool_key, None)
+    if conn is not None:
+        try:
+            conn.close()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def close_pooled_connections() -> None:
@@ -853,10 +880,21 @@ def apply_batch_fanout(
     safety nets back that contract (r8 ADVICE): with explicit
     ``sinks``, every hit re-validates the table is still registered
     with the same key columns and ``TableSink.fingerprint`` (evict +
-    rebuild on drift, skip on deregistration); with ``sink_factory``,
-    an optional ``sink_factory.fingerprint`` attribute folds into the
-    cache key so a config change misses by construction; and cached
-    writers cap retained dead letters at ``_CACHED_DEAD_LETTER_CAP``.
+    rebuild on drift — a fingerprint drift also evicts the old writer's
+    POOLED CONNECTION, since the rebuilt writer re-acquires by
+    ``pool_key`` and would otherwise inherit the old target's handle —
+    skip on deregistration); with ``sink_factory``, an optional
+    ``sink_factory.fingerprint`` attribute folds into the cache key so
+    a config change misses by construction; and cached writers cap
+    retained dead letters at ``_CACHED_DEAD_LETTER_CAP``.
+
+    Pool contract (applies to BOTH registration styles, and is the one
+    invariant the safety nets cannot check for ``sink_factory``): a
+    writer's ``pool_key`` must embed the same target identity as its
+    fingerprint (e.g. the JDBC URL). The connection POOL is keyed only
+    by ``pool_key`` — a factory that repoints the target while reusing
+    the key would pass the cache-key fingerprint miss yet still borrow
+    the old target's pooled connection.
     """
     import json
 
@@ -972,6 +1010,19 @@ def apply_batch_fanout(
                                 != getattr(writer, "_cache_fingerprint", None)
                             ):
                                 _writer_cache_evict(cache_ns, t, writer)
+                                # fingerprint drift means the TARGET may
+                                # have moved: drop the pooled connection
+                                # too, or the rebuilt writer (acquiring
+                                # by the same pool_key) would silently
+                                # reuse the OLD target's connection
+                                # (r9 ADVICE medium)
+                                if (
+                                    sink is not None
+                                    and writer.pool_key is not None
+                                    and getattr(sink, "fingerprint", None)
+                                    != getattr(writer, "_cache_fingerprint", None)
+                                ):
+                                    evict_pooled_connection(writer.pool_key)
                                 writer = None
                                 if sink is None:
                                     skipped.add(t)
@@ -1035,8 +1086,12 @@ def apply_batch_fanout(
                 applied_local[t] = stats["upserts"] + stats["deletes"] - base[t]
                 # a CACHED writer outlives the batch — cap its retained
                 # dead letters so failures can't grow memory unbounded
-                # across micro-batches (r8 ADVICE); most recent kept
-                if cache_writers is not None:
+                # across micro-batches (r8 ADVICE); most recent kept.
+                # Only writers actually PLACED in the cache (pooled —
+                # the _writer_cache_put condition): a fresh unpooled
+                # writer dies with the batch and its dead letters belong
+                # to the caller (r9 ADVICE).
+                if cache_writers is not None and writer.pool_key is not None:
                     _trim_cached_dead_letters(writer)
             if deferred_keys:
                 commit_pooled(deferred_keys)
