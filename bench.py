@@ -93,6 +93,20 @@ PREV_HEADLINE = [
     "variant_props_profile", "hierarchy_rollup",
 ]
 
+# CPU box-drift anchor pins: three headline queries whose code paths
+# have not changed since r2, pinned at the PREVIOUS round's officials
+# (refresh once per round alongside PREV_HEADLINE). Used three ways:
+# the in-loop `anchor_ratio` (cross-round continuity) and the explicit
+# phase-START / phase-END trio runs (`anchor_ratio_start/end`, r9
+# VERDICT item 3 — a single-point anchor cannot see drift that develops
+# DURING the query phase).
+_ANCHOR_OFFICIAL = {  # BENCH_r09 officials (BENCH_local mirror),
+    # refreshed r10 per the once-per-round pin protocol
+    "q1_pricing_summary": 1.752,
+    "q3_top_orders": 1.392,
+    "lead_lag_user_gaps": 1.120,
+}
+
 
 def _materialize(df) -> int:
     """Run the full plan without driver-side collection overhead."""
@@ -567,7 +581,7 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
 # payload. Cross-round deltas in stream_latency_* / mor latency should
 # be read against stream_anchor_ratio = p50 / pinned official. Refresh
 # the pin to the new official once per round, like anchor_official.
-STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 192.0  # r9 local pin (2026-08-15)
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 230.0  # r10 pin = BENCH_r09 official (2026-08-16)
 
 
 def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:
@@ -980,6 +994,8 @@ def _run_stream_phase_isolated() -> dict:
 # are dropped by suffix.
 _COMPACT_DROP = {
     "anchor_queries",          # values duplicated in "queries"
+    "anchor_start",            # raw trio timings; the ratios survive
+    "anchor_end",
     "stream_mor_latency_p50_ms",  # alias of apply_latency_p50_ms
     "stream_mor_latency_p95_ms",  # alias of apply_latency_p95_ms
     "stream_mor_batches",
@@ -1023,7 +1039,13 @@ def compact_record(out: dict) -> str:
         cline = json.dumps(compact)
         if len(cline) <= _COMPACT_BUDGET:
             return cline
-    return cline
+    # keep==1 can still overflow (one slow query + the scalar fields):
+    # drop the queries map entirely rather than return an over-budget
+    # line — the full map lives in the full line and BENCH_local.json
+    # (r9 ADVICE)
+    compact.pop("queries", None)
+    compact["queries_omitted"] = len(ranked)
+    return json.dumps(compact)
 
 
 def main() -> None:
@@ -1046,21 +1068,46 @@ def main() -> None:
     # best-of-2 per query: the first run pays one-time codegen/JIT and
     # scan-cache costs (measured 2-3x inflation); the min is the
     # steady-state plan cost, which is what scales to a real cluster
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
+    def _best_of_2_query(name: str, err_key: str | None = None):
         best = None
         for _ in range(2):
             t0 = time.monotonic()
-            ok = _guard(errors, name, lambda: _materialize(QUERIES[name](spark, SF_DIR)))
+            ok = _guard(
+                errors, err_key or name,
+                lambda: _materialize(QUERIES[name](spark, SF_DIR)),
+            )
             dt = time.monotonic() - t0
-            if ok is None and name in errors:
-                best = None
-                break
+            if ok is None and (err_key or name) in errors:
+                return None
             best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    def _anchor_trio(tag: str) -> dict[str, float]:
+        vals = {}
+        for q in _ANCHOR_OFFICIAL:
+            best = _best_of_2_query(q, err_key=f"anchor_{tag}:{q}")
+            if best is not None:
+                vals[q] = best
+        return vals
+
+    # intra-run drift anchors (r9 VERDICT item 3): one anchor read at a
+    # single point in the phase cannot see drift that DEVELOPS during
+    # the ~60 s query loop (r9: the anchor read 0.947-fast while 30/36
+    # headline queries ran slower). Run the pinned trio at phase START
+    # and again at phase END; per-query deltas should be read against
+    # the nearer ratio. The in-loop `anchor_ratio` stays for cross-round
+    # continuity (its officials are in-loop values too).
+    anchor_start = _anchor_trio("start")
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        best = _best_of_2_query(name)
         if best is not None:
-            per_query[name] = round(best, 3)
+            per_query[name] = best
             total += per_query[name]
+
+    anchor_end = _anchor_trio("end")
 
     # dedup/similarity queries persist intermediate frames (and the
     # second timed run legitimately reuses them via the CacheManager's
@@ -1078,7 +1125,11 @@ def main() -> None:
     sharded = best_of_2("sharded", bench_sink_apply_sharded)
     skew = best_of_2("skew", bench_sink_apply_skewed)
     snap = best_of_2("snapshot", bench_snapshot)
-    binlog = best_of_2("binlog", bench_binlog_transport)
+    # NOT best_of_2: bench_binlog_transport is internally best-of-2,
+    # and a second outer invocation's attempt-0 drain is already
+    # worker/JIT-warm — its first_drain disclosure would report a warm
+    # number as cold (r9 ADVICE)
+    binlog = _guard(errors, "binlog", bench_binlog_transport, spark)
     fanout = _guard(errors, "fanout", bench_fanout_tables, spark)  # 3 widths inside
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -1103,20 +1154,29 @@ def main() -> None:
     # officials (refresh alongside PREV_HEADLINE once per round).
     # anchor_ratio > 1 means this box/run is slower than when the
     # previous official was recorded — divide other deltas by it.
-    anchor_official = {  # BENCH_r08 officials (BENCH_local mirror),
-        # refreshed r9 per the once-per-round pin protocol
-        "q1_pricing_summary": 1.864,
-        "q3_top_orders": 1.470,
-        "lead_lag_user_gaps": 1.085,
-    }
-    ratios = sorted(
-        per_query[q] / v for q, v in anchor_official.items() if q in per_query
-    )
-    if ratios:
-        out["anchor_ratio"] = round(ratios[len(ratios) // 2], 3)
+    def _anchor_ratio(vals: dict[str, float]) -> float | None:
+        ratios = sorted(
+            vals[q] / v for q, v in _ANCHOR_OFFICIAL.items() if q in vals
+        )
+        return round(ratios[len(ratios) // 2], 3) if ratios else None
+
+    mid_ratio = _anchor_ratio(per_query)
+    if mid_ratio is not None:
+        out["anchor_ratio"] = mid_ratio
         out["anchor_queries"] = {
-            q: per_query.get(q) for q in anchor_official
+            q: per_query.get(q) for q in _ANCHOR_OFFICIAL
         }
+    # start/end ratios (r9 VERDICT item 3): intra-run drift = end/start
+    start_ratio = _anchor_ratio(anchor_start)
+    end_ratio = _anchor_ratio(anchor_end)
+    if start_ratio is not None:
+        out["anchor_ratio_start"] = start_ratio
+    if end_ratio is not None:
+        out["anchor_ratio_end"] = end_ratio
+    if anchor_start:
+        out["anchor_start"] = anchor_start  # diagnostic; compact drops
+    if anchor_end:
+        out["anchor_end"] = anchor_end
     if sink:
         out.update(
             cdc_events_per_sec=round(sink["events_per_sec"]),

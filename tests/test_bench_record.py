@@ -49,3 +49,46 @@ def test_compact_survives_headline_growth():
     line = bench.compact_record(out)
     assert len(line) <= bench._COMPACT_BUDGET, len(line)
     json.loads(line)
+
+
+def test_compact_keeps_start_end_anchor_ratios_drops_raw_trios():
+    """r9 VERDICT item 3: the start/end anchor ratios are calibration
+    fields and must survive the compact line; the raw trio timing maps
+    are diagnostics and must not."""
+    out = dict(_current_record())
+    out["anchor_ratio_start"] = 0.97
+    out["anchor_ratio_end"] = 1.21
+    out["anchor_start"] = {"q1_pricing_summary": 1.7}
+    out["anchor_end"] = {"q1_pricing_summary": 2.1}
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["anchor_ratio_start"] == 0.97
+    assert parsed["anchor_ratio_end"] == 1.21
+    assert "anchor_start" not in parsed and "anchor_end" not in parsed
+
+
+def test_compact_final_tier_never_exceeds_budget(monkeypatch):
+    """r9 ADVICE: when even a single kept query overflows the budget,
+    compact_record must drop the queries map entirely rather than
+    return an over-budget line."""
+    out = dict(_current_record())
+    scalars_len = len(
+        json.dumps(
+            {
+                k: v
+                for k, v in out.items()
+                if k not in bench._COMPACT_DROP
+                and not k.endswith("_cold")
+                and k != "queries"
+            }
+        )
+    )
+    # budget admits the scalar fields plus the omission marker, but not
+    # one more query entry — the pre-fix keep==1 tier overflowed here
+    monkeypatch.setattr(bench, "_COMPACT_BUDGET", scalars_len + 40)
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert "queries" not in parsed
+    assert parsed["queries_omitted"] == len(out["queries"])
