@@ -946,7 +946,13 @@ def _stream_phase_main() -> None:
     spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     errors: dict[str, str] = {}
     # drift anchor FIRST (fixed position in the phase, part of the pin:
-    # it must see the same session state every round — a fresh JVM)
+    # it must see the same session state every round — a fresh JVM).
+    # POSTURE NOTE (r9 ADVICE): this ordering began in r9, so
+    # bench_streaming/bench_mor_latency inherit ~20 s of extra streaming
+    # warm-up that r≤8 records never had — r8→r9 stream/MOR deltas
+    # straddle that change (r9's stream P50 281→255 and MOR 157/161 both
+    # IMPROVED under it, so no regression was masked); r9→r10 onward the
+    # posture is identical on both sides.
     anchor = _guard(errors, "stream_anchor", bench_stream_anchor, spark)
     stream = _guard(errors, "stream", bench_streaming, spark)
     # best-of-2 (min P95) on the MOR pass too — it is THE headline

@@ -1329,6 +1329,21 @@ def hnsw_topk(
     )
 
 
+def _auto_n_centroids(n_vectors: int) -> int:
+    """⌈√N⌉ clamped to [4, 4096] and to N itself — the measured
+    wall-clock optimum for the centroid-bucketed incremental stores
+    (SCALING.md round-9 addendum: at 200k vectors, √N sizing beat both
+    the unscaled and the ∝N postures by 3-5× wall, because total cost =
+    pair work ∝ N²/n_cen plus per-bucket overhead ∝ n_cen per update).
+    The 4096 cap bounds per-update file/task overhead; the floor of 4
+    keeps tiny stores from degenerating to one bucket."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return min(n_vectors, max(4, min(4096, math.isqrt(n_vectors - 1) + 1)))
+
+
 def _centroid_bucketed_state(spark, root: str, id_col: str, n_centroids: int):
     """ParquetStateTable variant whose bucket IS the centroid column —
     the inverted lists become the partition directories, so a probe
@@ -1369,14 +1384,17 @@ class IncrementalIVF:
       (identical bucketed-parquet mechanics, SCALING.md round-9
       addendum): per-bucket file/task overhead grows ∝ n_centroids per
       update, so ∝ N sizing loses to √N by 2-3× wall once bucket
-      count passes the core count.
+      count passes the core count. √N is therefore the DEFAULT:
+      ``n_centroids=None`` sizes ⌈√N⌉ from the seed frame at ``init``
+      (clamped to [4, 4096] and to N) and recovers the pinned count
+      from the centroid sidecar on reopen; explicit values are honored.
     """
 
     def __init__(
         self,
         spark,
         path: str,
-        n_centroids: int = 8,
+        n_centroids: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
@@ -1384,23 +1402,51 @@ class IncrementalIVF:
 
         self.spark = spark
         self.path = path
-        self.n_centroids = n_centroids
         self.id_col = id_col
         self.vec_col = vec_col
-        self.store = _centroid_bucketed_state(
-            spark, os.path.join(path, "vectors"), id_col, n_centroids
-        )
         self._cen_path = os.path.join(path, "_centroids.json")
+        self._store_path = os.path.join(path, "vectors")
+        # n_centroids=None (the default, r9 VERDICT item 5): size
+        # ⌈√N⌉ from the seed frame at init() — the measured optimum —
+        # or, when reopening an existing index, recover the pinned
+        # count from the centroid sidecar (its length IS n_centroids,
+        # so a reopen can never mis-bucket the store). Explicit values
+        # are honored unchanged.
+        if n_centroids is None:
+            n_centroids = self._sidecar_count()
+        self.n_centroids = n_centroids
+        self.store = (
+            None
+            if n_centroids is None
+            else _centroid_bucketed_state(spark, self._store_path, id_col, n_centroids)
+        )
+
+    def _sidecar_count(self) -> int | None:
+        import json
+
+        try:
+            with open(self._cen_path) as f:
+                return len(json.load(f))
+        except FileNotFoundError:
+            return None
 
     def init(self, seeds: DataFrame) -> None:
         """Pin centroids from the ``n_centroids`` lowest-id seed
         vectors and initialize the empty store. O(n_centroids) driver
-        data — bounded metadata, not corpus-sized."""
+        data — bounded metadata, not corpus-sized. With auto sizing
+        (``n_centroids=None``), ⌈√N⌉ of the seed frame's count, clamped
+        to [4, 4096] and to N."""
         import json
         import os
 
         from pyspark.sql import types as T
 
+        if self.n_centroids is None:
+            self.n_centroids = _auto_n_centroids(seeds.count())
+        if self.store is None:
+            self.store = _centroid_bucketed_state(
+                self.spark, self._store_path, self.id_col, self.n_centroids
+            )
         rows = (
             seeds.select(self.id_col, self.vec_col)
             .orderBy(self.id_col)
@@ -1532,8 +1578,10 @@ class IncrementalSemDedup:
       clusters its chunk touches (partition-pruned) and rewrites only
       those buckets; comparisons are an equi-join on centroid with the
       ordered JVM-fold cosine (bit-identical to the DuckDB oracle) —
-      Σ_clusters sz² economics, ``n_centroids`` grows ∝ N like every
-      clustered-pairwise operator here;
+      Σ_clusters sz² economics, with ``n_centroids`` sized ∝ √N (the
+      measured optimum below, and the ``n_centroids=None`` DEFAULT:
+      ⌈√N⌉ from the seed frame at ``init``, sidecar-recovered on
+      reopen);
     - the merge is a keyed LWW REPLACE, so chunk redelivery is
       idempotent (the replayed flags recompute identically: the
       ``id <`` filter excludes later-arrived larger ids).
@@ -1563,7 +1611,7 @@ class IncrementalSemDedup:
         spark,
         path: str,
         threshold: float = 0.45,
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
@@ -1572,22 +1620,49 @@ class IncrementalSemDedup:
         self.spark = spark
         self.path = path
         self.threshold = threshold
-        self.n_centroids = n_centroids
         self.id_col = id_col
         self.vec_col = vec_col
-        self.store = _centroid_bucketed_state(
-            spark, os.path.join(path, "vectors"), id_col, n_centroids
-        )
         self._cen_path = os.path.join(path, "_centroids.json")
+        self._store_path = os.path.join(path, "vectors")
+        # n_centroids=None (the default, r9 VERDICT item 5): ⌈√N⌉ from
+        # the seed frame at init() — the measured wall-clock optimum
+        # (SCALING.md round-9 addendum) — or recovered from the centroid
+        # sidecar when reopening an existing store. Explicit values are
+        # honored unchanged.
+        if n_centroids is None:
+            n_centroids = self._sidecar_count()
+        self.n_centroids = n_centroids
+        self.store = (
+            None
+            if n_centroids is None
+            else _centroid_bucketed_state(spark, self._store_path, id_col, n_centroids)
+        )
+
+    def _sidecar_count(self) -> int | None:
+        import json
+
+        try:
+            with open(self._cen_path) as f:
+                return len(json.load(f))
+        except FileNotFoundError:
+            return None
 
     def init(self, seeds: DataFrame) -> None:
         """Pin centroids from the ``n_centroids`` lowest-id seed
-        vectors; initialize the empty store (id, vec, centroid, kept)."""
+        vectors; initialize the empty store (id, vec, centroid, kept).
+        With auto sizing (``n_centroids=None``), ⌈√N⌉ of the seed
+        frame's count, clamped to [4, 4096] and to N."""
         import json
         import os
 
         from pyspark.sql import types as T
 
+        if self.n_centroids is None:
+            self.n_centroids = _auto_n_centroids(seeds.count())
+        if self.store is None:
+            self.store = _centroid_bucketed_state(
+                self.spark, self._store_path, self.id_col, self.n_centroids
+            )
         rows = (
             seeds.select(self.id_col, self.vec_col)
             .orderBy(self.id_col)
