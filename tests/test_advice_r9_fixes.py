@@ -190,3 +190,130 @@ class TestDeadLetterTrim:
         # still the most recent contiguous run
         tail = [p[1][0] for p in w.dead_letters[-10:]]
         assert tail == sorted(tail)
+
+
+class TestWriterCacheLifecycleProperty:
+    def test_random_repoint_deregister_sequences_land_correctly(self, spark, tmp_path):
+        """Seeded-random lifecycle sweep over the hostile posture (one
+        SHARED target-agnostic pool_key + a persistent cache namespace):
+        across 5 batches the WHOLE estate repoints together between
+        batches (a batch's registered sinks must share a target when
+        they share a pool_key — the documented pool contract), while
+        each table is independently registered or deregistered per
+        batch. Invariants after every batch: applied counts cover
+        exactly the registered tables, each registered table's CURRENT
+        target holds exactly this batch's values, and stale targets
+        keep the values of the last batch that pointed there (no
+        cross-target bleed through the pooled connection — the r9
+        ADVICE medium, generalized across a random repoint history)."""
+        import random as _random
+
+        import sqlite3 as _sq
+
+        from pyspark.sql import functions as F
+
+        from xxt_cdc_spark.sinks.upsert import (
+            TableSink,
+            apply_batch_fanout,
+            close_pooled_connections,
+        )
+
+        n_tables, n_batches, keys_per_table = 4, 5, 50
+        dbs = {}
+        for tag in "abc":
+            path = str(tmp_path / f"{tag}.db")
+            con = _sq.connect(path)
+            for i in range(n_tables):
+                con.execute(f"CREATE TABLE t{i} (k INTEGER PRIMARY KEY, v INTEGER)")
+            con.commit()
+            con.close()
+            dbs[tag] = path
+
+        def sink(db_path: str, table: str) -> TableSink:
+            def make():
+                import sqlite3 as _sq2
+
+                from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter as _W
+
+                return _W(
+                    connect_fn=lambda: _sq2.connect(db_path, timeout=60),
+                    table=table,
+                    columns=["k", "v"],
+                    key_cols=["k"],
+                    dialect="sqlite",
+                    pool_key="prop:shared",  # deliberately target-agnostic
+                )
+
+            return TableSink(make, ["k"], None, fingerprint=db_path)
+
+        def env(batch: int):
+            n_events = n_tables * keys_per_table
+            return spark.range(n_events).select(
+                F.lit("d").alias("db"),
+                F.concat(F.lit("t"), (F.col("id") % n_tables)).alias("table"),
+                F.lit("I").alias("op"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit("binlog.000001").alias("pos_file"),
+                F.col("id").alias("pos_offset"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.to_json(
+                    F.struct(F.floor(F.col("id") / n_tables).alias("k"))
+                ).alias("key"),
+                F.lit(None).cast("string").alias("before"),
+                F.to_json(
+                    F.struct(
+                        F.floor(F.col("id") / n_tables).alias("k"),
+                        (F.lit(batch * 10_000) + F.col("id")).alias("v"),
+                    )
+                ).alias("after"),
+            )
+
+        def table_rows(db_path: str, table: str) -> set[tuple[int, int]]:
+            con = _sq.connect(db_path)
+            rows = set(con.execute(f"SELECT k, v FROM {table}").fetchall())
+            con.close()
+            return rows
+
+        def expected_rows(batch: int, ti: int) -> set[tuple[int, int]]:
+            # ids for table ti are ti, ti+4, ...; k = id//4, v = b*10000+id
+            return {
+                (k, batch * 10_000 + k * n_tables + ti)
+                for k in range(keys_per_table)
+            }
+
+        rng = _random.Random(1234)
+        ns = "prop-lifecycle"
+        # scripted batch targets guarantee repoint coverage (a→b→b→c→a:
+        # repoint, hold, repoint, repoint-back — the back-repoint would
+        # reuse a stale pooled connection pre-fix too)
+        batch_tags = ["a", "b", "b", "c", "a"]
+        # last_target[t] = (batch, tag) of the last batch that applied t
+        last_target: dict[str, tuple[int, str]] = {}
+        try:
+            for b in range(n_batches):
+                tag = batch_tags[b]
+                # per-table registration is seeded-random, but t0 is
+                # always registered so every repoint is exercised
+                registered = {"t0"} | {
+                    f"t{i}" for i in range(1, n_tables) if rng.random() < 0.7
+                }
+                sinks = {t: sink(dbs[tag], t) for t in registered}
+                applied = apply_batch_fanout(
+                    env(b), sinks, num_partitions=2,
+                    coalesce_commits=True, cache_writers=ns,
+                )
+                assert set(applied) == registered, (b, tag, applied)
+                assert all(v == keys_per_table for v in applied.values()), applied
+                for t in registered:
+                    last_target[t] = (b, tag)
+                # every table's LAST target holds exactly that batch's
+                # values — and because stale targets are only ever
+                # overwritten when they become last_target again, this
+                # transitively checks no cross-target bleed
+                for t, (lb, ltag) in last_target.items():
+                    ti = int(t[1:])
+                    assert table_rows(dbs[ltag], t) == expected_rows(lb, ti), (
+                        b, t, ltag,
+                    )
+        finally:
+            close_pooled_connections()
