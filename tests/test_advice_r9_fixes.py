@@ -317,3 +317,65 @@ class TestWriterCacheLifecycleProperty:
                     )
         finally:
             close_pooled_connections()
+
+
+class TestCacheMissRepoint:
+    def test_fresh_table_after_estate_repoint_lands_in_new_target(self, spark, tmp_path):
+        """The cache-HIT drift check cannot protect a table building its
+        FIRST writer after the estate repointed: batch 1 applies t0 to
+        db_a (pooling a connection under a target-agnostic key), batch 2
+        registers a brand-new table t1 pointed at db_b with the same
+        pool_key. Pre-fix, t1's fresh writer borrowed db_a's pooled
+        connection and silently wrote to the OLD target; the pool
+        fingerprint stamp now evicts it at construction time."""
+        for i, db in enumerate(["a.db", "b.db"]):
+            _mk_db(str(tmp_path / db), 2)
+        db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+        ns = "r10-miss-repoint"
+        try:
+            # batch 1: only t0, at db_a
+            env1 = _env(spark, 100, 1)  # all rows to t0
+            apply_batch_fanout(
+                env1,
+                {"t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a)},
+                num_partitions=2, coalesce_commits=True, cache_writers=ns,
+            )
+            # batch 2: only t1 — never seen by the cache — at db_b
+            env2 = _env(spark, 100, 2).filter("table = 't1'")
+            applied = apply_batch_fanout(
+                env2,
+                {"t1": _sink_shared_pool(db_b, "t1", fingerprint=db_b)},
+                num_partitions=2, coalesce_commits=True, cache_writers=ns,
+            )
+            assert applied.get("t1") == 50
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db_b)
+        n_b = con.execute("SELECT COUNT(*) FROM t1").fetchone()[0]
+        con.close()
+        assert n_b == 50, f"fresh-table rows must land in the NEW target, got {n_b}"
+
+    def test_cache_disabled_repoint_also_protected(self, spark, tmp_path):
+        """The pool outlives batches even with NO writer cache: a plain
+        repoint (fresh sinks dict, cache_writers=None, reused pool_key)
+        must also land in the new target via the pool stamp."""
+        _mk_db(str(tmp_path / "a.db"), 1)
+        _mk_db(str(tmp_path / "b.db"), 1)
+        db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+        env = _env(spark, 100, 1)
+        try:
+            apply_batch_fanout(
+                env, {"t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a)},
+                num_partitions=2, coalesce_commits=True,
+            )
+            applied = apply_batch_fanout(
+                env, {"t0": _sink_shared_pool(db_b, "t0", fingerprint=db_b)},
+                num_partitions=2, coalesce_commits=True,
+            )
+            assert applied.get("t0") == 100
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db_b)
+        n_b = con.execute("SELECT COUNT(*) FROM t0").fetchone()[0]
+        con.close()
+        assert n_b == 100, f"repointed rows must land in the NEW target, got {n_b}"

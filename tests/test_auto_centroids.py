@@ -127,3 +127,10 @@ class TestIVFAuto:
                 idx.update(emb.limit(5), chunk_id=0)
         finally:
             shutil.rmtree(state, ignore_errors=True)
+
+
+class TestUninitializedStateGuard:
+    def test_state_before_init_raises_cleanly(self, spark, tmp_path):
+        idx = S.IncrementalSemDedup(spark, str(tmp_path / "fresh"))
+        with pytest.raises(RuntimeError, match="not initialized"):
+            idx.state()

@@ -12,7 +12,13 @@ Measures the same three-batch shape as bench_fanout_tables (cold batch
 is read directly from the wall clocks. One JSON line per width.
 
 Usage: python tools/fanout_100k.py [widths_csv] [events_per_table]
-Defaults: 10000,30000,100000 and 2.
+Defaults: 10000,30000,100000 and 2. Each width runs in its OWN
+subprocess (fresh JVM + fresh Python workers): the pooled connections
+and cached writers live in the WORKER processes, where a driver-side
+close_pooled_connections() cannot reach them — without isolation an
+earlier width's ~10-30k resident cached writers would bias exactly the
+steady-state slope this tool exists to measure (r10 review finding).
+`--one <width> <ept>` is the per-width entry the parent spawns.
 
 sqlite posture notes at 100k tables: cached_statements is sized to the
 table count ×3 (an upsert + occasional delete per table; the default
@@ -122,22 +128,47 @@ def run_width(spark, n_tables: int, events_per_table: int) -> dict:
     }
 
 
-def main() -> None:
-    widths = (
-        [int(w) for w in sys.argv[1].split(",")]
-        if len(sys.argv) > 1
-        else [10_000, 30_000, 100_000]
-    )
-    ept = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+def run_one(width: int, ept: int) -> None:
     from xxt_cdc_spark.session import get_spark
 
     spark = get_spark(
         "fanout-100k", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     run_width(spark, 10, ept)  # codegen/worker warmup, untimed
-    for w in widths:
-        print(json.dumps(run_width(spark, w, ept)), flush=True)
+    out = run_width(spark, width, ept)
     spark.stop()
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_one(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    widths = (
+        [int(w) for w in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [10_000, 30_000, 100_000]
+    )
+    ept = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    import subprocess
+
+    for w in widths:
+        # one process per width: worker-side pools/caches die with it
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(w), str(ept)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                print(line, flush=True)
+                break
+        else:
+            print(
+                json.dumps({"n_tables": w, "error": f"no JSON (rc={p.returncode})"}),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

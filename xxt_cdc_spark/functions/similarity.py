@@ -1357,7 +1357,53 @@ def _centroid_bucketed_state(spark, root: str, id_col: str, n_centroids: int):
     return _CentroidState(spark, root, key_cols=[id_col], n_buckets=n_centroids)
 
 
-class IncrementalIVF:
+class _SidecarSizedStore:
+    """Shared auto-sizing mechanics for the centroid-bucketed
+    incremental stores (IncrementalIVF / IncrementalSemDedup — one
+    copy, r10): ``n_centroids=None`` resolves to the centroid
+    sidecar's count on reopen (its length IS the pinned bucket count,
+    so an existing store can never be mis-bucketed) or defers to
+    ``init``, where ``_ensure_sized`` takes ⌈√N⌉ of the seed frame.
+    Subclasses set ``spark``/``id_col``/``_cen_path``/``_store_path``
+    before calling the helpers. A corrupt (non-JSON) sidecar raises
+    loudly out of the constructor — silently re-sizing would
+    mis-bucket the existing data files."""
+
+    def _sidecar_count(self) -> int | None:
+        import json
+
+        try:
+            with open(self._cen_path) as f:
+                return len(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _resolve_sizing(self, n_centroids: int | None):
+        """Constructor half: (n_centroids, store) — either may be None
+        when sizing must wait for the seed frame."""
+        if n_centroids is None:
+            n_centroids = self._sidecar_count()
+        store = (
+            None
+            if n_centroids is None
+            else _centroid_bucketed_state(
+                self.spark, self._store_path, self.id_col, n_centroids
+            )
+        )
+        return n_centroids, store
+
+    def _ensure_sized(self, seeds: DataFrame) -> None:
+        """init() half: finalize deferred auto sizing from the seed
+        frame (⌈√N⌉ clamped [4, 4096] and to N — _auto_n_centroids)."""
+        if self.n_centroids is None:
+            self.n_centroids = _auto_n_centroids(seeds.count())
+        if self.store is None:
+            self.store = _centroid_bucketed_state(
+                self.spark, self._store_path, self.id_col, self.n_centroids
+            )
+
+
+class IncrementalIVF(_SidecarSizedStore):
     """Persistent IVF ANN index maintained incrementally from vector
     chunks — the growing-corpus answer the batch builders can't give:
     a 100 TB embedding store that gains a few hundred GB a day should
@@ -1406,29 +1452,11 @@ class IncrementalIVF:
         self.vec_col = vec_col
         self._cen_path = os.path.join(path, "_centroids.json")
         self._store_path = os.path.join(path, "vectors")
-        # n_centroids=None (the default, r9 VERDICT item 5): size
-        # ⌈√N⌉ from the seed frame at init() — the measured optimum —
-        # or, when reopening an existing index, recover the pinned
-        # count from the centroid sidecar (its length IS n_centroids,
-        # so a reopen can never mis-bucket the store). Explicit values
-        # are honored unchanged.
-        if n_centroids is None:
-            n_centroids = self._sidecar_count()
-        self.n_centroids = n_centroids
-        self.store = (
-            None
-            if n_centroids is None
-            else _centroid_bucketed_state(spark, self._store_path, id_col, n_centroids)
-        )
-
-    def _sidecar_count(self) -> int | None:
-        import json
-
-        try:
-            with open(self._cen_path) as f:
-                return len(json.load(f))
-        except FileNotFoundError:
-            return None
+        # n_centroids=None (the default, r9 VERDICT item 5): ⌈√N⌉ from
+        # the seed frame at init() — the measured optimum — or the
+        # sidecar count on reopen. Explicit values honored unchanged.
+        # (_SidecarSizedStore holds the one copy of these mechanics.)
+        self.n_centroids, self.store = self._resolve_sizing(n_centroids)
 
     def init(self, seeds: DataFrame) -> None:
         """Pin centroids from the ``n_centroids`` lowest-id seed
@@ -1441,12 +1469,7 @@ class IncrementalIVF:
 
         from pyspark.sql import types as T
 
-        if self.n_centroids is None:
-            self.n_centroids = _auto_n_centroids(seeds.count())
-        if self.store is None:
-            self.store = _centroid_bucketed_state(
-                self.spark, self._store_path, self.id_col, self.n_centroids
-            )
+        self._ensure_sized(seeds)
         rows = (
             seeds.select(self.id_col, self.vec_col)
             .orderBy(self.id_col)
@@ -1553,7 +1576,7 @@ class IncrementalIVF:
         )
 
 
-class IncrementalSemDedup:
+class IncrementalSemDedup(_SidecarSizedStore):
     """Streaming SemDeDup: semantic near-dup flagging of ARRIVING
     embedding chunks against a persistent centroid-bucketed store —
     the growing-corpus form of ``semantic_dedup`` (same greedy min-id
@@ -1626,26 +1649,10 @@ class IncrementalSemDedup:
         self._store_path = os.path.join(path, "vectors")
         # n_centroids=None (the default, r9 VERDICT item 5): ⌈√N⌉ from
         # the seed frame at init() — the measured wall-clock optimum
-        # (SCALING.md round-9 addendum) — or recovered from the centroid
-        # sidecar when reopening an existing store. Explicit values are
-        # honored unchanged.
-        if n_centroids is None:
-            n_centroids = self._sidecar_count()
-        self.n_centroids = n_centroids
-        self.store = (
-            None
-            if n_centroids is None
-            else _centroid_bucketed_state(spark, self._store_path, id_col, n_centroids)
-        )
-
-    def _sidecar_count(self) -> int | None:
-        import json
-
-        try:
-            with open(self._cen_path) as f:
-                return len(json.load(f))
-        except FileNotFoundError:
-            return None
+        # (SCALING.md round-9 addendum) — or the sidecar count on
+        # reopen. Explicit values honored unchanged.
+        # (_SidecarSizedStore holds the one copy of these mechanics.)
+        self.n_centroids, self.store = self._resolve_sizing(n_centroids)
 
     def init(self, seeds: DataFrame) -> None:
         """Pin centroids from the ``n_centroids`` lowest-id seed
@@ -1657,12 +1664,7 @@ class IncrementalSemDedup:
 
         from pyspark.sql import types as T
 
-        if self.n_centroids is None:
-            self.n_centroids = _auto_n_centroids(seeds.count())
-        if self.store is None:
-            self.store = _centroid_bucketed_state(
-                self.spark, self._store_path, self.id_col, self.n_centroids
-            )
+        self._ensure_sized(seeds)
         rows = (
             seeds.select(self.id_col, self.vec_col)
             .orderBy(self.id_col)
@@ -1764,6 +1766,13 @@ class IncrementalSemDedup:
 
     def state(self) -> DataFrame:
         """Every ingested id with its cluster and kept flag."""
+        if self.store is None:
+            # auto-sized store constructed with n_centroids=None and no
+            # sidecar yet — the other store-first methods reach
+            # _centroids_df() first and raise this same error there
+            raise RuntimeError(
+                f"IncrementalSemDedup at {self.path} not initialized; call init() first"
+            )
         return self.store.read().select(
             self.id_col, F.col("centroid").cast("long").alias("centroid"), "kept"
         )

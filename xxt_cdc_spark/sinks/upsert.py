@@ -194,6 +194,41 @@ def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> Non
                 del writer.dead_letters[:excess]
 
 
+# Fingerprint stamp of the target each pooled connection was last
+# established for (by pool_key): the writer-cache drift check can only
+# protect tables whose writers are cache HITS — a table constructing
+# its FIRST writer after the estate repointed (cache miss, or no cache
+# at all: the pool outlives batches regardless of cache_writers) would
+# still borrow the stale pooled connection. Reconciled on every writer
+# construction whose sink carries a fingerprint.
+_POOL_FPS: dict[str, object] = {}
+
+
+def _reconcile_pool_fingerprint(pool_key: str, fingerprint) -> None:
+    """Ensure the pooled connection under ``pool_key`` belongs to the
+    target identified by ``fingerprint``: on a stamp mismatch the stale
+    connection is evicted so the next acquire reconnects through the
+    current ``connect_fn``. No-op for fingerprint-less sinks (no
+    identity to compare — the pool_key contract is then the only
+    guard). A ``None`` previous stamp only records, never evicts: the
+    existing connection may belong to a fingerprint-less writer."""
+    if fingerprint is None:
+        return
+    with _POOL_LOCK:
+        prev = _POOL_FPS.get(pool_key)
+        _POOL_FPS[pool_key] = fingerprint
+        stale = (
+            _CONN_POOL.pop(pool_key, None)
+            if prev is not None and prev != fingerprint
+            else None
+        )
+    if stale is not None:
+        try:
+            stale.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def evict_pooled_connection(pool_key: str) -> None:
     """Close and forget ONE pooled connection. Used by the fanout
     dispatch when a cached writer's config fingerprint drifts: the
@@ -225,6 +260,7 @@ def close_pooled_connections() -> None:
                 pass
         _CONN_POOL.clear()
         _WRITER_CACHE.clear()
+        _POOL_FPS.clear()
 
 
 def commit_pooled(pool_keys) -> None:
@@ -712,9 +748,17 @@ class JdbcUpsertWriter:
                     time.sleep(self.retry.delay(attempt))
                     attempt += 1
                     continue
-                # dead-letter instead of silent skip
+                # dead-letter instead of silent skip. The append runs
+                # under _POOL_LOCK to pair with the cached-writer trim
+                # (_trim_cached_dead_letters): a CACHED writer is shared
+                # across streams in one process, so the trim's `del` and
+                # this extend must not interleave on anything weaker
+                # than the GIL (failure path — the lock costs nothing on
+                # the no-failure hot path).
                 self.stats["failures"] += len(params)
-                self.dead_letters.extend((kind, p, repr(exc)) for p in params)
+                letters = [(kind, p, repr(exc)) for p in params]
+                with _POOL_LOCK:
+                    self.dead_letters.extend(letters)
                 return
 
 
@@ -1037,6 +1081,17 @@ def apply_batch_fanout(
                             else:
                                 sink = sink_factory(t)
                         writer = sink.writer_factory()
+                        if writer.pool_key is not None:
+                            # cache-miss corner of a repointed estate
+                            # (r10): a table building its FIRST writer
+                            # after the target moved never passes the
+                            # cache-hit drift check above, yet would
+                            # borrow the stale pooled connection —
+                            # reconcile the pool stamp against this
+                            # sink's fingerprint before any acquire
+                            _reconcile_pool_fingerprint(
+                                writer.pool_key, getattr(sink, "fingerprint", None)
+                            )
                         if cache_writers is not None and writer.pool_key is not None:
                             writer._cache_fingerprint = getattr(sink, "fingerprint", None)
                             _writer_cache_put(cache_ns, t, writer)
