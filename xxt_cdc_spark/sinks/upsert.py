@@ -1192,6 +1192,13 @@ def apply_batch_fanout(
         for table, trows in by_table.items():
             sink = local_sinks[table]
             writer = sink.writer_factory()
+            if writer.pool_key is not None:
+                # same repoint guard as the Arrow path: the pool
+                # outlives batches, so a fresh writer after the estate
+                # repointed would borrow the stale connection (r10)
+                _reconcile_pool_fingerprint(
+                    writer.pool_key, getattr(sink, "fingerprint", None)
+                )
             if coalesce_commits and writer.pool_key is not None:
                 writer.defer_commit = True
                 deferred_keys.add(writer.pool_key)
