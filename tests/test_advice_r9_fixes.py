@@ -14,6 +14,7 @@
 import sqlite3
 import threading
 
+import pytest
 from pyspark.sql import functions as F
 
 from xxt_cdc_spark.sinks.upsert import (
@@ -328,7 +329,7 @@ class TestCacheMissRepoint:
         pool_key. Pre-fix, t1's fresh writer borrowed db_a's pooled
         connection and silently wrote to the OLD target; the pool
         fingerprint stamp now evicts it at construction time."""
-        for i, db in enumerate(["a.db", "b.db"]):
+        for db in ("a.db", "b.db"):
             _mk_db(str(tmp_path / db), 2)
         db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
         ns = "r10-miss-repoint"
@@ -405,3 +406,99 @@ def test_non_arrow_repoint_also_protected(spark, tmp_path):
     n_b = con.execute("SELECT COUNT(*) FROM t0").fetchone()[0]
     con.close()
     assert n_b == 100, f"non-arrow repointed rows must land in db_b, got {n_b}"
+
+
+class TestAcquireTimeReconcile:
+    def test_sink_factory_repoint_via_factory_fingerprint(self, spark, tmp_path):
+        """The sink_factory posture (whose TableSinks carry no
+        per-sink fingerprint) must be repoint-protected through the
+        factory-level fingerprint: it re-keys the writer cache AND
+        flows into the acquire-time pool reconcile, so batch 2 lands in
+        the new target even though the pool_key never changed."""
+        _mk_db(str(tmp_path / "a.db"), 1)
+        _mk_db(str(tmp_path / "b.db"), 1)
+        db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+
+        def make_factory(db):
+            def sf(table, _db=db):
+                def make():
+                    import sqlite3 as _sq
+
+                    from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter as _W
+
+                    return _W(
+                        connect_fn=lambda: _sq.connect(_db, timeout=60),
+                        table=table,
+                        columns=["k", "v"],
+                        key_cols=["k"],
+                        dialect="sqlite",
+                        pool_key="r10fx:shared",
+                    )
+
+                return TableSink(make, ["k"], None)  # NO sink fingerprint
+
+            sf.fingerprint = db
+            return sf
+
+        env = _env(spark, 100, 1)
+        try:
+            apply_batch_fanout(
+                env, sink_factory=make_factory(db_a), num_partitions=2,
+                coalesce_commits=True, cache_writers="r10-fx",
+            )
+            applied = apply_batch_fanout(
+                env, sink_factory=make_factory(db_b), num_partitions=2,
+                coalesce_commits=True, cache_writers="r10-fx",
+            )
+            assert applied.get("t0") == 100
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db_b)
+        n_b = con.execute("SELECT COUNT(*) FROM t0").fetchone()[0]
+        con.close()
+        assert n_b == 100, f"factory-fingerprint repoint must land in db_b, got {n_b}"
+
+    def test_intra_batch_conflicting_fingerprints_fail_loudly(self, spark, tmp_path):
+        """One batch mapping TWO target fingerprints onto one pool_key
+        with coalesced commits is the interleave where a silent evict
+        would roll back rows already counted as applied — it must fail
+        loudly instead (num_partitions=1 forces both tables through one
+        worker so the conflict is deterministic)."""
+        _mk_db(str(tmp_path / "a.db"), 2)
+        _mk_db(str(tmp_path / "b.db"), 2)
+        db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+        env = _env(spark, 100, 2)
+        sinks = {
+            "t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a),
+            "t1": _sink_shared_pool(db_b, "t1", fingerprint=db_b),
+        }
+        try:
+            with pytest.raises(Exception, match="two target fingerprints"):
+                apply_batch_fanout(
+                    env, sinks, num_partitions=1, coalesce_commits=True,
+                )
+        finally:
+            close_pooled_connections()
+
+    def test_unstamped_preexisting_connection_evicted_conservatively(self):
+        """A pooled connection established by a non-stamping path has an
+        UNKNOWN target: the first fingerprinted reconcile must evict it
+        (one reconnect) rather than mislabel it with the new stamp."""
+        from xxt_cdc_spark.sinks.upsert import _reconcile_pool_fingerprint
+
+        class FakeConn:
+            closed = False
+
+            def close(self):
+                self.closed = True
+
+        conn = FakeConn()
+        _CONN_POOL["r10:unstamped"] = conn
+        try:
+            _reconcile_pool_fingerprint("r10:unstamped", "db_b")
+            assert conn.closed
+            assert "r10:unstamped" not in _CONN_POOL
+            # second reconcile with the same fingerprint: clean no-op
+            _reconcile_pool_fingerprint("r10:unstamped", "db_b")
+        finally:
+            close_pooled_connections()

@@ -154,19 +154,27 @@ def main() -> None:
 
     for w in widths:
         # one process per width: worker-side pools/caches die with it
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", str(w), str(ept)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", str(w), str(ept)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # report and keep sweeping the remaining widths
+            print(json.dumps({"n_tables": w, "error": "timeout after 3600s"}), flush=True)
+            continue
         for line in reversed(p.stdout.strip().splitlines()):
             if line.startswith("{"):
                 print(line, flush=True)
                 break
         else:
+            tail = (p.stderr or "").strip().splitlines()[-3:]
             print(
-                json.dumps({"n_tables": w, "error": f"no JSON (rc={p.returncode})"}),
+                json.dumps(
+                    {"n_tables": w, "error": f"no JSON (rc={p.returncode})", "stderr": tail}
+                ),
                 flush=True,
             )
 

@@ -196,31 +196,57 @@ def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> Non
 
 # Fingerprint stamp of the target each pooled connection was last
 # established for (by pool_key): the writer-cache drift check can only
-# protect tables whose writers are cache HITS — a table constructing
-# its FIRST writer after the estate repointed (cache miss, or no cache
-# at all: the pool outlives batches regardless of cache_writers) would
-# still borrow the stale pooled connection. Reconciled on every writer
-# construction whose sink carries a fingerprint.
+# protect tables whose writers are cache HITS — a table acquiring its
+# connection after the estate repointed (cache miss, or no cache at
+# all: the pool outlives batches regardless of cache_writers) would
+# still borrow the stale pooled connection. Reconciled at _acquire for
+# every writer that carries a ``_target_fingerprint`` (set by the
+# TableSink-based dispatch paths from TableSink.fingerprint, with a
+# sink_factory.fingerprint fallback).
 _POOL_FPS: dict[str, object] = {}
+
+# pool_keys whose pooled connection holds UNCOMMITTED coalesced work
+# (defer_commit flushes since the last commit_pooled): evicting such a
+# connection would silently roll back rows already counted as applied,
+# so a fingerprint conflict against a dirty key fails LOUDLY instead
+# (micro-batch replays; PK-upsert idempotence converges it).
+_POOL_DIRTY: set[str] = set()
 
 
 def _reconcile_pool_fingerprint(pool_key: str, fingerprint) -> None:
     """Ensure the pooled connection under ``pool_key`` belongs to the
-    target identified by ``fingerprint``: on a stamp mismatch the stale
-    connection is evicted so the next acquire reconnects through the
-    current ``connect_fn``. No-op for fingerprint-less sinks (no
-    identity to compare — the pool_key contract is then the only
-    guard). A ``None`` previous stamp only records, never evicts: the
-    existing connection may belong to a fingerprint-less writer."""
+    target identified by ``fingerprint``.
+
+    - match (or no fingerprint): no-op — the common per-acquire cost is
+      one lock round-trip.
+    - mismatch, connection idle: evict it so the next acquire
+      reconnects through the current ``connect_fn``. A ``None``
+      previous stamp also evicts any pre-existing connection — it was
+      established by a non-stamping path, so its target is UNKNOWN and
+      recording the new stamp over it would mislabel it forever (the
+      cost is one reconnect the first time a fingerprinted estate
+      touches a key the raw paths already pooled).
+    - mismatch, connection DIRTY (uncommitted coalesced rows): raise —
+      one batch is mapping two targets onto one pool_key (the contract
+      violation), and evicting would silently roll back rows already
+      reported applied. The loud failure replays the micro-batch."""
     if fingerprint is None:
         return
     with _POOL_LOCK:
         prev = _POOL_FPS.get(pool_key)
-        _POOL_FPS[pool_key] = fingerprint
-        stale = (
-            _CONN_POOL.pop(pool_key, None)
-            if prev is not None and prev != fingerprint
-            else None
+        if prev == fingerprint:
+            return
+        dirty = pool_key in _POOL_DIRTY and pool_key in _CONN_POOL
+        if not dirty:
+            _POOL_FPS[pool_key] = fingerprint
+            stale = _CONN_POOL.pop(pool_key, None)
+            _POOL_DIRTY.discard(pool_key)
+    if dirty:
+        raise RuntimeError(
+            f"pool_key {pool_key!r} maps to two target fingerprints "
+            f"({prev!r} then {fingerprint!r}) while uncommitted coalesced "
+            "work is pending on its connection — pool_key must embed the "
+            "same target identity as the sink fingerprint"
         )
     if stale is not None:
         try:
@@ -242,6 +268,7 @@ def evict_pooled_connection(pool_key: str) -> None:
     contract as ``commit_pooled`` eviction."""
     with _POOL_LOCK:
         conn = _CONN_POOL.pop(pool_key, None)
+        _POOL_DIRTY.discard(pool_key)
     if conn is not None:
         try:
             conn.close()
@@ -261,6 +288,7 @@ def close_pooled_connections() -> None:
         _CONN_POOL.clear()
         _WRITER_CACHE.clear()
         _POOL_FPS.clear()
+        _POOL_DIRTY.clear()
 
 
 def commit_pooled(pool_keys) -> None:
@@ -290,11 +318,14 @@ def commit_pooled(pool_keys) -> None:
             with _POOL_LOCK:
                 for key in [k for k, c in _CONN_POOL.items() if c is conn]:
                     del _CONN_POOL[key]
+                    _POOL_DIRTY.discard(key)
             try:
                 conn.close()
             except Exception:  # noqa: BLE001
                 pass
             raise
+    with _POOL_LOCK:
+        _POOL_DIRTY.difference_update(pool_keys)
 
 
 class JdbcUpsertWriter:
@@ -433,6 +464,17 @@ class JdbcUpsertWriter:
     def _acquire(self) -> tuple[object, bool]:
         if self.pool_key is None:
             return self._acquire_with_retry(), False
+        # repoint guard at the ONE chokepoint every pooled path goes
+        # through (r10 review): a writer whose registration carried a
+        # target fingerprint (TableSink.fingerprint, set by the
+        # dispatch layers as _target_fingerprint) refuses to borrow a
+        # pooled connection stamped for a DIFFERENT target — the stale
+        # connection is evicted (or, if it holds uncommitted coalesced
+        # work, the conflict raises). Raw writer_factory callers carry
+        # no fingerprint and rely on the pool_key contract, as ever.
+        fp = getattr(self, "_target_fingerprint", None)
+        if fp is not None:
+            _reconcile_pool_fingerprint(self.pool_key, fp)
         with _POOL_LOCK:
             conn = _CONN_POOL.get(self.pool_key)
         if conn is None:
@@ -479,6 +521,7 @@ class JdbcUpsertWriter:
         with _POOL_LOCK:
             if _CONN_POOL.get(self.pool_key) is conn:
                 del _CONN_POOL[self.pool_key]
+                _POOL_DIRTY.discard(self.pool_key)
         try:
             conn.close()
         except Exception:  # noqa: BLE001
@@ -724,6 +767,12 @@ class JdbcUpsertWriter:
                     cur.executemany(sql, params)
                 if not self.defer_commit:
                     conn.commit()
+                elif self.pool_key is not None:
+                    # the pooled connection now holds uncommitted rows
+                    # until commit_pooled: mark it dirty so a
+                    # fingerprint conflict refuses to evict it (set.add
+                    # is GIL-atomic; commit_pooled/evictions clear it)
+                    _POOL_DIRTY.add(self.pool_key)
                 self.breaker.record_success()
                 self.stats["deletes" if kind == "delete" else "upserts"] += len(params)
                 return
@@ -755,9 +804,12 @@ class JdbcUpsertWriter:
                 # this extend must not interleave on anything weaker
                 # than the GIL (failure path — the lock costs nothing on
                 # the no-failure hot path).
-                self.stats["failures"] += len(params)
                 letters = [(kind, p, repr(exc)) for p in params]
                 with _POOL_LOCK:
+                    # failures counter under the same lock: += on a
+                    # shared dict entry is a preemptible read-modify-
+                    # write, same cross-thread exposure as the list
+                    self.stats["failures"] += len(params)
                     self.dead_letters.extend(letters)
                 return
 
@@ -829,9 +881,21 @@ def apply_batch_multi(
             env_df.filter(F.col("op") == OP_DELETE), table, sink.schema, "before"
         )
         changes = typed_iu.filter(F.col("op") != OP_DELETE).unionByName(typed_d)
+        # stamp the sink's target fingerprint onto each constructed
+        # writer so apply_batch's pooled acquires get the same repoint
+        # guard as the fanout paths (r10 review: this below-threshold
+        # branch shares the cross-batch pool too)
+        sink_fp = getattr(sink, "fingerprint", None)
+        if sink_fp is not None:
+            def factory(_orig=sink.writer_factory, _fp=sink_fp):
+                w = _orig()
+                w._target_fingerprint = _fp
+                return w
+        else:
+            factory = sink.writer_factory
         stats = apply_batch(
             changes,
-            sink.writer_factory,
+            factory,
             sink.key_cols,
             ["pos_file", "pos_offset"],
             num_partitions,
@@ -924,21 +988,29 @@ def apply_batch_fanout(
     safety nets back that contract (r8 ADVICE): with explicit
     ``sinks``, every hit re-validates the table is still registered
     with the same key columns and ``TableSink.fingerprint`` (evict +
-    rebuild on drift — a fingerprint drift also evicts the old writer's
-    POOLED CONNECTION, since the rebuilt writer re-acquires by
-    ``pool_key`` and would otherwise inherit the old target's handle —
-    skip on deregistration); with ``sink_factory``, an optional
-    ``sink_factory.fingerprint`` attribute folds into the cache key so
-    a config change misses by construction; and cached writers cap
-    retained dead letters at ``_CACHED_DEAD_LETTER_CAP``.
+    rebuild on drift, skip on deregistration); with ``sink_factory``,
+    an optional ``sink_factory.fingerprint`` attribute folds into the
+    cache key so a config change misses by construction; and cached
+    writers cap retained dead letters at ``_CACHED_DEAD_LETTER_CAP``.
 
-    Pool contract (applies to BOTH registration styles, and is the one
-    invariant the safety nets cannot check for ``sink_factory``): a
-    writer's ``pool_key`` must embed the same target identity as its
+    The POOLED CONNECTION gets its own guard at the acquire chokepoint
+    (r10): every writer built here carries a ``_target_fingerprint``
+    (sink-level, falling back to factory-level), and ``_acquire``
+    refuses a pooled connection stamped for a DIFFERENT target — the
+    stale connection is evicted and the writer reconnects through its
+    own ``connect_fn``, so a repointed estate lands in the new target
+    even on cache misses, with ``cache_writers=None``, and on the
+    non-Arrow path. A conflict against a connection holding
+    uncommitted coalesced rows fails loudly instead (the micro-batch
+    replays) — that shape means one batch mapped two targets onto one
+    ``pool_key``, which violates the pool contract below.
+
+    Pool contract (applies to BOTH registration styles): a writer's
+    ``pool_key`` must embed the same target identity as its
     fingerprint (e.g. the JDBC URL). The connection POOL is keyed only
-    by ``pool_key`` — a factory that repoints the target while reusing
-    the key would pass the cache-key fingerprint miss yet still borrow
-    the old target's pooled connection.
+    by ``pool_key``; the fingerprint stamp catches repoints that
+    violate this, but only for registrations that CARRY a fingerprint
+    — raw ``writer_factory`` callers rely on the contract alone.
     """
     import json
 
@@ -952,11 +1024,12 @@ def apply_batch_fanout(
     # cache exists to remove), so a ``sink_factory.fingerprint``
     # attribute — when the caller sets one — turns a config change into
     # a cache MISS by key instead of relying on the namespace contract.
+    factory_fp = (
+        getattr(sink_factory, "fingerprint", None) if sink_factory is not None else None
+    )
     cache_ns = cache_writers
-    if cache_writers is not None and sink_factory is not None:
-        _factory_fp = getattr(sink_factory, "fingerprint", None)
-        if _factory_fp is not None:
-            cache_ns = f"{cache_writers}#{_factory_fp}"
+    if cache_writers is not None and factory_fp is not None:
+        cache_ns = f"{cache_writers}#{factory_fp}"
 
     # ONE exchange: hash-route + in-partition position sort only. The
     # LWW collapse happens INSIDE the dispatch loop below — rows arrive
@@ -1053,20 +1126,14 @@ def apply_batch_fanout(
                                 or getattr(sink, "fingerprint", None)
                                 != getattr(writer, "_cache_fingerprint", None)
                             ):
+                                # evict the WRITER only: the pooled
+                                # connection is handled by the rebuilt
+                                # writer's acquire-time fingerprint
+                                # reconcile (a direct pool evict here
+                                # could race a sibling partition that
+                                # already re-pooled the NEW target's
+                                # connection — r10 review)
                                 _writer_cache_evict(cache_ns, t, writer)
-                                # fingerprint drift means the TARGET may
-                                # have moved: drop the pooled connection
-                                # too, or the rebuilt writer (acquiring
-                                # by the same pool_key) would silently
-                                # reuse the OLD target's connection
-                                # (r9 ADVICE medium)
-                                if (
-                                    sink is not None
-                                    and writer.pool_key is not None
-                                    and getattr(sink, "fingerprint", None)
-                                    != getattr(writer, "_cache_fingerprint", None)
-                                ):
-                                    evict_pooled_connection(writer.pool_key)
                                 writer = None
                                 if sink is None:
                                     skipped.add(t)
@@ -1081,19 +1148,17 @@ def apply_batch_fanout(
                             else:
                                 sink = sink_factory(t)
                         writer = sink.writer_factory()
-                        if writer.pool_key is not None:
-                            # cache-miss corner of a repointed estate
-                            # (r10): a table building its FIRST writer
-                            # after the target moved never passes the
-                            # cache-hit drift check above, yet would
-                            # borrow the stale pooled connection —
-                            # reconcile the pool stamp against this
-                            # sink's fingerprint before any acquire
-                            _reconcile_pool_fingerprint(
-                                writer.pool_key, getattr(sink, "fingerprint", None)
-                            )
+                        # target identity for the acquire-time pool
+                        # reconcile (r10): sink-level fingerprint, with
+                        # the factory-level one as fallback so the
+                        # sink_factory posture (whose TableSinks often
+                        # carry none) is protected too
+                        sink_fp = getattr(sink, "fingerprint", None)
+                        writer._target_fingerprint = (
+                            sink_fp if sink_fp is not None else factory_fp
+                        )
                         if cache_writers is not None and writer.pool_key is not None:
-                            writer._cache_fingerprint = getattr(sink, "fingerprint", None)
+                            writer._cache_fingerprint = sink_fp
                             _writer_cache_put(cache_ns, t, writer)
                     # reconcile per-CALL commit posture on cached AND
                     # fresh writers: a writer cached by a coalescing
@@ -1192,13 +1257,12 @@ def apply_batch_fanout(
         for table, trows in by_table.items():
             sink = local_sinks[table]
             writer = sink.writer_factory()
-            if writer.pool_key is not None:
-                # same repoint guard as the Arrow path: the pool
-                # outlives batches, so a fresh writer after the estate
-                # repointed would borrow the stale connection (r10)
-                _reconcile_pool_fingerprint(
-                    writer.pool_key, getattr(sink, "fingerprint", None)
-                )
+            # same repoint guard as the Arrow path, enforced at the
+            # writer's own acquire (r10): the pool outlives batches, so
+            # a fresh writer after the estate repointed would otherwise
+            # borrow the stale connection
+            _fp = getattr(sink, "fingerprint", None)
+            writer._target_fingerprint = _fp if _fp is not None else factory_fp
             if coalesce_commits and writer.pool_key is not None:
                 writer.defer_commit = True
                 deferred_keys.add(writer.pool_key)
