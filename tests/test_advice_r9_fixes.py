@@ -52,7 +52,9 @@ def _mk_db(path: str, n_tables: int) -> None:
     con.close()
 
 
-def _sink_shared_pool(db: str, table: str, fingerprint: str) -> TableSink:
+def _sink_shared_pool(
+    db: str, table: str, fingerprint: str | None, pool_key: str = "r9adv:shared"
+) -> TableSink:
     """Sink whose pool_key does NOT embed the target — the contract
     violation the fingerprint safety net must now survive."""
 
@@ -67,7 +69,7 @@ def _sink_shared_pool(db: str, table: str, fingerprint: str) -> TableSink:
             columns=["k", "v"],
             key_cols=["k"],
             dialect="sqlite",
-            pool_key="r9adv:shared",  # deliberately target-agnostic
+            pool_key=pool_key,  # deliberately target-agnostic
         )
 
     return TableSink(make, ["k"], None, fingerprint=fingerprint)
@@ -468,9 +470,13 @@ class TestAcquireTimeReconcile:
         _mk_db(str(tmp_path / "b.db"), 2)
         db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
         env = _env(spark, 100, 2)
+        # unique pool_key: the loud conflict leaves worker-side state
+        # behind only for ITS key (evicted + rolled back by the fix),
+        # but sharing the file-wide key with other tests would still
+        # couple orderings
         sinks = {
-            "t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a),
-            "t1": _sink_shared_pool(db_b, "t1", fingerprint=db_b),
+            "t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a, pool_key="r10cf:shared"),
+            "t1": _sink_shared_pool(db_b, "t1", fingerprint=db_b, pool_key="r10cf:shared"),
         }
         try:
             with pytest.raises(Exception, match="two target fingerprints"):
@@ -502,3 +508,77 @@ class TestAcquireTimeReconcile:
             _reconcile_pool_fingerprint("r10:unstamped", "db_b")
         finally:
             close_pooled_connections()
+
+
+class TestDirtyLifecycle:
+    def test_txn_commit_clears_dirty_mark(self, spark, tmp_path):
+        """apply_batch_txn commits directly (not via commit_pooled);
+        its deferred flushes' dirty marks must clear on that commit, or
+        a later fingerprinted batch on the same pool_key raises the
+        two-targets error spuriously (r10 review)."""
+        from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch_txn
+
+        db = str(tmp_path / "txn.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+        con.execute("CREATE TABLE t0 (k INTEGER PRIMARY KEY, v INTEGER)")
+        con.commit()
+        con.close()
+        pool_key = "r10txn:shared"
+
+        def fac():
+            return JdbcUpsertWriter(
+                connect_fn=lambda: sqlite3.connect(db, timeout=60),
+                table="t",
+                columns=["id", "v"],
+                key_cols=["id"],
+                dialect="starrocks",
+                pool_key=pool_key,
+                defer_commit=True,
+            )
+
+        rows = [("I", "f1", i, i, f"v{i}") for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "op string, pos_file string, pos_offset long, id long, v string"
+        )
+        try:
+            apply_batch_txn(df, fac, ["id"], batch_id=0, num_partitions=1)
+            # a FINGERPRINTED batch on the same pool_key must not trip
+            # the dirty-conflict guard (everything is committed)
+            env = _env(spark, 50, 1)
+            applied = apply_batch_fanout(
+                env, {"t0": _sink_shared_pool(db, "t0", fingerprint=db,
+                                              pool_key=pool_key)},
+                num_partitions=1, coalesce_commits=True,
+            )
+            assert applied.get("t0") == 50
+        finally:
+            close_pooled_connections()
+
+    def test_drift_to_fingerprintless_registration_still_repoints(self, spark, tmp_path):
+        """Drift TO a fingerprint-less registration: the rebuilt writer
+        carries no fingerprint for the acquire-time reconcile, so the
+        hit-path must drop the old pooled connection directly — batch-2
+        rows land in the new target (r10 review regression)."""
+        _mk_db(str(tmp_path / "a.db"), 1)
+        _mk_db(str(tmp_path / "b.db"), 1)
+        db_a, db_b = str(tmp_path / "a.db"), str(tmp_path / "b.db")
+        env = _env(spark, 100, 1)
+        ns = "r10-fpless"
+        key = "r10fpless:shared"
+        try:
+            apply_batch_fanout(
+                env, {"t0": _sink_shared_pool(db_a, "t0", fingerprint=db_a, pool_key=key)},
+                num_partitions=2, coalesce_commits=True, cache_writers=ns,
+            )
+            applied = apply_batch_fanout(
+                env, {"t0": _sink_shared_pool(db_b, "t0", fingerprint=None, pool_key=key)},
+                num_partitions=2, coalesce_commits=True, cache_writers=ns,
+            )
+            assert applied.get("t0") == 100
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db_b)
+        n_b = con.execute("SELECT COUNT(*) FROM t0").fetchone()[0]
+        con.close()
+        assert n_b == 100, f"fingerprint-less repoint must land in db_b, got {n_b}"

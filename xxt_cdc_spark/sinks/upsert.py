@@ -205,54 +205,94 @@ def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> Non
 # sink_factory.fingerprint fallback).
 _POOL_FPS: dict[str, object] = {}
 
-# pool_keys whose pooled connection holds UNCOMMITTED coalesced work
-# (defer_commit flushes since the last commit_pooled): evicting such a
-# connection would silently roll back rows already counted as applied,
-# so a fingerprint conflict against a dirty key fails LOUDLY instead
-# (micro-batch replays; PK-upsert idempotence converges it).
-_POOL_DIRTY: set[str] = set()
+# pool_keys whose pooled connection holds UNCOMMITTED coalesced work,
+# as a GENERATION COUNTER (bumped per defer_commit flush, key removed
+# when committed): evicting such a connection would silently roll back
+# rows already counted as applied, so a fingerprint conflict against a
+# dirty key fails LOUDLY instead (micro-batch replays; PK-upsert
+# idempotence converges it). The counter — not a plain set — lets
+# commit_pooled clear only the work it actually committed: a flush
+# landing between its commit and its clear bumps the generation, so
+# the stale clear is skipped and the new work stays marked (r10
+# review: a blanket clear could silently unmark a sibling stream's
+# uncommitted rows).
+_POOL_DIRTY: dict[str, int] = {}
+
+
+def _dirty_generation(pool_key: str):
+    """Current dirty generation for ``pool_key`` (module-level so
+    worker-side closures can read it without capturing _POOL_LOCK —
+    cloudpickle serializes nested closures by value and a captured
+    _thread.lock is unpicklable)."""
+    with _POOL_LOCK:
+        return _POOL_DIRTY.get(pool_key)
+
+
+def _clear_dirty_if_unchanged(pool_key: str, gen) -> None:
+    """Remove the dirty mark iff its generation still equals ``gen``
+    (a flush that raced the caller's commit bumps it and stays
+    marked). Module-level for the same pickling reason as above."""
+    with _POOL_LOCK:
+        if _POOL_DIRTY.get(pool_key) == gen:
+            _POOL_DIRTY.pop(pool_key, None)
 
 
 def _reconcile_pool_fingerprint(pool_key: str, fingerprint) -> None:
-    """Ensure the pooled connection under ``pool_key`` belongs to the
+    """Ensure any pooled connection under ``pool_key`` belongs to the
     target identified by ``fingerprint``.
 
-    - match (or no fingerprint): no-op — the common per-acquire cost is
-      one lock round-trip.
-    - mismatch, connection idle: evict it so the next acquire
-      reconnects through the current ``connect_fn``. A ``None``
-      previous stamp also evicts any pre-existing connection — it was
-      established by a non-stamping path, so its target is UNKNOWN and
-      recording the new stamp over it would mislabel it forever (the
-      cost is one reconnect the first time a fingerprinted estate
-      touches a key the raw paths already pooled).
-    - mismatch, connection DIRTY (uncommitted coalesced rows): raise —
-      one batch is mapping two targets onto one pool_key (the contract
-      violation), and evicting would silently roll back rows already
-      reported applied. The loud failure replays the micro-batch."""
+    Stamps in ``_POOL_FPS`` share the CONNECTION's lifetime: they are
+    written when a fingerprinted writer pools a connection (_acquire)
+    and removed by every pool pop, so a stamp always describes the
+    currently pooled connection — never a past one (r10 review: a
+    surviving stale stamp would mislabel a later connection pooled by
+    a non-stamping path).
+
+    - no connection pooled, or stamp matches: no-op (the common
+      per-acquire cost is one lock round-trip).
+    - mismatch or UNSTAMPED connection, idle: evict it so the next
+      acquire reconnects through the current ``connect_fn``. An
+      unstamped connection was established by a non-stamping path, so
+      its target is UNKNOWN — conservative eviction costs one
+      reconnect.
+    - mismatch, connection DIRTY (uncommitted coalesced rows): evict
+      it WITH a rollback and raise — one batch is mapping two targets
+      onto one pool_key (the contract violation). Silent eviction
+      would roll back rows already reported applied; raising fails the
+      task so its counts are discarded and the micro-batch replays,
+      and the rollback+evict keeps the worker unwedged (no orphaned
+      open transaction holding target write locks)."""
     if fingerprint is None:
         return
     with _POOL_LOCK:
+        conn = _CONN_POOL.get(pool_key)
+        if conn is None:
+            return
         prev = _POOL_FPS.get(pool_key)
         if prev == fingerprint:
             return
-        dirty = pool_key in _POOL_DIRTY and pool_key in _CONN_POOL
-        if not dirty:
-            _POOL_FPS[pool_key] = fingerprint
-            stale = _CONN_POOL.pop(pool_key, None)
-            _POOL_DIRTY.discard(pool_key)
+        dirty = pool_key in _POOL_DIRTY
+        del _CONN_POOL[pool_key]
+        _POOL_FPS.pop(pool_key, None)
+        _POOL_DIRTY.pop(pool_key, None)
+    if dirty:
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001
+            pass
+    try:
+        conn.close()
+    except Exception:  # noqa: BLE001
+        pass
     if dirty:
         raise RuntimeError(
             f"pool_key {pool_key!r} maps to two target fingerprints "
             f"({prev!r} then {fingerprint!r}) while uncommitted coalesced "
             "work is pending on its connection — pool_key must embed the "
-            "same target identity as the sink fingerprint"
+            "same target identity as the sink fingerprint (the pending "
+            "work was rolled back; this task fails so its counts are "
+            "discarded and the micro-batch replays)"
         )
-    if stale is not None:
-        try:
-            stale.close()
-        except Exception:  # noqa: BLE001
-            pass
 
 
 def evict_pooled_connection(pool_key: str) -> None:
@@ -268,7 +308,8 @@ def evict_pooled_connection(pool_key: str) -> None:
     contract as ``commit_pooled`` eviction."""
     with _POOL_LOCK:
         conn = _CONN_POOL.pop(pool_key, None)
-        _POOL_DIRTY.discard(pool_key)
+        _POOL_FPS.pop(pool_key, None)
+        _POOL_DIRTY.pop(pool_key, None)
     if conn is not None:
         try:
             conn.close()
@@ -303,11 +344,15 @@ def commit_pooled(pool_keys) -> None:
     by the PK-upsert idempotence, same as every other retry path."""
     with _POOL_LOCK:
         by_conn: dict[int, object] = {}
+        keys_of: dict[int, list[str]] = {}
+        gen_snapshot: dict[str, int | None] = {}
         for k in pool_keys:
             conn = _CONN_POOL.get(k)
             if conn is not None:
                 by_conn[id(conn)] = conn
-    for conn in by_conn.values():
+                keys_of.setdefault(id(conn), []).append(k)
+                gen_snapshot[k] = _POOL_DIRTY.get(k)
+    for cid, conn in by_conn.items():
         try:
             conn.commit()
         except Exception:
@@ -318,14 +363,23 @@ def commit_pooled(pool_keys) -> None:
             with _POOL_LOCK:
                 for key in [k for k, c in _CONN_POOL.items() if c is conn]:
                     del _CONN_POOL[key]
-                    _POOL_DIRTY.discard(key)
+                    _POOL_FPS.pop(key, None)
+                    _POOL_DIRTY.pop(key, None)
             try:
                 conn.close()
             except Exception:  # noqa: BLE001
                 pass
             raise
-    with _POOL_LOCK:
-        _POOL_DIRTY.difference_update(pool_keys)
+        # clear THIS connection's dirty marks immediately (a later
+        # conn's commit failure must not leave already-committed keys
+        # marked), and only if the generation is unchanged — a sibling
+        # stream's flush racing between the commit above and this
+        # clear bumps the counter and its uncommitted work stays
+        # marked (r10 review)
+        with _POOL_LOCK:
+            for k in keys_of.get(cid, ()):
+                if _POOL_DIRTY.get(k) == gen_snapshot.get(k):
+                    _POOL_DIRTY.pop(k, None)
 
 
 class JdbcUpsertWriter:
@@ -488,6 +542,11 @@ class JdbcUpsertWriter:
                 existing = _CONN_POOL.get(self.pool_key)
                 if existing is None:
                     _CONN_POOL[self.pool_key] = conn
+                    # stamp at POOLING time, same lock: the stamp's
+                    # lifetime is the connection's (every pop clears
+                    # it), so it can never describe a past connection
+                    if fp is not None:
+                        _POOL_FPS[self.pool_key] = fp
             if existing is not None:
                 try:
                     conn.close()
@@ -521,7 +580,8 @@ class JdbcUpsertWriter:
         with _POOL_LOCK:
             if _CONN_POOL.get(self.pool_key) is conn:
                 del _CONN_POOL[self.pool_key]
-                _POOL_DIRTY.discard(self.pool_key)
+                _POOL_FPS.pop(self.pool_key, None)
+                _POOL_DIRTY.pop(self.pool_key, None)
         try:
             conn.close()
         except Exception:  # noqa: BLE001
@@ -769,10 +829,14 @@ class JdbcUpsertWriter:
                     conn.commit()
                 elif self.pool_key is not None:
                     # the pooled connection now holds uncommitted rows
-                    # until commit_pooled: mark it dirty so a
-                    # fingerprint conflict refuses to evict it (set.add
-                    # is GIL-atomic; commit_pooled/evictions clear it)
-                    _POOL_DIRTY.add(self.pool_key)
+                    # until commit: bump the dirty GENERATION so a
+                    # fingerprint conflict refuses to evict it, and so
+                    # a concurrent commit_pooled clear that raced this
+                    # flush skips the key (generation mismatch)
+                    with _POOL_LOCK:
+                        _POOL_DIRTY[self.pool_key] = (
+                            _POOL_DIRTY.get(self.pool_key, 0) + 1
+                        )
                 self.breaker.record_success()
                 self.stats["deletes" if kind == "delete" else "upserts"] += len(params)
                 return
@@ -1134,6 +1198,22 @@ def apply_batch_fanout(
                                 # already re-pooled the NEW target's
                                 # connection — r10 review)
                                 _writer_cache_evict(cache_ns, t, writer)
+                                if (
+                                    sink is not None
+                                    and writer.pool_key is not None
+                                    and getattr(sink, "fingerprint", None) is None
+                                    and getattr(writer, "_cache_fingerprint", None)
+                                    is not None
+                                ):
+                                    # drift TO a fingerprint-LESS
+                                    # registration: the rebuilt writer
+                                    # will carry no fingerprint, so the
+                                    # acquire-time reconcile cannot
+                                    # protect it — drop the old
+                                    # target's connection directly
+                                    # (sibling race is bounded by
+                                    # replay, as all evictions are)
+                                    evict_pooled_connection(writer.pool_key)
                                 writer = None
                                 if sink is None:
                                     skipped.add(t)
@@ -1600,7 +1680,19 @@ def apply_batch_txn(
                 f"VALUES ({ph}, {ph}, {ph})",
                 (gate_id, pid, batch_id),
             )
+            if writer.pool_key is not None:
+                _gen = _dirty_generation(writer.pool_key)
             conn.commit()  # data + position, atomically
+            # this commit bypasses commit_pooled, so clear the dirty
+            # mark the deferred flushes set — a stale mark would make a
+            # later fingerprinted reconcile on this pool_key raise the
+            # two-targets error spuriously (r10 review). Generation-
+            # checked like commit_pooled: a sibling's flush racing the
+            # commit stays marked. Module-level helpers, NOT direct
+            # _POOL_LOCK access — this closure cloudpickles by value
+            # and a captured lock is unpicklable.
+            if writer.pool_key is not None:
+                _clear_dirty_if_unchanged(writer.pool_key, _gen)
             stats["skipped"] = 0
             yield stats
         except BaseException:
