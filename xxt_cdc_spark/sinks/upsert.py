@@ -206,17 +206,70 @@ def _trim_cached_dead_letters(writer, cap: int = _CACHED_DEAD_LETTER_CAP) -> Non
 _POOL_FPS: dict[str, object] = {}
 
 # pool_keys whose pooled connection holds UNCOMMITTED coalesced work,
-# as a GENERATION COUNTER (bumped per defer_commit flush, key removed
-# when committed): evicting such a connection would silently roll back
-# rows already counted as applied, so a fingerprint conflict against a
-# dirty key fails LOUDLY instead (micro-batch replays; PK-upsert
-# idempotence converges it). The counter — not a plain set — lets
-# commit_pooled clear only the work it actually committed: a flush
-# landing between its commit and its clear bumps the generation, so
-# the stale clear is skipped and the new work stays marked (r10
-# review: a blanket clear could silently unmark a sibling stream's
+# as a GENERATION marker (stamped per defer_commit flush from a
+# process-wide monotonic sequence, key removed when committed):
+# evicting such a connection would silently roll back rows already
+# counted as applied, so a fingerprint conflict against a dirty key
+# fails LOUDLY instead (micro-batch replays; PK-upsert idempotence
+# converges it). The generation — not a plain set — lets commit_pooled
+# clear only the work it actually committed: a flush landing between
+# its commit and its clear changes the generation, so the stale clear
+# is skipped and the new work stays marked. MONOTONIC, never reset
+# (r10 review: a per-key counter restarting at 1 after each clear
+# could ABA-match an older snapshot and unmark a sibling's
 # uncommitted rows).
+import itertools as _itertools  # noqa: E402
+
 _POOL_DIRTY: dict[str, int] = {}
+_POOL_DIRTY_SEQ = _itertools.count(1)
+
+
+def _dispose_stale_connection(conn, dirty: bool, prev, fingerprint, pool_key: str) -> None:
+    """Roll back (if dirty), close, and — for dirty work — raise the
+    loud two-targets error. Shared tail of every fingerprint-driven
+    eviction: the rollback+evict keeps the worker unwedged (no orphaned
+    open transaction holding target write locks), and the raise fails
+    the evicting task so the micro-batch replays instead of silently
+    losing rows already counted as applied."""
+    if dirty:
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001
+            pass
+    try:
+        conn.close()
+    except Exception:  # noqa: BLE001
+        pass
+    if dirty:
+        raise RuntimeError(
+            f"pool_key {pool_key!r} maps to two target fingerprints "
+            f"({prev!r} then {fingerprint!r}) while uncommitted coalesced "
+            "work is pending on its connection — pool_key must embed the "
+            "same target identity as the sink fingerprint (the pending "
+            "work was rolled back; this task fails so its counts are "
+            "discarded and the micro-batch replays)"
+        )
+
+
+def _evict_stale_target(pool_key: str, old_fingerprint) -> None:
+    """Drop the pooled connection ONLY while it still belongs to
+    ``old_fingerprint``'s target (stamp match). Used when a
+    registration drifts to a fingerprint-LESS one: the rebuilt writer
+    carries no fingerprint for the acquire-time reconcile, so the old
+    target's connection must go now — but a sibling partition may
+    already have re-pooled the NEW estate's connection (unstamped,
+    since fingerprint-less writers don't stamp), and popping that
+    would discard its deferred rows (r10 review). Dirty work raises,
+    like every fingerprint-driven eviction."""
+    with _POOL_LOCK:
+        conn = _CONN_POOL.get(pool_key)
+        if conn is None or _POOL_FPS.get(pool_key) != old_fingerprint:
+            return
+        dirty = pool_key in _POOL_DIRTY
+        del _CONN_POOL[pool_key]
+        _POOL_FPS.pop(pool_key, None)
+        _POOL_DIRTY.pop(pool_key, None)
+    _dispose_stale_connection(conn, dirty, old_fingerprint, None, pool_key)
 
 
 def _dirty_generation(pool_key: str):
@@ -275,24 +328,7 @@ def _reconcile_pool_fingerprint(pool_key: str, fingerprint) -> None:
         del _CONN_POOL[pool_key]
         _POOL_FPS.pop(pool_key, None)
         _POOL_DIRTY.pop(pool_key, None)
-    if dirty:
-        try:
-            conn.rollback()
-        except Exception:  # noqa: BLE001
-            pass
-    try:
-        conn.close()
-    except Exception:  # noqa: BLE001
-        pass
-    if dirty:
-        raise RuntimeError(
-            f"pool_key {pool_key!r} maps to two target fingerprints "
-            f"({prev!r} then {fingerprint!r}) while uncommitted coalesced "
-            "work is pending on its connection — pool_key must embed the "
-            "same target identity as the sink fingerprint (the pending "
-            "work was rolled back; this task fails so its counts are "
-            "discarded and the micro-batch replays)"
-        )
+    _dispose_stale_connection(conn, dirty, prev, fingerprint, pool_key)
 
 
 def evict_pooled_connection(pool_key: str) -> None:
@@ -346,12 +382,28 @@ def commit_pooled(pool_keys) -> None:
         by_conn: dict[int, object] = {}
         keys_of: dict[int, list[str]] = {}
         gen_snapshot: dict[str, int | None] = {}
+        lost = []
         for k in pool_keys:
             conn = _CONN_POOL.get(k)
             if conn is not None:
                 by_conn[id(conn)] = conn
                 keys_of.setdefault(id(conn), []).append(k)
                 gen_snapshot[k] = _POOL_DIRTY.get(k)
+            elif k in _POOL_DIRTY:
+                # the caller deferred work on this key but its
+                # connection is gone — an eviction rolled those rows
+                # back after they were counted. Silently no-opping
+                # would report them applied (r10 review); fail the
+                # batch so it replays. Clear the mark: the work it
+                # described no longer exists.
+                _POOL_DIRTY.pop(k, None)
+                lost.append(k)
+    if lost:
+        raise RuntimeError(
+            f"pooled connection(s) for {lost!r} were evicted with "
+            "uncommitted coalesced work pending — the rows were rolled "
+            "back; failing the batch so it replays"
+        )
     for cid, conn in by_conn.items():
         try:
             conn.commit()
@@ -527,16 +579,40 @@ class JdbcUpsertWriter:
         # work, the conflict raises). Raw writer_factory callers carry
         # no fingerprint and rely on the pool_key contract, as ever.
         fp = getattr(self, "_target_fingerprint", None)
-        if fp is not None:
-            _reconcile_pool_fingerprint(self.pool_key, fp)
-        with _POOL_LOCK:
-            conn = _CONN_POOL.get(self.pool_key)
-        if conn is None:
+        for _ in range(3):
+            # fingerprint validation and borrow happen in the SAME lock
+            # section (r10 review: a separate check-then-get would let
+            # a sibling evict and re-pool a different-target connection
+            # between the two)
+            stale = None
+            with _POOL_LOCK:
+                conn = _CONN_POOL.get(self.pool_key)
+                if (
+                    conn is not None
+                    and fp is not None
+                    and _POOL_FPS.get(self.pool_key) != fp
+                ):
+                    # stamp mismatch, or an UNSTAMPED connection from a
+                    # non-stamping path (unknown target): evict
+                    prev = _POOL_FPS.get(self.pool_key)
+                    dirty = self.pool_key in _POOL_DIRTY
+                    del _CONN_POOL[self.pool_key]
+                    _POOL_FPS.pop(self.pool_key, None)
+                    _POOL_DIRTY.pop(self.pool_key, None)
+                    stale, conn = conn, None
+            if stale is not None:
+                _dispose_stale_connection(stale, dirty, prev, fp, self.pool_key)
+            if conn is not None:
+                return conn, True
             # connect OUTSIDE the lock: _acquire_with_retry sleeps its
             # backoff, and holding _POOL_LOCK through that would stall
             # every other writer task's acquire/evict for the full
             # backoff. Double-checked put; the race loser closes its
-            # spare connection.
+            # spare connection — but only ADOPTS the winner's
+            # connection when the stamp matches its own fingerprint (a
+            # conflicting sibling's connection points at a different
+            # target — loop so the mismatch is reconciled, not
+            # silently written to).
             conn = self._acquire_with_retry()
             with _POOL_LOCK:
                 existing = _CONN_POOL.get(self.pool_key)
@@ -547,13 +623,20 @@ class JdbcUpsertWriter:
                     # it), so it can never describe a past connection
                     if fp is not None:
                         _POOL_FPS[self.pool_key] = fp
-            if existing is not None:
-                try:
-                    conn.close()
-                except Exception:  # noqa: BLE001
-                    pass
-                conn = existing
-        return conn, True
+                    return conn, True
+                adoptable = fp is None or _POOL_FPS.get(self.pool_key) == fp
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+            if adoptable:
+                return existing, True
+        raise RuntimeError(
+            f"pool_key {self.pool_key!r} keeps re-pooling connections with a "
+            "conflicting target fingerprint under concurrent writers — "
+            "pool_key must embed the same target identity as the sink "
+            "fingerprint"
+        )
 
     def _acquire_with_retry(self):
         """Connection establishment under the SAME retry policy as batch
@@ -834,9 +917,7 @@ class JdbcUpsertWriter:
                     # a concurrent commit_pooled clear that raced this
                     # flush skips the key (generation mismatch)
                     with _POOL_LOCK:
-                        _POOL_DIRTY[self.pool_key] = (
-                            _POOL_DIRTY.get(self.pool_key, 0) + 1
-                        )
+                        _POOL_DIRTY[self.pool_key] = next(_POOL_DIRTY_SEQ)
                 self.breaker.record_success()
                 self.stats["deletes" if kind == "delete" else "upserts"] += len(params)
                 return
@@ -1209,11 +1290,15 @@ def apply_batch_fanout(
                                     # registration: the rebuilt writer
                                     # will carry no fingerprint, so the
                                     # acquire-time reconcile cannot
-                                    # protect it — drop the old
-                                    # target's connection directly
-                                    # (sibling race is bounded by
-                                    # replay, as all evictions are)
-                                    evict_pooled_connection(writer.pool_key)
+                                    # protect it — drop the OLD
+                                    # target's connection, stamp-
+                                    # matched so a sibling's freshly
+                                    # re-pooled (unstamped) connection
+                                    # is never popped (r10 review)
+                                    _evict_stale_target(
+                                        writer.pool_key,
+                                        getattr(writer, "_cache_fingerprint", None),
+                                    )
                                 writer = None
                                 if sink is None:
                                     skipped.add(t)
@@ -1680,8 +1765,9 @@ def apply_batch_txn(
                 f"VALUES ({ph}, {ph}, {ph})",
                 (gate_id, pid, batch_id),
             )
-            if writer.pool_key is not None:
-                _gen = _dirty_generation(writer.pool_key)
+            # (pool_key is guaranteed truthy here — the entry guard
+            # raises without defer_commit + pool_key)
+            _gen = _dirty_generation(writer.pool_key)
             conn.commit()  # data + position, atomically
             # this commit bypasses commit_pooled, so clear the dirty
             # mark the deferred flushes set — a stale mark would make a
@@ -1691,8 +1777,7 @@ def apply_batch_txn(
             # commit stays marked. Module-level helpers, NOT direct
             # _POOL_LOCK access — this closure cloudpickles by value
             # and a captured lock is unpicklable.
-            if writer.pool_key is not None:
-                _clear_dirty_if_unchanged(writer.pool_key, _gen)
+            _clear_dirty_if_unchanged(writer.pool_key, _gen)
             stats["skipped"] = 0
             yield stats
         except BaseException:
