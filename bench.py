@@ -100,11 +100,28 @@ PREV_HEADLINE = [
 # phase-START / phase-END trio runs (`anchor_ratio_start/end`, r9
 # VERDICT item 3 — a single-point anchor cannot see drift that develops
 # DURING the query phase).
-_ANCHOR_OFFICIAL = {  # BENCH_r09 officials (BENCH_local mirror),
-    # refreshed r10 per the once-per-round pin protocol
-    "q1_pricing_summary": 1.752,
-    "q3_top_orders": 1.392,
-    "lead_lag_user_gaps": 1.120,
+#
+# PER-POSITION pins (r10 VERDICT item 1): the start trio pre-warms the
+# three anchor plans, so the in-loop and end trios run warmth-biased
+# fast relative to start. A single pin set therefore makes the in-loop
+# ratio read ~6% fast and the end ratio ~18% fast purely from plan/JIT
+# warmth (r10: 0.861 / 0.805 / 0.681 for the SAME box). Each position
+# is now read against the SAME position from the previous round's
+# officials, so warmth cancels and the ratios measure only box drift.
+_ANCHOR_OFFICIAL_START = {  # BENCH_r10 anchor_start (BENCH_local mirror)
+    "q1_pricing_summary": 1.509,
+    "q3_top_orders": 1.023,
+    "lead_lag_user_gaps": 1.169,
+}
+_ANCHOR_OFFICIAL = {  # BENCH_r10 in-loop officials (anchor_queries)
+    "q1_pricing_summary": 1.418,
+    "q3_top_orders": 0.932,
+    "lead_lag_user_gaps": 0.902,
+}
+_ANCHOR_OFFICIAL_END = {  # BENCH_r10 anchor_end
+    "q1_pricing_summary": 1.193,
+    "q3_top_orders": 0.725,
+    "lead_lag_user_gaps": 0.934,
 }
 
 
@@ -581,7 +598,7 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
 # payload. Cross-round deltas in stream_latency_* / mor latency should
 # be read against stream_anchor_ratio = p50 / pinned official. Refresh
 # the pin to the new official once per round, like anchor_official.
-STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 230.0  # r10 pin = BENCH_r09 official (2026-08-16)
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 194.0  # r11 pin = BENCH_r10 official (2026-08-16)
 
 
 def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:
@@ -1160,10 +1177,10 @@ def main() -> None:
     # officials (refresh alongside PREV_HEADLINE once per round).
     # anchor_ratio > 1 means this box/run is slower than when the
     # previous official was recorded — divide other deltas by it.
-    def _anchor_ratio(vals: dict[str, float]) -> float | None:
-        ratios = sorted(
-            vals[q] / v for q, v in _ANCHOR_OFFICIAL.items() if q in vals
-        )
+    def _anchor_ratio(
+        vals: dict[str, float], pins: dict[str, float] = _ANCHOR_OFFICIAL
+    ) -> float | None:
+        ratios = sorted(vals[q] / v for q, v in pins.items() if q in vals)
         return round(ratios[len(ratios) // 2], 3) if ratios else None
 
     mid_ratio = _anchor_ratio(per_query)
@@ -1172,9 +1189,11 @@ def main() -> None:
         out["anchor_queries"] = {
             q: per_query.get(q) for q in _ANCHOR_OFFICIAL
         }
-    # start/end ratios (r9 VERDICT item 3): intra-run drift = end/start
-    start_ratio = _anchor_ratio(anchor_start)
-    end_ratio = _anchor_ratio(anchor_end)
+    # start/end ratios (r9 VERDICT item 3): intra-run drift = end/start.
+    # Each position reads against its own pin set (r10 VERDICT item 1)
+    # so plan-warmth at later positions does not masquerade as drift.
+    start_ratio = _anchor_ratio(anchor_start, _ANCHOR_OFFICIAL_START)
+    end_ratio = _anchor_ratio(anchor_end, _ANCHOR_OFFICIAL_END)
     if start_ratio is not None:
         out["anchor_ratio_start"] = start_ratio
     if end_ratio is not None:
