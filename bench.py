@@ -1011,6 +1011,43 @@ def _run_stream_phase_isolated() -> dict:
         return {"stream": None, "mor": None, "errors": {"stream_phase": f"{type(e).__name__}: {e}"}}
 
 
+def _run_fanout_100k_isolated() -> dict | None:
+    """Full-width 100,000-table fanout as a STANDING bench lane (r10
+    VERDICT item 5): the reference's "100,000+ active tables" claim is
+    regression-guarded every round instead of living in a one-off demo.
+    Delegates to tools/fanout_100k.py --one in its own process — pooled
+    connections and cached writers live in the WORKER processes, where
+    a driver-side close_pooled_connections() cannot reach them, so only
+    process death guarantees a clean slate (the tool's r10 finding).
+    Bench density is 10 events/table (1M events) so the number reads as
+    steady-state throughput, not per-table overhead. The lane costs
+    ~2-3 min; skip it for fast local iteration with
+    SPARK_GRAFT_FANOUT_100K=0 (driver runs keep the default ON)."""
+    if os.environ.get("SPARK_GRAFT_FANOUT_100K", "1") == "0":
+        return None
+    import subprocess
+    import sys
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "fanout_100k.py"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, tool, "--one", "100000", "10"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=os.environ,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": f"no JSON (rc={p.returncode})"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 # Diagnostic-only fields dropped from the compact line (duplicated,
 # alias, or posture/disclosure detail — all preserved in the full line
 # and the committed BENCH_local.json mirror). *_cold disclosure fields
@@ -1154,6 +1191,8 @@ def main() -> None:
     # number as cold (r9 ADVICE)
     binlog = _guard(errors, "binlog", bench_binlog_transport, spark)
     fanout = _guard(errors, "fanout", bench_fanout_tables, spark)  # 3 widths inside
+    # full-width 100k lane in its OWN process (parent JVM idle here)
+    fan100k = _run_fanout_100k_isolated()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -1224,6 +1263,15 @@ def main() -> None:
         for k, v in fanout.items():
             if k.startswith("events_per_sec_"):
                 out[f"cdc_fanout_{k}"] = v
+    if fan100k:
+        if "events_per_sec" in fan100k:
+            # the README gate metric at the claim's FACE-VALUE width
+            out["cdc_fanout_events_per_sec_100000t"] = fan100k["events_per_sec"]
+            # cold-batch disclosure: _cold suffix keeps it out of the
+            # compact line (full line + BENCH_local.json carry it)
+            out["cdc_fanout_100000t_sec_cold"] = fan100k["cold_sec"]
+        else:
+            errors["fanout_100k"] = fan100k.get("error", "unknown")
     if binlog and "events_per_sec_first_drain" in binlog:
         out["binlog_events_per_sec_first_drain"] = round(
             binlog["events_per_sec_first_drain"]

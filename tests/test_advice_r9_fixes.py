@@ -486,11 +486,17 @@ class TestAcquireTimeReconcile:
         finally:
             close_pooled_connections()
 
-    def test_unstamped_preexisting_connection_evicted_conservatively(self):
-        """A pooled connection established by a non-stamping path has an
-        UNKNOWN target: the first fingerprinted reconcile must evict it
-        (one reconnect) rather than mislabel it with the new stamp."""
-        from xxt_cdc_spark.sinks.upsert import _reconcile_pool_fingerprint
+    def test_unstamped_idle_connection_evicted_conservatively(self, tmp_path):
+        """A pooled IDLE connection established by a non-stamping path
+        has an UNKNOWN target: a fingerprinted acquire must evict it
+        (one reconnect) rather than mislabel or adopt it. (Exercised
+        through _acquire — the one production chokepoint — since the
+        standalone reconcile helper was removed as dead code, r10
+        ADVICE.)"""
+        from xxt_cdc_spark.sinks.upsert import _POOL_FPS, JdbcUpsertWriter
+
+        db = str(tmp_path / "u.db")
+        sqlite3.connect(db).close()
 
         class FakeConn:
             closed = False
@@ -498,15 +504,177 @@ class TestAcquireTimeReconcile:
             def close(self):
                 self.closed = True
 
-        conn = FakeConn()
-        _CONN_POOL["r10:unstamped"] = conn
+            def rollback(self):
+                pass
+
+        stale = FakeConn()
+        _CONN_POOL["r10:unstamped"] = stale
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: sqlite3.connect(db, timeout=60),
+            table="t",
+            columns=["k"],
+            key_cols=["k"],
+            dialect="sqlite",
+            pool_key="r10:unstamped",
+        )
+        w._target_fingerprint = "db_b"
         try:
-            _reconcile_pool_fingerprint("r10:unstamped", "db_b")
-            assert conn.closed
-            assert "r10:unstamped" not in _CONN_POOL
-            # second reconcile with the same fingerprint: clean no-op
-            _reconcile_pool_fingerprint("r10:unstamped", "db_b")
+            conn, pooled = w._acquire()
+            assert pooled and stale.closed, "unknown-target idle conn must go"
+            assert _CONN_POOL["r10:unstamped"] is conn
+            assert _POOL_FPS["r10:unstamped"] == "db_b"
+            # second acquire with the same fingerprint: clean borrow
+            conn2, _ = w._acquire()
+            assert conn2 is conn
         finally:
+            close_pooled_connections()
+
+
+class TestAdviceR10GuardScoping:
+    """r10 ADVICE: the dirty-conflict raise must be scoped to genuinely
+    CONFLICTING stamps; unstamped connections get evict-idle/adopt-dirty
+    so a legitimate fingerprint-less + fingerprinted share of one
+    pool_key (same target) cannot deterministically crash-loop."""
+
+    def test_unstamped_dirty_connection_adopted_not_raised(self):
+        """An UNSTAMPED connection holding a fingerprint-less sibling's
+        deferred rows must be ADOPTED by a fingerprinted acquire:
+        evicting would roll back counted rows, raise, and — because
+        partition order repeats on replay — crash-loop the batch."""
+        from xxt_cdc_spark.sinks.upsert import _POOL_DIRTY, _POOL_FPS, JdbcUpsertWriter
+
+        class FakeConn:
+            closed = False
+
+            def close(self):
+                self.closed = True
+
+            def rollback(self):
+                pass
+
+        dirty_conn = FakeConn()
+        key = "r10adv:mixed"
+        _CONN_POOL[key] = dirty_conn
+        _POOL_DIRTY[key] = 1
+
+        def _no_reconnect():
+            raise AssertionError("adopt path must not reconnect")
+
+        w = JdbcUpsertWriter(
+            connect_fn=_no_reconnect,
+            table="t",
+            columns=["k"],
+            key_cols=["k"],
+            dialect="sqlite",
+            pool_key=key,
+        )
+        w._target_fingerprint = "db_b"
+        try:
+            conn, pooled = w._acquire()
+            assert conn is dirty_conn and pooled
+            assert not dirty_conn.closed
+            # adopted, not relabeled: this writer did not establish the
+            # connection, so it must assert nothing about its target
+            assert key not in _POOL_FPS
+            assert key in _POOL_DIRTY
+        finally:
+            _POOL_DIRTY.pop(key, None)
+            close_pooled_connections()
+
+    def test_stamped_dirty_conflict_still_raises(self):
+        """Scoping must not weaken the real guard: two different
+        non-None stamps on one pool_key with uncommitted work is the
+        contract violation — still a loud two-targets failure."""
+        from xxt_cdc_spark.sinks.upsert import _POOL_DIRTY, _POOL_FPS, JdbcUpsertWriter
+
+        class FakeConn:
+            closed = rolled = False
+
+            def close(self):
+                self.closed = True
+
+            def rollback(self):
+                self.rolled = True
+
+        conn = FakeConn()
+        key = "r10adv:conflict"
+        _CONN_POOL[key] = conn
+        _POOL_FPS[key] = "db_a"
+        _POOL_DIRTY[key] = 3
+        w = JdbcUpsertWriter(
+            connect_fn=lambda: None,
+            table="t",
+            columns=["k"],
+            key_cols=["k"],
+            dialect="sqlite",
+            pool_key=key,
+        )
+        w._target_fingerprint = "db_b"
+        try:
+            with pytest.raises(RuntimeError, match="two target fingerprints"):
+                w._acquire()
+            assert conn.closed and conn.rolled
+            assert key not in _CONN_POOL and key not in _POOL_DIRTY
+        finally:
+            _POOL_DIRTY.pop(key, None)
+            close_pooled_connections()
+
+    def test_mixed_fingerprint_sinks_one_pool_key_converges(self, spark, tmp_path):
+        """The ADVICE scenario end-to-end: a fingerprint-less sink and a
+        fingerprinted sink legitimately share one pool_key for the SAME
+        target under coalesce_commits. Pre-fix, the fingerprinted
+        writer's acquire hit unstamped+dirty and raised the two-targets
+        error on every deterministic replay."""
+        db = str(tmp_path / "mix.db")
+        _mk_db(db, 2)
+        env = _env(spark, 200, 2)
+        sinks = {
+            "t0": _sink_shared_pool(db, "t0", fingerprint=None, pool_key="r10adv:share"),
+            "t1": _sink_shared_pool(db, "t1", fingerprint=db, pool_key="r10adv:share"),
+        }
+        try:
+            applied = apply_batch_fanout(
+                env, sinks, num_partitions=1, coalesce_commits=True
+            )
+            assert sum(applied.values()) == 200
+        finally:
+            close_pooled_connections()
+        con = sqlite3.connect(db)
+        n = sum(
+            con.execute(f"SELECT COUNT(*) FROM t{i}").fetchone()[0] for i in range(2)
+        )
+        con.close()
+        assert n == 200
+
+    def test_evict_pooled_connection_leaves_dirty_mark(self):
+        """Forced (unconditional) eviction under pending deferred work
+        must not turn the loss silent: the rollback happens, but the
+        dirty mark survives so the in-flight batch's commit_pooled
+        fails loudly (rows were counted, then rolled back)."""
+        from xxt_cdc_spark.sinks.upsert import _POOL_DIRTY, commit_pooled
+
+        class FakeConn:
+            closed = rolled = False
+
+            def close(self):
+                self.closed = True
+
+            def rollback(self):
+                self.rolled = True
+
+        conn = FakeConn()
+        key = "r10adv:forced"
+        _CONN_POOL[key] = conn
+        _POOL_DIRTY[key] = 7
+        try:
+            evict_pooled_connection(key)
+            assert conn.closed and conn.rolled
+            assert key in _POOL_DIRTY, "evidence must survive the evict"
+            with pytest.raises(RuntimeError, match="uncommitted coalesced work"):
+                commit_pooled([key])
+            assert key not in _POOL_DIRTY
+        finally:
+            _POOL_DIRTY.pop(key, None)
             close_pooled_connections()
 
 

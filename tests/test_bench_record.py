@@ -92,3 +92,18 @@ def test_compact_final_tier_never_exceeds_budget(monkeypatch):
     parsed = json.loads(line)
     assert "queries" not in parsed
     assert parsed["queries_omitted"] == len(out["queries"])
+
+
+def test_compact_keeps_fanout_100k_field_in_budget():
+    """r10 VERDICT item 5: the standing full-width fanout lane's gate
+    metric must survive compaction (the verdict reads it against the
+    reference's 100k-active-tables claim); its cold-batch disclosure is
+    full-line/mirror-only."""
+    out = dict(_current_record())
+    out["cdc_fanout_events_per_sec_100000t"] = 112902
+    out["cdc_fanout_100000t_sec_cold"] = 21.47
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["cdc_fanout_events_per_sec_100000t"] == 112902
+    assert "cdc_fanout_100000t_sec_cold" not in parsed

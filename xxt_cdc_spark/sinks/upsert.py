@@ -290,63 +290,35 @@ def _clear_dirty_if_unchanged(pool_key: str, gen) -> None:
             _POOL_DIRTY.pop(pool_key, None)
 
 
-def _reconcile_pool_fingerprint(pool_key: str, fingerprint) -> None:
-    """Ensure any pooled connection under ``pool_key`` belongs to the
-    target identified by ``fingerprint``.
-
-    Stamps in ``_POOL_FPS`` share the CONNECTION's lifetime: they are
-    written when a fingerprinted writer pools a connection (_acquire)
-    and removed by every pool pop, so a stamp always describes the
-    currently pooled connection — never a past one (r10 review: a
-    surviving stale stamp would mislabel a later connection pooled by
-    a non-stamping path).
-
-    - no connection pooled, or stamp matches: no-op (the common
-      per-acquire cost is one lock round-trip).
-    - mismatch or UNSTAMPED connection, idle: evict it so the next
-      acquire reconnects through the current ``connect_fn``. An
-      unstamped connection was established by a non-stamping path, so
-      its target is UNKNOWN — conservative eviction costs one
-      reconnect.
-    - mismatch, connection DIRTY (uncommitted coalesced rows): evict
-      it WITH a rollback and raise — one batch is mapping two targets
-      onto one pool_key (the contract violation). Silent eviction
-      would roll back rows already reported applied; raising fails the
-      task so its counts are discarded and the micro-batch replays,
-      and the rollback+evict keeps the worker unwedged (no orphaned
-      open transaction holding target write locks)."""
-    if fingerprint is None:
-        return
-    with _POOL_LOCK:
-        conn = _CONN_POOL.get(pool_key)
-        if conn is None:
-            return
-        prev = _POOL_FPS.get(pool_key)
-        if prev == fingerprint:
-            return
-        dirty = pool_key in _POOL_DIRTY
-        del _CONN_POOL[pool_key]
-        _POOL_FPS.pop(pool_key, None)
-        _POOL_DIRTY.pop(pool_key, None)
-    _dispose_stale_connection(conn, dirty, prev, fingerprint, pool_key)
-
-
 def evict_pooled_connection(pool_key: str) -> None:
-    """Close and forget ONE pooled connection. Used by the fanout
-    dispatch when a cached writer's config fingerprint drifts: the
-    rebuilt writer acquires by ``pool_key``, so if the caller repointed
-    the target while reusing the key, the pool — not just the writer
-    cache — must drop the old connection or the rebuilt writer would
-    silently keep writing to the old target (r9 ADVICE). Siblings
-    sharing the key simply reconnect through their own ``connect_fn``;
-    a sibling mid-flight on the closed handle fails, the micro-batch
-    replays, and PK-upsert idempotence converges it — the same recovery
-    contract as ``commit_pooled`` eviction."""
+    """Close and forget ONE pooled connection, UNCONDITIONALLY — no
+    fingerprint stamp match, no dirty-work raise. Library/operator
+    hook only (e.g. forcing a reconnect after an out-of-band target
+    restart); NOT part of any production dispatch path — repoint
+    safety lives in the acquire-time fingerprint guard (``_acquire``)
+    and, for drift to fingerprint-less registrations, the stamp-
+    matched ``_evict_stale_target``. Because this pops without a stamp
+    match, a caller racing concurrent writer tasks can discard a
+    sibling's freshly re-pooled connection (and roll back its deferred
+    rows); the sibling's task then fails, the micro-batch replays, and
+    PK-upsert idempotence converges it — the same recovery contract as
+    ``commit_pooled`` eviction."""
     with _POOL_LOCK:
         conn = _CONN_POOL.pop(pool_key, None)
         _POOL_FPS.pop(pool_key, None)
-        _POOL_DIRTY.pop(pool_key, None)
+        # deliberately LEAVE any dirty mark: it describes deferred rows
+        # this close is about to roll back after they were counted, and
+        # the in-flight batch's commit_pooled uses mark-without-
+        # connection to fail that batch loudly (popping it here would
+        # turn the loss silent). A batch that never reaches
+        # commit_pooled clears the mark on its replay's own commit.
+        dirty = pool_key in _POOL_DIRTY
     if conn is not None:
+        if dirty:
+            try:
+                conn.rollback()
+            except Exception:  # noqa: BLE001
+                pass
         try:
             conn.close()
         except Exception:  # noqa: BLE001
@@ -592,10 +564,31 @@ class JdbcUpsertWriter:
                     and fp is not None
                     and _POOL_FPS.get(self.pool_key) != fp
                 ):
-                    # stamp mismatch, or an UNSTAMPED connection from a
-                    # non-stamping path (unknown target): evict
                     prev = _POOL_FPS.get(self.pool_key)
                     dirty = self.pool_key in _POOL_DIRTY
+                    if prev is None and dirty:
+                        # UNSTAMPED + DIRTY: a fingerprint-less writer
+                        # CO-DISPATCHED in this batch deferred rows on
+                        # it (dirty marks live only between a deferred
+                        # flush and this batch's commit_pooled, so the
+                        # pooling writer is a same-batch sibling, not a
+                        # pre-repoint leftover). Per the pool_key
+                        # contract — the key embeds target identity,
+                        # the ONLY protection fingerprint-less writers
+                        # ever have — it is the SAME target. Evicting
+                        # would roll back counted rows and raise; the
+                        # replay repeats the same partition order, so
+                        # the batch would crash-loop deterministically
+                        # instead of converging (r10 ADVICE). Adopt it;
+                        # leave it unstamped (this writer did not
+                        # establish it, so it asserts nothing).
+                        return conn, True
+                    # genuine stamp conflict (two fingerprinted
+                    # registrations map different targets onto one
+                    # pool_key — dirty raises below), or an UNSTAMPED
+                    # IDLE connection from a non-stamping path (unknown
+                    # target — conservative eviction costs one
+                    # reconnect, never a raise since it is clean)
                     del _CONN_POOL[self.pool_key]
                     _POOL_FPS.pop(self.pool_key, None)
                     _POOL_DIRTY.pop(self.pool_key, None)
@@ -624,7 +617,15 @@ class JdbcUpsertWriter:
                     if fp is not None:
                         _POOL_FPS[self.pool_key] = fp
                     return conn, True
-                adoptable = fp is None or _POOL_FPS.get(self.pool_key) == fp
+                race_fp = _POOL_FPS.get(self.pool_key)
+                adoptable = (
+                    fp is None
+                    or race_fp == fp
+                    # unstamped + dirty: same-batch fingerprint-less
+                    # sibling's deferred work — same-target under the
+                    # pool_key contract (see the adopt branch above)
+                    or (race_fp is None and self.pool_key in _POOL_DIRTY)
+                )
             try:
                 conn.close()
             except Exception:  # noqa: BLE001
@@ -653,7 +654,8 @@ class JdbcUpsertWriter:
             except Exception as exc:  # noqa: BLE001 — classified below
                 cls = classify_error(exc)
                 if cls is ErrorClass.RETRYABLE and attempt < self.retry.max_retries:
-                    self.stats["retries"] += 1
+                    with _POOL_LOCK:  # shared cached writer (see _flush)
+                        self.stats["retries"] += 1
                     time.sleep(self.retry.delay(attempt))
                     attempt += 1
                     continue
@@ -919,7 +921,18 @@ class JdbcUpsertWriter:
                     with _POOL_LOCK:
                         _POOL_DIRTY[self.pool_key] = next(_POOL_DIRTY_SEQ)
                 self.breaker.record_success()
-                self.stats["deletes" if kind == "delete" else "upserts"] += len(params)
+                # under _POOL_LOCK for the same reason as the failure
+                # path below: a CACHED writer is shared across streams
+                # in one process, and += on a shared dict entry is a
+                # preemptible read-modify-write — unsynchronized, two
+                # concurrent flushes can lose an increment and the
+                # delta-accounted applied counts drift (r10 ADVICE).
+                # One uncontended lock round-trip per FLUSH (not per
+                # row) is noise next to the statement round-trip.
+                with _POOL_LOCK:
+                    self.stats["deletes" if kind == "delete" else "upserts"] += len(
+                        params
+                    )
                 return
             except Exception as exc:
                 try:
@@ -938,7 +951,8 @@ class JdbcUpsertWriter:
                 if cls is ErrorClass.FATAL:
                     raise
                 if cls is ErrorClass.RETRYABLE and attempt < self.retry.max_retries:
-                    self.stats["retries"] += 1
+                    with _POOL_LOCK:  # shared cached writer (see _flush)
+                        self.stats["retries"] += 1
                     time.sleep(self.retry.delay(attempt))
                     attempt += 1
                     continue
@@ -1317,7 +1331,20 @@ def apply_batch_fanout(
                         # reconcile (r10): sink-level fingerprint, with
                         # the factory-level one as fallback so the
                         # sink_factory posture (whose TableSinks often
-                        # carry none) is protected too
+                        # carry none) is protected too.
+                        # CONTRACT (r10 ADVICE): both sources stamp the
+                        # same _POOL_FPS namespace, so when sinks that
+                        # SHARE a pool_key mix the two (one carries a
+                        # sink.fingerprint, a sibling falls back to
+                        # factory_fp), the two strings must be EQUAL —
+                        # different spellings of one physical target
+                        # (e.g. JDBC URL vs config hash) read as a
+                        # two-targets conflict at acquire (evict
+                        # thrash, or the dirty raise). Single-target
+                        # callers should set exactly one of the two;
+                        # per-sink-target callers must embed the target
+                        # in pool_key anyway, which keeps namespaces
+                        # disjoint.
                         sink_fp = getattr(sink, "fingerprint", None)
                         writer._target_fingerprint = (
                             sink_fp if sink_fp is not None else factory_fp
