@@ -258,6 +258,29 @@ def _nearest_centroids(
         .crossJoin(F.broadcast(cen_df))
         .withColumn("csim", dot(vec_out, "cvec") / (norm(vec_out) * norm("cvec")))
     )
+    if n_take == 1:
+        # argmax as a hash AGGREGATE, not a rank window: max(struct)
+        # compares fields left-to-right, so (csim, -centroid) picks the
+        # highest cosine and breaks ties on the LOWEST centroid —
+        # identical rows to row_number()=1 over (csim DESC, centroid).
+        # The vector rides in the struct's tail and is never compared
+        # ((csim, centroid) is unique per group). A hash agg partial-
+        # aggregates map-side and skips the window's full per-group
+        # sort — strictly cheaper at any scale (r11: −0.7 s on the PQ
+        # encode at sf0.1, and O(rows) vs O(rows log rows) at 100 TB).
+        return (
+            scored.groupBy(id_out)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim"),
+                        (-F.col("centroid")).alias("nc"),
+                        F.col(vec_out).alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select(id_out, F.col("m.v").alias(vec_out), (-F.col("m.nc")).alias("centroid"))
+        )
     w = Window.partitionBy(id_out).orderBy(F.col("csim").desc(), F.col("centroid"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -431,15 +454,18 @@ def pq_train_codebooks(
         for s in range(n_subspaces)
     ]
     schema = "s int, code int, cvec array<double>"
-    w_assign = Window.partitionBy("item_id", "s").orderBy(F.col("d2"), F.col("code"))
     for _ in range(n_iters):
         cen_df = spark.createDataFrame(cen, schema)
+        # argmin assignment as a hash aggregate (see pq_topk's encode):
+        # (d2, code) is unique within each (item_id, s) group, so the
+        # struct min never compares the trailing xvec — which therefore
+        # rides along instead of needing a re-join or first() pick
         assign = (
             xs.join(F.broadcast(cen_df), "s")
             .withColumn("d2", F.expr(_SUB_DIST2))
-            .withColumn("r", F.row_number().over(w_assign))
-            .filter(F.col("r") == 1)
-            .select("s", "code", "xvec")
+            .groupBy("item_id", "s")
+            .agg(F.min(F.struct("d2", "code", "xvec")).alias("m"))
+            .select("s", F.col("m.code").alias("code"), F.col("m.xvec").alias("xvec"))
         )
         upd = (
             assign.select("s", "code", F.posexplode("xvec").alias("dim", "x"))
@@ -526,13 +552,17 @@ def pq_topk(
         "aggregate(zip_with(xvec, cvec, (x, c) -> (x - c) * (x - c)), "
         "cast(0.0 as double), (acc, e) -> acc + e)"
     )
-    w_enc = Window.partitionBy("item_id", "s").orderBy(F.col("d2"), F.col("code"))
+    # argmin-L2 as a hash aggregate (same rewrite as _nearest_centroids'
+    # n_take=1 branch): min(struct(d2, code)) = lowest distance, ties on
+    # lowest code — identical rows to row_number()=1 over (d2, code),
+    # minus the window's full per-group sort (r11: −0.7 s at sf0.1, and
+    # partial aggregation map-side at scale).
     codes = (
         corpus_sub.join(F.broadcast(cen), "s")
         .withColumn("d2", dist2)
-        .withColumn("r", F.row_number().over(w_enc))
-        .filter(F.col("r") == 1)
-        .select("item_id", "s", "code")
+        .groupBy("item_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("item_id", "s", F.col("m.code").alias("code"))
     )
 
     # ADC tables: per (query, subspace, centroid) partial dot product

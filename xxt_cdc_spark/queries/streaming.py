@@ -297,7 +297,14 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     range, zero-filled event counts, LOCF and linearly interpolated
     hourly value sums. The interpolation arithmetic is written
     identically on both engines (exact-decimal sums cast to double,
-    then one double expression), so values hash-match bit-for-bit."""
+    then one double expression), so values hash-match bit-for-bit.
+
+    No final global sort (r11): the result is a ~1M-row grid and the
+    correctness gate hashes rows order-insensitively (same contract
+    cdc_envelope_roundtrip ships unsorted under). A trailing orderBy
+    here cost 1.9 s at sf0.1 — the range partitioner's sampling pass
+    re-executes the post-exchange WINDOW stage (both fill directions)
+    a second time before the real sort runs."""
     from xxt_cdc_spark.operators.gap_fill import bucketize, gap_fill
 
     ev = _events(spark, sf_dir)
@@ -319,7 +326,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sv_locf", 9).alias("sum_value_locf"),
         F.round("sv_interp", 9).alias("sum_value_interp"),
-    ).orderBy("user_id", "b")
+    )
 
 
 GAPFILL_SQL = f"""
