@@ -107,3 +107,17 @@ def test_compact_keeps_fanout_100k_field_in_budget():
     parsed = json.loads(line)
     assert parsed["cdc_fanout_events_per_sec_100000t"] == 112902
     assert "cdc_fanout_100000t_sec_cold" not in parsed
+
+
+def test_compact_keeps_live_trigger_point_in_budget():
+    """r10 VERDICT item 4: the live 250 ms-trigger latency point is the
+    gate-relevant Python-posture number — it must survive compaction
+    alongside the 100k fanout field."""
+    out = dict(_current_record())
+    out["stream_live_p50_ms"] = 168.0
+    out["stream_live_p95_ms"] = 208.0
+    out["cdc_fanout_events_per_sec_100000t"] = 112902
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["stream_live_p50_ms"] == 168.0
