@@ -1105,6 +1105,16 @@ _COMPACT_DROP = {
     "cdc_fanout_posture",
     "binlog_events_per_sec_first_drain",
     "stream_anchor_p50_ms",  # ratio stays; pin source lives in BENCH_local
+    # width-slope diagnostics: the gate metrics are the 10000t /
+    # sharded4 / 100000t points; the small widths document the slope
+    # and live in the full line + mirror (r11: these three + the
+    # tables_per_sec alias of 10000t pushed the compact line past
+    # budget when the live-trigger and 100k-lane fields landed, and
+    # the final truncation tier silently halved the query map)
+    "cdc_fanout_events_per_sec_10t",
+    "cdc_fanout_events_per_sec_100t",
+    "cdc_fanout_events_per_sec_1000t",
+    "cdc_fanout_tables_per_sec",  # alias of cdc_fanout_events_per_sec_10000t
 }
 _COMPACT_BUDGET = 1900  # the driver tail-captures ~2000 chars of stdout
 

@@ -121,3 +121,16 @@ def test_compact_keeps_live_trigger_point_in_budget():
     assert len(line) <= bench._COMPACT_BUDGET, len(line)
     parsed = json.loads(line)
     assert parsed["stream_live_p50_ms"] == 168.0
+
+
+def test_compact_keeps_full_query_map_on_current_record():
+    """r11: when the live-trigger and 100k-lane fields landed, the
+    compact line silently crossed the budget and the truncation tier
+    halved the query map — the driver's parsed record IS the compact
+    line, so half the per-query data would have vanished from
+    BENCH_r11. Pin: the current record's compact form keeps EVERY
+    query (truncation is for genuine emergencies, not steady state)."""
+    out = _current_record()
+    parsed = json.loads(bench.compact_record(out))
+    assert len(parsed["queries"]) == len(out["queries"])
+    assert "queries_omitted" not in parsed
