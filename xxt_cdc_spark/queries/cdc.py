@@ -131,7 +131,7 @@ def cdc_lww_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = orders_changefeed(spark, sf_dir)
     return last_write_wins(cf, ["o_orderkey"], ["pos_offset"]).select(
         "o_orderkey", "op", "pos_offset", "o_orderstatus", "o_totalprice"
-    ).orderBy("o_orderkey")
+    )
 
 
 CDC_LWW_SQL = f"""{_CF}
@@ -152,7 +152,7 @@ def cdc_apply_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     cf = orders_changefeed(spark, sf_dir)
     state = apply_changes(orders, cf, ["o_orderkey"], ["pos_offset"])
-    return state.orderBy("o_orderkey")
+    return state
 
 
 CDC_APPLY_SQL = f"""{_CF},
@@ -826,7 +826,7 @@ def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from_pos_offset").alias("valid_from"),
         "o_orderstatus",
         "o_totalprice",
-    ).orderBy("o_orderkey", "probe_pos")
+    )
 
 
 CDC_TEMPORAL_SQL = f"""{_CF},
@@ -888,7 +888,6 @@ def cdc_reconcile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         reconcile(src, target, ["o_orderkey"], n_chunks=256)
-        .orderBy("o_orderkey", "status")
     )
 
 

@@ -36,9 +36,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (smoothed idf). One (doc, term)
     shuffle + a vocab-sized doc-freq join — the plan that survives a
     100 TB corpus because the raw text is read exactly once."""
-    return TX.tfidf_topk(_docs(spark, sf_dir), "text", "doc_id", TFIDF_K).orderBy(
-        "doc_id", "rank"
-    )
+    return TX.tfidf_topk(_docs(spark, sf_dir), "text", "doc_id", TFIDF_K)
 
 
 TFIDF_SQL = f"""
@@ -66,7 +64,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — not the corpus."""
     return TX.bm25_search(
         _docs(spark, sf_dir), "text", "doc_id", BM25_TERMS, BM25_K
-    ).orderBy("rank")
+    )
 
 
 _terms_sql = ", ".join(f"'{t}'" for t in BM25_TERMS)

@@ -209,7 +209,6 @@ def corpus_pack_whole_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.groupBy("shard", "bin")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens"))
-        .orderBy("shard", "bin")
     )
 
 

@@ -304,7 +304,6 @@ SELECT user_id,
        MAX(unix_micros(ts) - unix_micros(prev_ts)) AS max_gap_us
 FROM gaps
 GROUP BY user_id
-ORDER BY user_id
 """
 
 # microsecond-exact integers on both engines (second-granularity
@@ -338,7 +337,6 @@ JOIN events e
  AND e.ts >= o.anchor
  AND e.ts < o.anchor + INTERVAL 3 DAY
 GROUP BY o.o_orderkey
-ORDER BY o.o_orderkey
 """.format(val=sql_dsum("e.value"))
 
 RANGE_JOIN_ORACLE = RANGE_JOIN.replace("INTERVAL 3 DAY", "INTERVAL 3 DAYS")
@@ -389,7 +387,6 @@ def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
-        .orderBy("o_orderkey")
     )
 
 
@@ -456,7 +453,7 @@ WITH RECURSIVE chain AS (
 SELECT root, COUNT(*) AS n_members,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
        MAX(depth) AS max_depth
-FROM chain GROUP BY root ORDER BY root
+FROM chain GROUP BY root
 """)
 
 

@@ -52,7 +52,6 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.join(exact, "o_orderpriority")
         .select(F.col("o_orderpriority").alias("grp"), "ndv_est", "exact_ndv")
-        .orderBy("grp")
     )
 
 
@@ -120,7 +119,6 @@ def sketch_cm_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.join(truth, est["custkey"] == truth["o_custkey"], "left")
         .select("custkey", "cm_est", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"))
-        .orderBy("custkey")
     )
 
 

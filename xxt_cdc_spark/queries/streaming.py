@@ -46,7 +46,6 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -73,7 +72,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1_000_000.0)
             ).alias("duration_s"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -192,7 +190,6 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         matched.filter(F.col("is_event") == 1)
         .select("event_id", F.col("uid").alias("user_id"), "last_order")
-        .orderBy("event_id")
     )
 
 
@@ -274,7 +271,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = interval_join(
         clicks, purchases, "user_id", "click_ts", "purchase_ts", 0, ATTRIB_WINDOW_S
     )
-    return j.select("user_id", "click_id", "purchase_id").orderBy("click_id", "purchase_id")
+    return j.select("user_id", "click_id", "purchase_id")
 
 
 INTERVAL_JOIN_SQL = f"""
@@ -409,7 +406,7 @@ def ts_downsample_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v3"),
         F.lit(None).cast("double").alias("v4"),
     )
-    return o.unionByName(t).orderBy("family", "user_id", "b")
+    return o.unionByName(t)
 
 
 DOWNSAMPLE_SQL = f"""
@@ -583,7 +580,6 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= TOPK_WINDOW_K)
         .select(F.col("w.start").alias("window_start"), "rank", "event_type", "n")
-        .orderBy("window_start", "rank")
     )
 
 
@@ -699,7 +695,6 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.count("missing").alias("n_absent"),
         )
-        .orderBy("event_type")
     )
 
 

@@ -167,7 +167,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return D.jaccard_pairs(
         d, "text", "doc_id", SHINGLE_N, JACCARD_T, df_cap=JACCARD_DF_CAP
-    ).orderBy("i", "j")
+    )
 
 
 # the oracle mirrors the stop-shingle semantics exactly: shingles with
@@ -198,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(
         d, "text", "doc_id", NUM_HASHES, ROWS_PER_BAND, SHINGLE_N, JACCARD_T,
         bucket_cap=LSH_BUCKET_CAP,
-    ).orderBy("i", "j")
+    )
 
 
 _sig_cols = ", ".join(
@@ -336,7 +336,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return D.simhash_pairs(
         d, "text", "doc_id", SIMHASH_BITS, MAX_HAMMING, bucket_cap=SIMHASH_BUCKET_CAP
-    ).orderBy("i", "j")
+    )
 
 
 _votes_sql = ", ".join(
@@ -453,7 +453,7 @@ ORDER BY doc_id
 # --- transitive dedup closure (connected components) ------------------------
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return D.dedup_clusters(d, "text", "doc_id", SHINGLE_N, JACCARD_T).orderBy("doc_id")
+    return D.dedup_clusters(d, "text", "doc_id", SHINGLE_N, JACCARD_T)
 
 
 CLUSTERS_SQL = f"""
@@ -495,7 +495,6 @@ def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(reps.select("doc_id"), "doc_id")
         .filter(F.col("quality") >= 0.5)
         .filter(F.col("lang").isin("en", "de", "es"))
-        .orderBy("doc_id")
     )
 
 
@@ -559,7 +558,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.predict_lang("text").alias("predicted_lang"),
         TX.fingerprint("text").alias("fp"),
         TX.bow_fingerprint("text").alias("bow_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 TEXT_PROFILE_SQL = f"""
@@ -668,7 +667,7 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_key").alias("a_key"),
         F.col("r_key").alias("b_key"),
         F.col("dist").cast("long").alias("dist"),
-    ).orderBy("a_key", "b_key")
+    )
 
 
 FUZZY_JOIN_SQL = f"""

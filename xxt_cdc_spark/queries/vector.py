@@ -234,7 +234,7 @@ def vector_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("exists(v, x -> abs(x) > 2.0)").alias("has_outlier"),
         F.expr("forall(v, x -> abs(x) <= 4.0)").alias("bounded"),
         F.expr(f"{top}[0] + {top}[1] + {top}[2]").alias("top3_sum"),
-    ).orderBy("vec_id")
+    )
 
 
 HOF_FAMILY_SQL = """
@@ -290,7 +290,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         meta.join(img, "media_id", "left")
         .join(aud, "media_id", "left")
-        .orderBy("media_id")
     )
 
 
@@ -574,7 +573,6 @@ def emb_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         S.cosine_neardup_pairs_fast(_emb(spark, sf_dir), NEARDUP_T)
         .withColumn("cosine", F.round("cosine", 9))
-        .orderBy("i", "j")
     )
 
 
@@ -598,13 +596,35 @@ def ann_flat_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ann_topk_cosine / ann_lsh_topk / ann_ivf_topk / ann_pq_topk
     singles for sweep-cap headroom (same operators, same oracles,
     r4-fold precedent); ``family`` discriminates, ``score`` carries the
-    (approx-)cosine each strategy ranks by."""
+    (approx-)cosine each strategy ranks by.
+
+    Built from the UNSORTED kernels (r11): the union discards member
+    order and the correctness gate hashes rows order-insensitively, so
+    the singles' presentation sorts would only pay five extra
+    range-sample + sort stage pairs (the fleet sort audit, SCALING.md
+    round-11)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
     parts = [
-        ("brute", ann_topk_cosine(spark, sf_dir), "cosine"),
-        ("lsh", ann_lsh_topk(spark, sf_dir), "cosine"),
-        ("lsh_multi", ann_lsh_multi_topk(spark, sf_dir), "cosine"),
-        ("ivf", ann_ivf_topk(spark, sf_dir), "cosine"),
-        ("pq", ann_pq_topk(spark, sf_dir), "approx_cosine"),
+        ("brute", S.brute_force_topk(e, q, TOP_K), "cosine"),
+        ("lsh", S.lsh_bucketed_topk(e, q, TOP_K, dims=LSH_DIMS), "cosine"),
+        ("lsh_multi", S.lsh_multitable_topk(e, q, TOP_K), "cosine"),
+        (
+            "ivf",
+            S.ivf_topk(
+                e, q, TOP_K, n_centroids=N_CENTROIDS, n_probe=N_PROBE,
+                centroids="fixed",
+            ),
+            "cosine",
+        ),
+        (
+            "pq",
+            S.pq_topk(
+                e, q, TOP_K, n_subspaces=PQ_SUBSPACES, n_centroids=PQ_CENTROIDS,
+                codebooks="fixed",
+            ),
+            "approx_cosine",
+        ),
     ]
     out = None
     for fam, df, score_col in parts:
@@ -616,7 +636,7 @@ def ann_flat_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(score_col).alias("score"),
         )
         out = d if out is None else out.unionByName(d)
-    return out.orderBy("family", "query_id", "rank")
+    return out
 
 
 ANN_FLAT_SQL = f"""
