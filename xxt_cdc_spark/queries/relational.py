@@ -27,6 +27,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- q1_pricing_summary: TPC-H Q1 analog (flagship) ---------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHOR QUERY — code path frozen since r2 (bench._ANCHOR_OFFICIAL).
+
+    The r11 fleet de-sort deliberately SKIPS this query: its trailing
+    orderBy is part of the pinned plan the box-drift anchor ratios are
+    calibrated against, and making an anchor faster would read as
+    "box running fast" and bias every adjusted cross-round delta. The
+    4-row sort costs ~0.2 s; calibration integrity is worth more."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -43,6 +50,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 

@@ -304,7 +304,12 @@ SELECT user_id,
        MAX(unix_micros(ts) - unix_micros(prev_ts)) AS max_gap_us
 FROM gaps
 GROUP BY user_id
+ORDER BY user_id
 """
+# ^ ANCHOR QUERY — the trailing ORDER BY stays despite the r11 fleet
+# de-sort: lead_lag_user_gaps is one of the three pinned box-drift
+# anchors (bench._ANCHOR_OFFICIAL), and changing an anchor's plan
+# would bias every adjusted cross-round delta (see q1_pricing_summary).
 
 # microsecond-exact integers on both engines (second-granularity
 # epoch() is a truncating double in DuckDB — not comparable)
