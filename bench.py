@@ -1162,6 +1162,11 @@ def main() -> None:
     # P50/P95 are the most session-state-sensitive numbers, and the
     # headline loop below must not inherit its residue either
     iso = _run_stream_phase_isolated()
+    # live sub-second-trigger latency point in its own process, placed
+    # WITH the stream phase: it is a latency number and must not read
+    # through the CPU-phase heat-soak at the end of the run (first
+    # placement measured 205 ms there vs 168 ms isolated)
+    live = _run_live_trigger_isolated()
     stream, mor = iso.get("stream"), iso.get("mor")
     stream_anchor = iso.get("stream_anchor")
     errors: dict[str, str] = dict(iso.get("errors") or {})
@@ -1239,8 +1244,6 @@ def main() -> None:
     fanout = _guard(errors, "fanout", bench_fanout_tables, spark)  # 3 widths inside
     # full-width 100k lane in its OWN process (parent JVM idle here)
     fan100k = _run_fanout_100k_isolated()
-    # live sub-second-trigger latency point, own process likewise
-    live = _run_live_trigger_isolated()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
