@@ -108,20 +108,20 @@ PREV_HEADLINE = [
 # warmth (r10: 0.861 / 0.805 / 0.681 for the SAME box). Each position
 # is now read against the SAME position from the previous round's
 # officials, so warmth cancels and the ratios measure only box drift.
-_ANCHOR_OFFICIAL_START = {  # BENCH_r10 anchor_start (BENCH_local mirror)
-    "q1_pricing_summary": 1.509,
-    "q3_top_orders": 1.023,
-    "lead_lag_user_gaps": 1.169,
+_ANCHOR_OFFICIAL_START = {  # BENCH_r11 anchor_start (BENCH_local mirror)
+    "q1_pricing_summary": 1.465,
+    "q3_top_orders": 1.037,
+    "lead_lag_user_gaps": 1.159,
 }
-_ANCHOR_OFFICIAL = {  # BENCH_r10 in-loop officials (anchor_queries)
-    "q1_pricing_summary": 1.418,
-    "q3_top_orders": 0.932,
-    "lead_lag_user_gaps": 0.902,
+_ANCHOR_OFFICIAL = {  # BENCH_r11 in-loop officials (anchor_queries)
+    "q1_pricing_summary": 1.248,
+    "q3_top_orders": 0.775,
+    "lead_lag_user_gaps": 0.875,
 }
-_ANCHOR_OFFICIAL_END = {  # BENCH_r10 anchor_end
-    "q1_pricing_summary": 1.193,
-    "q3_top_orders": 0.725,
-    "lead_lag_user_gaps": 0.934,
+_ANCHOR_OFFICIAL_END = {  # BENCH_r11 anchor_end
+    "q1_pricing_summary": 1.2,
+    "q3_top_orders": 0.66,
+    "lead_lag_user_gaps": 0.932,
 }
 
 
@@ -598,7 +598,15 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
 # payload. Cross-round deltas in stream_latency_* / mor latency should
 # be read against stream_anchor_ratio = p50 / pinned official. Refresh
 # the pin to the new official once per round, like anchor_official.
-STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 194.0  # r11 pin = BENCH_r10 official (2026-08-16)
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 155.0  # r12 pin = BENCH_r11 official (2026-08-16)
+
+# Live-trigger lane pin (r11 VERDICT item 2): the gate comparator for
+# stream latency is the 250 ms-trigger / 5k ev/s live point, not the
+# availableNow drain (whose 7k-row batches measure throughput batch
+# size). Pinned at the previous round's official so BENCH_r{N} carries
+# a mechanical stream_live_ratio read — if this holds ~1.0 for two
+# rounds the drain-posture P50 retires as a gate metric.
+STREAM_LIVE_OFFICIAL_P50_MS: float | None = 159.0  # r12 pin = BENCH_r11 official
 
 
 def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:
@@ -1320,6 +1328,10 @@ def main() -> None:
             # trigger, 5k ev/s live feed) — the gate-relevant latency
             out["stream_live_p50_ms"] = live["p50_ms"]
             out["stream_live_p95_ms"] = live["p95_ms"]
+            if STREAM_LIVE_OFFICIAL_P50_MS:
+                out["stream_live_ratio"] = round(
+                    live["p50_ms"] / STREAM_LIVE_OFFICIAL_P50_MS, 3
+                )
         else:
             errors["live_trigger"] = live.get("error", "unknown")
     if fan100k:
