@@ -646,12 +646,16 @@ class TestAdviceR10GuardScoping:
         con.close()
         assert n == 200
 
-    def test_evict_pooled_connection_leaves_dirty_mark(self):
+    def test_evict_pooled_connection_tombstones_dirty_loss(self):
         """Forced (unconditional) eviction under pending deferred work
-        must not turn the loss silent: the rollback happens, but the
-        dirty mark survives so the in-flight batch's commit_pooled
-        fails loudly (rows were counted, then rolled back)."""
-        from xxt_cdc_spark.sinks.upsert import _POOL_DIRTY, commit_pooled
+        must not turn the loss silent: the rollback happens, the dirty
+        mark is popped WITH the connection (marks always describe the
+        live pooled connection), and the loss is recorded as a
+        _POOL_LOST tombstone so the in-flight batch's commit_pooled
+        fails loudly (rows were counted, then rolled back). r11 ADVICE
+        upgraded this from a surviving mark (which died as soon as a
+        writer re-acquired and deferred new work) to the tombstone."""
+        from xxt_cdc_spark.sinks.upsert import _POOL_DIRTY, _POOL_LOST, commit_pooled
 
         class FakeConn:
             closed = rolled = False
@@ -669,10 +673,12 @@ class TestAdviceR10GuardScoping:
         try:
             evict_pooled_connection(key)
             assert conn.closed and conn.rolled
-            assert key in _POOL_DIRTY, "evidence must survive the evict"
+            assert key not in _POOL_DIRTY, "mark must not outlive its connection"
+            assert key in _POOL_LOST, "evidence must survive the evict"
             with pytest.raises(RuntimeError, match="uncommitted coalesced work"):
                 commit_pooled([key])
-            assert key not in _POOL_DIRTY
+            assert key not in _POOL_LOST
+            commit_pooled([key])  # replay's commit proceeds clean
         finally:
             _POOL_DIRTY.pop(key, None)
             close_pooled_connections()

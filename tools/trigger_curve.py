@@ -60,6 +60,22 @@ def _changefeed_rows(spark, sf_dir: str) -> list[str]:
     return out
 
 
+def _parse_ts(ts: str | None) -> float | None:
+    """StreamingQueryProgress 'timestamp' (ISO-8601, trailing Z) ->
+    epoch seconds, None when absent/unparseable."""
+    if not ts:
+        return None
+    try:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    except ValueError:
+        return None
+
+
 def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: float) -> dict:
     from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
     from xxt_cdc_spark.streaming.pipeline import (
@@ -145,15 +161,32 @@ def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: flo
         q.awaitTermination(60)
         th.join(5)
 
-        durs, rows = [], 0
+        batches = []  # (start_ts, duration_ms, rows) per non-empty batch
         for p in q.recentProgress:
             if not isinstance(p, dict):
                 j = p.json() if callable(getattr(p, "json", None)) else p.json
                 p = json.loads(j)
             if p.get("numInputRows"):
-                durs.append(float(p["durationMs"]["triggerExecution"]))
-                rows += p["numInputRows"]
-        durs_sorted = sorted(durs[3:])  # JIT warm-up skip
+                batches.append(
+                    (
+                        _parse_ts(p.get("timestamp")),
+                        float(p["durationMs"]["triggerExecution"]),
+                        p["numInputRows"],
+                    )
+                )
+        measured = batches[3:]  # JIT warm-up skip
+        durs_sorted = sorted(b[1] for b in measured)
+        # achieved rate over the SAME batches the percentiles describe,
+        # divided by the wall-clock span they actually covered (first
+        # measured batch start -> last batch start + its duration) —
+        # not total rows / nominal sleep, which mixed warm-up rows into
+        # a denominator that ignores them (r11 ADVICE)
+        rows = sum(b[2] for b in measured)
+        span = 0.0
+        if measured and measured[0][0] is not None and measured[-1][0] is not None:
+            span = (measured[-1][0] - measured[0][0]) + measured[-1][1] / 1000.0
+        if span <= 0:  # timestamps unavailable: fall back to nominal duration
+            span = secs
 
         def pct(f: float):
             if not durs_sorted:
@@ -168,7 +201,7 @@ def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: flo
             "p50_ms": pct(0.5),
             "p95_ms": pct(0.95),
             "p99_ms": pct(0.99),
-            "events_per_sec": round(rows / secs) if durs else 0,
+            "events_per_sec": round(rows / span) if measured else 0,
         }
 
 

@@ -223,6 +223,24 @@ import itertools as _itertools  # noqa: E402
 _POOL_DIRTY: dict[str, int] = {}
 _POOL_DIRTY_SEQ = _itertools.count(1)
 
+# pool_keys whose DIRTY (counted-but-uncommitted) work was rolled back
+# by an eviction that does NOT raise in the owning task — today that is
+# the out-of-band ``evict_pooled_connection`` hook and commit_pooled's
+# failure eviction of keys OUTSIDE the failing caller's commit set.
+# commit_pooled checks this REGARDLESS of re-pooling or generation
+# bumps (r11 ADVICE: a writer that re-acquires after a forced evict and
+# defers new work would otherwise let commit_pooled find a live
+# connection, commit it, and clear the mark — silently reporting the
+# rolled-back rows as applied). A tombstone is popped by the first
+# commit attempt on its key, which FAILS that batch so it replays; in
+# the designed single-stream-per-key case that batch is the loss's
+# owner and its replay re-applies the lost rows. The eviction paths
+# that raise IN the evicting task (_dispose_stale_connection /
+# _evict_stale_target / JdbcUpsertWriter._evict) do not tombstone: the
+# raise already fails the owning batch, and a tombstone would only add
+# a second spurious replay.
+_POOL_LOST: set[str] = set()
+
 
 def _dispose_stale_connection(conn, dirty: bool, prev, fingerprint, pool_key: str) -> None:
     """Roll back (if dirty), close, and — for dirty work — raise the
@@ -300,19 +318,28 @@ def evict_pooled_connection(pool_key: str) -> None:
     matched ``_evict_stale_target``. Because this pops without a stamp
     match, a caller racing concurrent writer tasks can discard a
     sibling's freshly re-pooled connection (and roll back its deferred
-    rows); the sibling's task then fails, the micro-batch replays, and
-    PK-upsert idempotence converges it — the same recovery contract as
-    ``commit_pooled`` eviction."""
+    rows); the loss is recorded in ``_POOL_LOST``, so the owning
+    batch's ``commit_pooled`` fails loudly — even if the key was
+    re-pooled and re-dirtied in between — the micro-batch replays, and
+    PK-upsert idempotence converges it."""
     with _POOL_LOCK:
         conn = _CONN_POOL.pop(pool_key, None)
         _POOL_FPS.pop(pool_key, None)
-        # deliberately LEAVE any dirty mark: it describes deferred rows
-        # this close is about to roll back after they were counted, and
-        # the in-flight batch's commit_pooled uses mark-without-
-        # connection to fail that batch loudly (popping it here would
-        # turn the loss silent). A batch that never reaches
-        # commit_pooled clears the mark on its replay's own commit.
-        dirty = pool_key in _POOL_DIRTY
+        # a dirty mark describes deferred rows this close is about to
+        # roll back AFTER they were counted. Pop it WITH the connection
+        # (marks always describe the live pooled connection — the
+        # _acquire adopt heuristic depends on that, r11 ADVICE) and
+        # record the loss as a TOMBSTONE instead: commit_pooled raises
+        # on it no matter what re-pools under the key or how the
+        # generation moves, so the loss can never be silently
+        # reported applied by a later commit (r11 ADVICE medium — the
+        # old mark-without-connection signal died as soon as a writer
+        # re-acquired and deferred new work).
+        dirty = _POOL_DIRTY.pop(pool_key, None) is not None
+        if dirty:
+            # tombstone even on mark-without-connection (an invariant
+            # violation by some other path) — fail loud, not silent
+            _POOL_LOST.add(pool_key)
     if conn is not None:
         if dirty:
             try:
@@ -338,6 +365,10 @@ def close_pooled_connections() -> None:
         _WRITER_CACHE.clear()
         _POOL_FPS.clear()
         _POOL_DIRTY.clear()
+        # full teardown clears loss tombstones too: carrying one across
+        # a deliberate process-level reset would fail the NEXT run's
+        # first commit for a loss that run never saw
+        _POOL_LOST.clear()
 
 
 def commit_pooled(pool_keys) -> None:
@@ -356,18 +387,32 @@ def commit_pooled(pool_keys) -> None:
         gen_snapshot: dict[str, int | None] = {}
         lost = []
         for k in pool_keys:
+            if k in _POOL_LOST:
+                # counted rows on this key were rolled back by an
+                # eviction that could not signal their owner (forced
+                # evict / another caller's commit failure). The
+                # tombstone survives re-pooling and generation bumps
+                # (r11 ADVICE medium) — pop it and fail THIS batch so
+                # it replays; its replay re-applies the lost rows. A
+                # dirty mark is popped only when no live connection
+                # remains to hold the work it describes: a re-pooled
+                # connection's NEW deferred rows stay marked (still
+                # uncommitted — the replay re-flushes and commits them).
+                _POOL_LOST.discard(k)
+                if _CONN_POOL.get(k) is None:
+                    _POOL_DIRTY.pop(k, None)
+                lost.append(k)
+                continue
             conn = _CONN_POOL.get(k)
             if conn is not None:
                 by_conn[id(conn)] = conn
                 keys_of.setdefault(id(conn), []).append(k)
                 gen_snapshot[k] = _POOL_DIRTY.get(k)
             elif k in _POOL_DIRTY:
-                # the caller deferred work on this key but its
-                # connection is gone — an eviction rolled those rows
-                # back after they were counted. Silently no-opping
-                # would report them applied (r10 review); fail the
-                # batch so it replays. Clear the mark: the work it
-                # described no longer exists.
+                # defensive backstop: a dirty mark with no connection
+                # and no tombstone is an invariant violation (every
+                # eviction path pops the mark with the connection) —
+                # still fail the batch rather than report rows applied
                 _POOL_DIRTY.pop(k, None)
                 lost.append(k)
     if lost:
@@ -384,11 +429,18 @@ def commit_pooled(pool_keys) -> None:
             # including keys outside this commit set — evicting just
             # one would leave siblings handing out a closed/wedged
             # handle to later writers (r5 ADVICE item 5)
+            committing = set(pool_keys)
             with _POOL_LOCK:
                 for key in [k for k, c in _CONN_POOL.items() if c is conn]:
                     del _CONN_POOL[key]
                     _POOL_FPS.pop(key, None)
-                    _POOL_DIRTY.pop(key, None)
+                    was_dirty = _POOL_DIRTY.pop(key, None) is not None
+                    # a dirty key OUTSIDE this commit set belongs to a
+                    # caller the raise below cannot reach — tombstone
+                    # it so ITS commit_pooled fails loudly instead of
+                    # silently reporting the rolled-back rows applied
+                    if was_dirty and key not in committing:
+                        _POOL_LOST.add(key)
             try:
                 conn.close()
             except Exception:  # noqa: BLE001
@@ -569,10 +621,15 @@ class JdbcUpsertWriter:
                     if prev is None and dirty:
                         # UNSTAMPED + DIRTY: a fingerprint-less writer
                         # CO-DISPATCHED in this batch deferred rows on
-                        # it (dirty marks live only between a deferred
-                        # flush and this batch's commit_pooled, so the
+                        # it. Dirty marks always describe the LIVE
+                        # pooled connection: every eviction path pops
+                        # the mark with the connection under one lock
+                        # (the forced-evict hook converts it to a
+                        # _POOL_LOST tombstone instead of leaving it —
+                        # r11 ADVICE), so this mark cannot be a stale
+                        # description of a dead connection and the
                         # pooling writer is a same-batch sibling, not a
-                        # pre-repoint leftover). Per the pool_key
+                        # pre-repoint leftover. Per the pool_key
                         # contract — the key embeds target identity,
                         # the ONLY protection fingerprint-less writers
                         # ever have — it is the SAME target. Evicting
