@@ -268,15 +268,19 @@ def minhash_dedup_pairs(
         .persist()
     )
     # sig is tiny (one row per doc) but feeds both sides of the band
-    # self-join — cache it so the shingle agg shuffle runs once
+    # self-join — cache it so the shingle agg shuffle runs once. The
+    # per-doc shingle COUNT rides the same aggregation (r12): a
+    # separate shingle_sizes groupBy would re-shuffle the full shingle
+    # frame on the same key a second time for one extra column.
     sig = sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"h{s}")
             for s in range(num_hashes)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n_shingles"),
     ).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band, bucket_cap)
-    sizes = shingle_sizes(sh, id_col)
+    sizes = sig.select(id_col, "n_shingles")
     a = sh.select(F.col(id_col).alias("i"), "sh64")
     b = sh.select(F.col(id_col).alias("j"), "sh64")
     # the second join keys on (j, sh64) — joining on j alone and
