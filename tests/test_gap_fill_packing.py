@@ -41,6 +41,45 @@ class TestGapFill:
         # single-observation key: no gaps, values exact
         assert by[(2, 7)].v_locf == 5.0 and by[(2, 7)].v_interp == 5.0
 
+    def test_observed_but_null_bucket_is_bridged_not_misreported(self, spark):
+        """A bucket PRESENT with a null value must read observed=1 yet
+        have both fills bridge it — the r12 segment-explode rewrite
+        must preserve this (the null row contributes no fill anchor)."""
+        rows = [
+            (1, 10, 2, 4.0),
+            (1, 11, 1, None),  # present, value null
+            (1, 13, 1, 10.0),
+        ]
+        obs = spark.createDataFrame(rows, "user_id int, b long, n int, v double")
+        by = {
+            (r.user_id, r.b): r
+            for r in gap_fill(obs, ["user_id"], "b", value_cols=["v"], count_cols=["n"]).collect()
+        }
+        assert set(by) == {(1, b) for b in (10, 11, 12, 13)}
+        # presence flag reports the ROW, not value nullness
+        assert by[(1, 11)].observed == 1 and by[(1, 11)].n == 1
+        assert by[(1, 12)].observed == 0 and by[(1, 12)].n == 0
+        # fills skip the null anchor: locf carries 4.0 across both
+        assert by[(1, 11)].v_locf == 4.0 and by[(1, 12)].v_locf == 4.0
+        # interp walks 4 -> 10 over buckets 10..13
+        assert abs(by[(1, 11)].v_interp - 6.0) < 1e-12
+        assert abs(by[(1, 12)].v_interp - 8.0) < 1e-12
+        assert by[(1, 13)].v_interp == 10.0
+
+    def test_plan_is_join_free_and_windows_pre_explode(self, spark):
+        """The r12 shape guard: fills are windowed over the OBSERVED
+        rows and the grid is exploded from gap segments — the plan must
+        contain no join (the old shape joined the exploded grid back to
+        the observations and sorted the grid twice)."""
+        plan = gap_fill(
+            self._observed(spark), ["user_id"], "b", value_cols=["v"], count_cols=["n"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "Generate explode" in plan  # the grid still fans out distributed
+        # the explode (Generate) must sit ABOVE the window evaluation in
+        # the operator tree (children print below parents)
+        assert plan.index("Generate") < plan.index("Window")
+
     def test_bucketize_micros_exact(self, spark):
         df = spark.createDataFrame(
             [(datetime(2024, 1, 1, 0, 59, 59),), (datetime(2024, 1, 1, 1, 0, 0),)],

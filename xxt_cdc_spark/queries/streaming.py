@@ -300,8 +300,10 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate hashes rows order-insensitively (same contract
     cdc_envelope_roundtrip ships unsorted under). A trailing orderBy
     here cost 1.9 s at sf0.1 — the range partitioner's sampling pass
-    re-executes the post-exchange WINDOW stage (both fill directions)
-    a second time before the real sort runs."""
+    re-executes the plan a second time before the real sort runs.
+    Since r12 the fills are windowed over the OBSERVED rows and the
+    grid is exploded from gap segments (operators/gap_fill.py) — the
+    1M-row grid is never sorted or joined at all (2.44 → 1.41 s)."""
     from xxt_cdc_spark.operators.gap_fill import bucketize, gap_fill
 
     ev = _events(spark, sf_dir)
