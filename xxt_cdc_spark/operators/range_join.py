@@ -42,6 +42,7 @@ def binned_range_join(
     bin_width_s: int,
     extra_eq: list[str] | None = None,
     how: str = "inner",
+    broadcast_intervals: bool | None = None,
 ) -> DataFrame:
     """Join ``points`` (event time ``point_ts``) to ``intervals``
     (half-open ``[lo_col, hi_col)``) on containment, executed as a hash
@@ -50,6 +51,18 @@ def binned_range_join(
     ``bin_width_s`` trades fanout against bin selectivity: each
     interval explodes into ``ceil(len/width)+1`` rows. Choose it near
     the typical interval length.
+
+    ``broadcast_intervals``: pass True when the caller KNOWS the
+    interval set is small. Catalyst cannot size an explode output, so
+    with both inputs under the auto-broadcast threshold it may build
+    the hash table from the POINTS side and stream the few interval
+    rows — which serializes the (points × overlap) join output and the
+    partial aggregation above it into as many tasks as the interval
+    side has partitions (r12: the sf0.1 global-window query produced
+    its 1.5M matched rows on ONE task that way). True pins BuildRight
+    on the exploded intervals so the match volume is produced across
+    the points-side partitions. None (default) leaves the choice to
+    Catalyst/AQE — the right posture when intervals may be data-sized.
     """
     lo_bin = _bin_of(F.col(lo_col), bin_width_s)
     # half-open interval: hi itself is excluded, but its bin still
@@ -57,6 +70,8 @@ def binned_range_join(
     # inclusive so the edge case only costs one empty-candidate bin
     hi_bin = _bin_of(F.col(hi_col), bin_width_s)
     exploded = intervals.withColumn(BIN_COL, F.explode(F.sequence(lo_bin, hi_bin)))
+    if broadcast_intervals:
+        exploded = F.broadcast(exploded)
     binned_points = points.withColumn(BIN_COL, _bin_of(F.col(point_ts), bin_width_s))
     keys = [BIN_COL, *(extra_eq or [])]
     joined = binned_points.join(exploded, keys, how)

@@ -381,13 +381,27 @@ def range_join_binned_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hi", F.col("lo") + F.expr("INTERVAL 3 DAY"))
     )
+    # spread the single-file events scan across cores BEFORE the join:
+    # the matched volume is ~15× the input (every event joins every
+    # covering interval) and the decimal partial-agg above it runs on
+    # the points-side partitions — one parquet file = near-serial
+    # otherwise (same posture as functions/dedup.shingles; r12: 2.27 →
+    # 0.73 s together with the broadcast pin below)
+    pts = ev.select("event_id", "ts", "value").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     joined = binned_range_join(
-        ev.select("event_id", "ts", "value"),
+        pts,
         intervals,
         point_ts="ts",
         lo_col="lo",
         hi_col="hi",
         bin_width_s=3 * 24 * 3600,
+        # ~150 intervals by construction: pin the broadcast side so the
+        # 1.5M matched rows are produced across the events partitions
+        # (Catalyst was building the hash table from the POINTS side
+        # and streaming 450 interval rows through one task — r12)
+        broadcast_intervals=True,
     )
     return (
         joined.groupBy("o_orderkey")
