@@ -119,7 +119,12 @@ def gap_fill(
     )
     w_lead = Window.partitionBy(*key_cols).orderBy(F.col(bucket_col).asc())
 
-    payload = [c for c in observed.columns if c not in {*key_cols, bucket_col}]
+    # "observed" is the flag's name: an input column with that name was
+    # REPLACED by the flag in the pre-r12 shape (withColumn semantics) —
+    # keep that contract instead of emitting a duplicate column
+    payload = [
+        c for c in observed.columns if c not in {*key_cols, bucket_col, "observed"}
+    ]
     zero_fill = set(count_cols or [])
     df = observed
     for v in value_cols:
