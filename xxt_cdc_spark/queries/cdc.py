@@ -65,6 +65,12 @@ def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw feed is this query's own input, so a feed defect fails this
     hash too — r4 registry consolidation.)"""
     cf = orders_changefeed(spark, sf_dir)
+    # the whole query is map-side JSON codec work (no shuffle anywhere),
+    # so a single-file orders scan runs it on the union's 4 tasks —
+    # spread it first (r12: 1.9 → 1.0 s; a production changefeed
+    # arrives from the binlog source already partitioned, so this is
+    # the small-file-artifact posture of functions/dedup.shingles)
+    cf = cf.repartition(spark.sparkContext.defaultParallelism)
     env = to_envelope(cf)
     orders_schema = normalize_timestamps(spark.read.parquet(f"{sf_dir}/orders.parquet")).schema
     # image='auto' does the per-op before/after dispatch in one pass —
