@@ -108,20 +108,20 @@ PREV_HEADLINE = [
 # warmth (r10: 0.861 / 0.805 / 0.681 for the SAME box). Each position
 # is now read against the SAME position from the previous round's
 # officials, so warmth cancels and the ratios measure only box drift.
-_ANCHOR_OFFICIAL_START = {  # BENCH_r11 anchor_start (BENCH_local mirror)
-    "q1_pricing_summary": 1.465,
-    "q3_top_orders": 1.037,
-    "lead_lag_user_gaps": 1.159,
+_ANCHOR_OFFICIAL_START = {  # BENCH_r12 anchor_start (BENCH_local mirror)
+    "q1_pricing_summary": 1.512,
+    "q3_top_orders": 1.024,
+    "lead_lag_user_gaps": 1.126,
 }
-_ANCHOR_OFFICIAL = {  # BENCH_r11 in-loop officials (anchor_queries)
-    "q1_pricing_summary": 1.248,
-    "q3_top_orders": 0.775,
-    "lead_lag_user_gaps": 0.875,
+_ANCHOR_OFFICIAL = {  # BENCH_r12 in-loop officials (anchor_queries)
+    "q1_pricing_summary": 1.243,
+    "q3_top_orders": 0.758,
+    "lead_lag_user_gaps": 0.91,
 }
-_ANCHOR_OFFICIAL_END = {  # BENCH_r11 anchor_end
-    "q1_pricing_summary": 1.2,
-    "q3_top_orders": 0.66,
-    "lead_lag_user_gaps": 0.932,
+_ANCHOR_OFFICIAL_END = {  # BENCH_r12 anchor_end
+    "q1_pricing_summary": 1.325,
+    "q3_top_orders": 0.701,
+    "lead_lag_user_gaps": 1.043,
 }
 
 
@@ -598,15 +598,18 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
 # payload. Cross-round deltas in stream_latency_* / mor latency should
 # be read against stream_anchor_ratio = p50 / pinned official. Refresh
 # the pin to the new official once per round, like anchor_official.
-STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 155.0  # r12 pin = BENCH_r11 official (2026-08-16)
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 160.0  # r13 pin = BENCH_r12 official (2026-08-16)
 
 # Live-trigger lane pin (r11 VERDICT item 2): the gate comparator for
 # stream latency is the 250 ms-trigger / 5k ev/s live point, not the
 # availableNow drain (whose 7k-row batches measure throughput batch
 # size). Pinned at the previous round's official so BENCH_r{N} carries
-# a mechanical stream_live_ratio read — if this holds ~1.0 for two
-# rounds the drain-posture P50 retires as a gate metric.
-STREAM_LIVE_OFFICIAL_P50_MS: float | None = 159.0  # r12 pin = BENCH_r11 official
+# a mechanical stream_live_ratio read. RETIRED as of r13 (r12 VERDICT
+# item 3): two consecutive inside-gate officials (159 ms @ ratio 1.0 in
+# r11, 161 ms @ 1.013 in r12) met the README's retirement criterion, so
+# stream_live_p50_ms is now the SOLE P50 gate metric and the
+# drain-posture stream_latency_p50_ms is a throughput diagnostic only.
+STREAM_LIVE_OFFICIAL_P50_MS: float | None = 161.0  # r13 pin = BENCH_r12 official
 
 
 def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:
