@@ -203,8 +203,12 @@ class TestTriggerCurveRate:
 
     def test_rate_uses_measured_batches_over_actual_span(self):
         """The rate arithmetic extracted from run_point: warm-up rows
-        (first 3 batches) are excluded, and the denominator is the
-        covered wall-clock span, not the nominal sleep."""
+        (first 3 batches) are excluded, and the denominator covers the
+        ARRIVAL window of the counted rows — anchored at the previous
+        batch's start, not the first measured batch's start (which
+        shrank the span by one trigger interval and overstated the
+        rate ~11% at few-batch counts, r12 ADVICE)."""
+        trigger_ms = 250
         batches = [
             (100.0, 400.0, 5000),  # warm-up: big slow batches
             (100.5, 400.0, 5000),
@@ -216,9 +220,21 @@ class TestTriggerCurveRate:
         ]
         measured = batches[3:]
         rows = sum(b[2] for b in measured)
-        span = (measured[-1][0] - measured[0][0]) + measured[-1][1] / 1000.0
+        prev = batches[2]
+        span = (measured[-1][0] - prev[0]) + measured[-1][1] / 1000.0
         assert rows == 5000
-        assert abs(span - 0.9) < 1e-9
-        # old arithmetic: 35000 rows / 20 s nominal = 1750 (nonsense);
-        # new: 5000 / 0.9 s = 5556 ~ the actual 5k ev/s feed
-        assert round(rows / span) == 5556
+        # span now includes measured[0]'s arrival interval (101.0 →
+        # 101.25): 1.15 s instead of the old 0.9 s
+        assert abs(span - 1.15) < 1e-9
+        # old first-measured anchor: 5000 / 0.9 = 5556 (+11% for a
+        # true 5k ev/s feed); previous-batch anchor: 4348 — the bias
+        # now UNDERstates slightly at tiny batch counts (prev was a
+        # slow warm-up batch) and vanishes as batches accumulate
+        assert round(rows / span) == 4348
+        # fallback when no prior batch carries a timestamp: first
+        # measured start minus one trigger interval
+        span_fb = (
+            (measured[-1][0] - (measured[0][0] - trigger_ms / 1000.0))
+            + measured[-1][1] / 1000.0
+        )
+        assert abs(span_fb - 1.15) < 1e-9

@@ -34,14 +34,27 @@ def main():
     spark = get_spark("profile-fuzzy")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from xxt_cdc_spark.operators import fuzzy_join as fj
+    from xxt_cdc_spark.operators.fuzzy_join import (
+        _left_probes,
+        _probe_spec,
+        _right_probes,
+        _short_branch,
+        _verify_long,
+        edit_distance_join,
+    )
     from xxt_cdc_spark.queries.text import FUZZY_MAX_DIST, fuzzy_join_part_names
 
     # full query, warm
     timed("FULL fuzzy_join_part_names", lambda: fuzzy_join_part_names(spark, SF_DIR))
 
-    # rebuild the internals exactly as edit_distance_join does
-    d, parts = FUZZY_MAX_DIST, FUZZY_MAX_DIST + 1
+    # stage decomposition through the OPERATOR'S OWN builders — the
+    # profiler imports _right_probes/_probe_spec/_left_probes/
+    # _verify_long/_short_branch from operators/fuzzy_join.py, so a
+    # shape change there changes the decomposition too (r12 ADVICE: the
+    # hand-copied internals could silently measure a stale shape).
+    # Only the INPUT framing (part/pert, same as queries/text.py's
+    # fuzzy_join_part_names) is restated here.
+    d = FUZZY_MAX_DIST
     rec = "concat(p_name, '|', p_brand, '|', p_type, '|', cast(p_size as string))"
     part = spark.read.parquet(f"{SF_DIR}/part.parquet").withColumn("rec", F.expr(rec))
     pert = part.filter(F.col("p_partkey") % 5 == 0).select(
@@ -56,89 +69,26 @@ def main():
     l_names = part.select(F.col("p_partkey").alias("l_key"), F.col("rec").alias("l_str"))
     r_names = pert.select(F.col("b_key").alias("r_key"), F.col("b_rec").alias("r_str"))
 
-    rlen = F.length("r_str")
-    r_segs = []
-    for k in range(parts):
-        st, ln = fj._seg_bounds(rlen, k, parts)
-        r_segs.append(
-            F.struct(F.lit(k).alias("k"), F.substring(F.col("r_str"), st, ln).alias("seg"))
-        )
-    def rg():
-        return (
-            r_names.filter(rlen >= fj._MIN_SEG_LEN)
-            .select("r_key", "r_str", rlen.alias("L"), F.explode(F.array(*r_segs)).alias("s"))
-            .select("r_key", "r_str", "L", F.col("s.k").alias("k"), F.col("s.seg").alias("seg"))
-        )
-
-    n_p = 2 * d + 1
-    tot = n_p * parts * n_p
-    _dL = f"((i DIV {parts * n_p}) - {d})"
-    _k = f"((i DIV {n_p}) % {parts})"
-    _dp = f"((i % {n_p}) - {d})"
-    _L = f"(n + {_dL})"
-    _st = f"(CAST(FLOOR({_L} * {_k} / {parts}) AS INT) + 1)"
-    _en = f"CAST(FLOOR({_L} * ({_k} + 1) / {parts}) AS INT)"
-    _ln = f"({_en} - {_st} + 1)"
-    _pp = f"({_st} + {_dp})"
-    _pos_ok = (
-        f"(abs({_dp}) + abs({_dL} + {_dp}) <= {d} "
-        f"AND abs({_dL} + {_dp}) <= {d} - {_k})"
-    )
-    _valid = (
-        f"({_L} >= {fj._MIN_SEG_LEN} AND {_pos_ok} "
-        f"AND {_pp} >= 1 AND {_pp} + {_ln} - 1 <= n)"
-    )
-    spec_expr = (
-        f"filter(transform(sequence(0, {tot - 1}), i -> "
-        f"CASE WHEN {_valid} THEN named_struct("
-        f"'L', CAST({_L} AS INT), 'k', CAST({_k} AS INT), "
-        f"'pp', CAST({_pp} AS INT), 'ln', CAST({_ln} AS INT)) "
-        f"ELSE NULL END), x -> x IS NOT NULL)"
-    )
     def spec():
-        return (
-            l_names.select(F.length("l_str").alias("n"))
-            .distinct()
-            .select("n", F.explode(F.expr(spec_expr)).alias("s"))
-            .select(
-                "n", F.col("s.L").alias("L"), F.col("s.k").alias("k"),
-                F.col("s.pp").alias("pp"), F.col("s.ln").alias("ln"),
-            )
-        )
+        return _probe_spec(l_names, d)
+
+    def rg():
+        return _right_probes(r_names, d)
 
     def lg():
-        return (
-            l_names.withColumn("n", F.length("l_str"))
-            .join(F.broadcast(spec()), "n")
-            .select(
-                "l_key", "l_str", "L", "k",
-                F.expr("substring(l_str, pp, ln)").alias("seg"),
-            )
-        )
+        return _left_probes(l_names, d)
 
     def cand():  # equi-join only, no verify
         return lg().join(rg(), ["L", "k", "seg"]).select("l_key", "r_key")
 
     def ver_nodist():  # + inline levenshtein verify, no distinct
-        return (
-            lg().join(rg(), ["L", "k", "seg"])
-            .withColumn("dist", F.levenshtein("l_str", "r_str", d))
-            .filter(F.col("dist") >= 0)
-            .select("l_key", "r_key", "dist")
-        )
+        return _verify_long(lg(), rg(), d, distinct=False)
 
     def ver_long():
-        return ver_nodist().distinct()
+        return _verify_long(lg(), rg(), d)
 
     def ver_short():
-        return (
-            l_names.filter(F.length("l_str") <= fj._MIN_SEG_LEN - 1 + d)
-            .crossJoin(r_names.filter(F.length("r_str") < fj._MIN_SEG_LEN))
-            .filter(F.abs(F.length("l_str") - F.length("r_str")) <= d)
-            .withColumn("dist", F.levenshtein("l_str", "r_str", d))
-            .filter(F.col("dist") >= 0)
-            .select("l_key", "r_key", "dist")
-        )
+        return _short_branch(l_names, r_names, d)
 
     timed("spec (distinct lengths + explode)", spec)
     timed("rg (right probes)", rg)
@@ -148,11 +98,20 @@ def main():
     timed("ver_long (+distinct)", ver_long)
     timed("ver_short (short branch)", ver_short)
 
-    # volume facts
+    # volume facts — plus the guard the ADVICE asked for: the sum of
+    # the two branches measured here must equal the operator's own
+    # output on the same inputs, or the decomposition is stale
     print("rows: part =", part.count(), " pert =", pert.count())
     print("probe rows: lg =", lg().count(), " rg =", rg().count())
+    n_pairs = ver_long().count() + ver_short().count()
+    n_op = edit_distance_join(
+        part.select("p_partkey", "rec"), pert, "p_partkey", "b_key", "rec", "b_rec", d
+    ).count()
     print("candidates =", cand().count(), " verified(no dist) =", ver_nodist().count(),
-          " pairs =", ver_long().count())
+          " pairs =", n_pairs, " operator pairs =", n_op)
+    if n_pairs != n_op:
+        print(f"WARNING: decomposition ({n_pairs}) != operator output ({n_op}) — "
+              "stage builders out of sync with edit_distance_join")
     spark.stop()
 
 

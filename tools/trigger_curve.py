@@ -176,15 +176,24 @@ def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: flo
                 )
         measured = batches[3:]  # JIT warm-up skip
         durs_sorted = sorted(b[1] for b in measured)
-        # achieved rate over the SAME batches the percentiles describe,
-        # divided by the wall-clock span they actually covered (first
-        # measured batch start -> last batch start + its duration) —
-        # not total rows / nominal sleep, which mixed warm-up rows into
-        # a denominator that ignores them (r11 ADVICE)
+        # achieved rate over the SAME batches the percentiles describe.
+        # The denominator must cover the ARRIVAL window of the counted
+        # rows: the first measured batch's rows arrived during the
+        # trigger interval BEFORE its start timestamp, so the span is
+        # anchored at the PREVIOUS batch's start (or first-measured
+        # start minus one trigger interval when no prior batch carries
+        # a timestamp) — anchoring at the first measured start shrank
+        # the denominator by one interval and overstated the rate ~11%
+        # at few-batch counts (r12 ADVICE).
         rows = sum(b[2] for b in measured)
         span = 0.0
         if measured and measured[0][0] is not None and measured[-1][0] is not None:
-            span = (measured[-1][0] - measured[0][0]) + measured[-1][1] / 1000.0
+            prev = batches[2] if len(batches) > 3 else None
+            if prev is not None and prev[0] is not None:
+                span_start = prev[0]
+            else:
+                span_start = measured[0][0] - trigger_ms / 1000.0
+            span = (measured[-1][0] - span_start) + measured[-1][1] / 1000.0
         if span <= 0:  # timestamps unavailable: fall back to nominal duration
             span = secs
 

@@ -68,26 +68,12 @@ def _seg_bounds(L: Column, k: int, parts: int) -> tuple[Column, Column]:
     return start, (end - start + 1)
 
 
-def edit_distance_join(
-    left: DataFrame,
-    right: DataFrame,
-    left_key: str,
-    right_key: str,
-    left_str: str,
-    right_str: str,
-    max_dist: int,
-) -> DataFrame:
-    """Pairs ``(l_key, r_key, dist)`` with
-    ``levenshtein(left_str, right_str) = dist ≤ max_dist``.
-
-    Exact: blocking is lossless (see module docstring), verification is
-    the built-in levenshtein. Keys must be unique per side.
-    """
-    d, parts = max_dist, max_dist + 1
-    l_names = left.select(F.col(left_key).alias("l_key"), F.col(left_str).alias("l_str"))
-    r_names = right.select(F.col(right_key).alias("r_key"), F.col(right_str).alias("r_str"))
-
-    # --- right probes: the d+1 segments of each (long-enough) string
+def _right_probes(r_names: DataFrame, d: int) -> DataFrame:
+    """Right probes: the d+1 segments of each (long-enough) string.
+    Factored to module level so tools/profile_fuzzy.py measures the
+    SAME builders the operator runs (r12 ADVICE: a hand-copied probe
+    shape in the profiler silently goes stale)."""
+    parts = d + 1
     rlen = F.length("r_str")
     r_segs = []
     for k in range(parts):
@@ -95,31 +81,33 @@ def edit_distance_join(
         r_segs.append(
             F.struct(F.lit(k).alias("k"), F.substring(F.col("r_str"), st, ln).alias("seg"))
         )
-    rg = (
+    return (
         r_names.filter(rlen >= _MIN_SEG_LEN)
         .select("r_key", "r_str", rlen.alias("L"), F.explode(F.array(*r_segs)).alias("s"))
         .select("r_key", "r_str", "L", F.col("s.k").alias("k"), F.col("s.seg").alias("seg"))
     )
 
-    # --- left probes: for each admissible right length and segment,
-    # the substrings at the admissible start positions. The admissible
-    # (L, k, position, seg-length) tuples depend ONLY on length(l_str),
-    # so the probe SPEC is enumerated once per DISTINCT length (a
-    # higher-order transform-over-sequence — interpreted, but over
-    # dozens of rows instead of the corpus) and broadcast-joined back
-    # on the length; the per-row substring then runs inside whole-stage
-    # codegen. Evaluating the same lambda per corpus row was the
-    # operator's bottleneck once the join was inlined (~4 s of 6 at
-    # sf0.1: 75 interpreted elements × every row).
-    #
-    # Position-aware probe selection (PassJoin's substring-selection
-    # bound, derived in the module docstring): with Δ = l_len − L = −dL
-    # and shift δ = dp, a real match with segment k as the FIRST
-    # surviving segment satisfies
-    #   |δ| + |Δ − δ| ≤ d       (edits before ≥ |δ|, after ≥ |Δ − δ|)
-    #   |Δ − δ| ≤ d − k        (each of the k earlier segments eats ≥1 edit)
-    # which cuts the admissible probe count from (2d+1)²(d+1) = 75 to
-    # 29 at d = 2 with an unchanged (brute-force-equal) result.
+
+def _probe_spec(l_names: DataFrame, d: int) -> DataFrame:
+    """The admissible (L, k, position, seg-length) probe tuples per
+    DISTINCT left length. The tuples depend ONLY on length(l_str), so
+    the spec is enumerated once per distinct length (a higher-order
+    transform-over-sequence — interpreted, but over dozens of rows
+    instead of the corpus) and broadcast-joined back on the length;
+    the per-row substring then runs inside whole-stage codegen.
+    Evaluating the same lambda per corpus row was the operator's
+    bottleneck once the join was inlined (~4 s of 6 at sf0.1: 75
+    interpreted elements × every row).
+
+    Position-aware probe selection (PassJoin's substring-selection
+    bound, derived in the module docstring): with Δ = l_len − L = −dL
+    and shift δ = dp, a real match with segment k as the FIRST
+    surviving segment satisfies
+      |δ| + |Δ − δ| ≤ d       (edits before ≥ |δ|, after ≥ |Δ − δ|)
+      |Δ − δ| ≤ d − k        (each of the k earlier segments eats ≥1 edit)
+    which cuts the admissible probe count from (2d+1)²(d+1) = 75 to
+    29 at d = 2 with an unchanged (brute-force-equal) result."""
+    parts = d + 1
     n_p = 2 * d + 1
     tot = n_p * parts * n_p
     _dL = f"((i DIV {parts * n_p}) - {d})"
@@ -145,7 +133,7 @@ def edit_distance_join(
         f"'pp', CAST({_pp} AS INT), 'ln', CAST({_ln} AS INT)) "
         f"ELSE NULL END), x -> x IS NOT NULL)"
     )
-    spec = (
+    return (
         l_names.select(F.length("l_str").alias("n"))
         .distinct()
         .select("n", F.explode(F.expr(spec_expr)).alias("s"))
@@ -154,37 +142,49 @@ def edit_distance_join(
             F.col("s.pp").alias("pp"), F.col("s.ln").alias("ln"),
         )
     )
-    lg = (
+
+
+def _left_probes(l_names: DataFrame, d: int) -> DataFrame:
+    """Left probes: substrings at the admissible positions, via the
+    broadcast probe spec (see _probe_spec)."""
+    return (
         l_names.withColumn("n", F.length("l_str"))
-        .join(F.broadcast(spec), "n")
+        .join(F.broadcast(_probe_spec(l_names, d)), "n")
         .select(
             "l_key", "l_str", "L", "k",
             F.expr("substring(l_str, pp, ln)").alias("seg"),
         )
     )
 
-    # verify INLINE on the probe join — strings ride along, so the
-    # threshold-bounded levenshtein (O(d·n) banded DP, -1 above the
-    # bound) runs in the same stage as the equi-join and only the
-    # verified pairs (tiny) reach the dedup shuffle. The previous shape
-    # (distinct the candidate PAIR LIST, then two join-backs to refetch
-    # the strings) shuffled the candidate set three times — and on
-    # low-entropy composite records candidates run ~200× the true
-    # pairs (measured 1.76M candidates → 8.4k pairs at sf0.1), so the
-    # candidate-sized shuffles dominated the operator. A pair matching
-    # on several segments pays levenshtein once per matching segment
-    # (≤ d+1, deterministic result); distinct collapses it after the
-    # filter, where rows are few.
-    ver_long = (
+
+def _verify_long(lg: DataFrame, rg: DataFrame, d: int, distinct: bool = True) -> DataFrame:
+    """Candidate equi-join + inline banded-levenshtein verify.
+
+    Verify INLINE on the probe join — strings ride along, so the
+    threshold-bounded levenshtein (O(d·n) banded DP, -1 above the
+    bound) runs in the same stage as the equi-join and only the
+    verified pairs (tiny) reach the dedup shuffle. The previous shape
+    (distinct the candidate PAIR LIST, then two join-backs to refetch
+    the strings) shuffled the candidate set three times — and on
+    low-entropy composite records candidates run ~200× the true
+    pairs (measured 1.76M candidates → 8.4k pairs at sf0.1), so the
+    candidate-sized shuffles dominated the operator. A pair matching
+    on several segments pays levenshtein once per matching segment
+    (≤ d+1, deterministic result); distinct collapses it after the
+    filter, where rows are few."""
+    out = (
         lg.join(rg, ["L", "k", "seg"])
         .withColumn("dist", F.levenshtein("l_str", "r_str", d))
         .filter(F.col("dist") >= 0)
         .select("l_key", "r_key", "dist")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
-    # --- short branch: right strings below the segment threshold
-    ver_short = (
+
+def _short_branch(l_names: DataFrame, r_names: DataFrame, d: int) -> DataFrame:
+    """Short branch: right strings below the segment threshold —
+    bounded crossJoin, length-banded before the levenshtein call."""
+    return (
         l_names.filter(F.length("l_str") <= _MIN_SEG_LEN - 1 + d)
         .crossJoin(r_names.filter(F.length("r_str") < _MIN_SEG_LEN))
         # length band: one comparison here beats a levenshtein call
@@ -194,6 +194,31 @@ def edit_distance_join(
         .filter(F.col("dist") >= 0)
         .select("l_key", "r_key", "dist")
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_str: str,
+    right_str: str,
+    max_dist: int,
+) -> DataFrame:
+    """Pairs ``(l_key, r_key, dist)`` with
+    ``levenshtein(left_str, right_str) = dist ≤ max_dist``.
+
+    Exact: blocking is lossless (see module docstring), verification is
+    the built-in levenshtein. Keys must be unique per side.
+    """
+    d = max_dist
+    l_names = left.select(F.col(left_key).alias("l_key"), F.col(left_str).alias("l_str"))
+    r_names = right.select(F.col(right_key).alias("r_key"), F.col(right_str).alias("r_str"))
+
+    rg = _right_probes(r_names, d)
+    lg = _left_probes(l_names, d)
+    ver_long = _verify_long(lg, rg, d)
+    ver_short = _short_branch(l_names, r_names, d)
     # branches are disjoint (split on the right length alone) and the
     # short branch emits each pair exactly once — no cross-branch dedup
     return ver_long.unionByName(ver_short)

@@ -321,7 +321,18 @@ def evict_pooled_connection(pool_key: str) -> None:
     rows); the loss is recorded in ``_POOL_LOST``, so the owning
     batch's ``commit_pooled`` fails loudly — even if the key was
     re-pooled and re-dirtied in between — the micro-batch replays, and
-    PK-upsert idempotence converges it."""
+    PK-upsert idempotence converges it.
+
+    CONTRACT: at most ONE writer stream may defer work under a given
+    ``pool_key`` at a time (the engine's dispatch guarantees this —
+    pool_key embeds the target identity and each target belongs to one
+    query's sink). The loss tombstone is consumed by the FIRST commit
+    touching the key; with two streams sharing a key, a non-owner
+    could consume it (one spurious replay) while the loss's owner then
+    commits clean and reports its rolled-back rows applied. Keying
+    tombstones by owner would need a batch token threaded through
+    defer/commit — out of contract for this single-stream design
+    (r12 ADVICE)."""
     with _POOL_LOCK:
         conn = _CONN_POOL.pop(pool_key, None)
         _POOL_FPS.pop(pool_key, None)
@@ -380,7 +391,13 @@ def commit_pooled(pool_keys) -> None:
     COMMIT was 95% of the apply cost). A connection whose commit fails
     is evicted (it may be wedged mid-transaction) and the error
     propagates so the micro-batch replays — convergence is guaranteed
-    by the PK-upsert idempotence, same as every other retry path."""
+    by the PK-upsert idempotence, same as every other retry path.
+
+    CONTRACT: one writer stream per ``pool_key`` (see
+    ``evict_pooled_connection``). Loss tombstones are one-shot — the
+    first commit touching a tombstoned key consumes it and fails so
+    the owning batch replays; that attribution is only correct when
+    the committing stream IS the key's sole writer (r12 ADVICE)."""
     with _POOL_LOCK:
         by_conn: dict[int, object] = {}
         keys_of: dict[int, list[str]] = {}
