@@ -46,17 +46,43 @@ def scd2_history(
     ``is_current`` (1 for the key's live version; a deleted key has
     none).
     """
+    # rotation-safe position order (collapse.order_exprs): pos_file
+    # sorts by (length, value) so a widened rotation suffix keeps the
+    # numeric clock; a no-op while suffix width is constant. The
+    # length term is MATERIALIZED as a column (not an inline
+    # expression in orderBy): expression-based sort orders defeat
+    # both CollapseWindow (adjacent Window merge) and sort-order
+    # reuse across the lag/lead windows — with attributes, the whole
+    # history computes on ONE exchange + ONE sort (r13; measured 3
+    # sorts with the inline expressions).
+    sort_tmp = [f"__ord_len_{c}" for c in order_cols if c == "pos_file"]
+    src = changes
+    order_by = []
+    for c in order_cols:
+        if c == "pos_file":
+            src = src.withColumn(f"__ord_len_{c}", F.length(F.col(c)))
+            order_by.append(F.col(f"__ord_len_{c}"))
+        order_by.append(F.col(c))
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
     # full-row dedup, matching the oracle's SELECT DISTINCT *: the
     # position is the engine's logical clock, so two DIFFERENT rows at
     # one (key, position) is a broken feed (both engines would order
-    # the tie arbitrarily) — only exact redeliveries are collapsible
-    deduped = changes.dropDuplicates()
-    # rotation-safe position order (collapse.order_exprs): pos_file
-    # sorts by (length, value) so a widened rotation suffix keeps the
-    # numeric clock; a no-op while suffix width is constant
-    from xxt_cdc_spark.operators.collapse import order_exprs
-
-    w = Window.partitionBy(*key_cols).orderBy(*order_exprs(order_cols))
+    # the tie arbitrarily) — only exact redeliveries are collapsible.
+    # The dedup RIDES the version window's shuffle+sort (r13): exact
+    # redeliveries share (key, position), so they land ADJACENT in the
+    # per-key position sort and a lag-equality filter drops them; the
+    # lead() windows below reuse the same exchange+sort (identical
+    # window spec over an order-preserving filter). A dropDuplicates
+    # here instead hashed the FULL row as the shuffle key — a second
+    # full-feed shuffle, with every payload byte in the key, ahead of
+    # the key-partitioned window shuffle.
+    row_struct = F.struct(*[F.col(c) for c in changes.columns])
+    deduped = (
+        src.withColumn("__row", row_struct)
+        .withColumn("__prev", F.lag("__row").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("__row")))
+        .drop("__row", "__prev")
+    )
     out = deduped
     for c in order_cols:
         out = out.withColumn(f"valid_to_{c}", F.lead(c).over(w))
@@ -66,7 +92,7 @@ def scd2_history(
     )
     for c in order_cols:
         out = out.withColumnRenamed(c, f"valid_from_{c}")
-    return out.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+    return out.filter(F.col(op_col) != OP_DELETE).drop(op_col, *sort_tmp)
 
 
 class Scd2Table:
