@@ -153,3 +153,50 @@ class TestScd2AsOf:
                 for r in apply_changes(base, upto, ["id"], ["pos_file", "pos_offset"]).collect()
             )
             assert got == want, cut
+
+
+class TestLagDedupEquivalence:
+    """r13: scd2_history's redelivery dedup rides the version window
+    (lag-equality filter) instead of a full-row dropDuplicates shuffle.
+    Pin the equivalence on the shapes the lag can get wrong: triple
+    redeliveries (consecutive equal rows must ALL collapse) and
+    null-payload duplicates (struct equality must treat null fields as
+    equal, like dropDuplicates does)."""
+
+    def test_triple_and_null_payload_redeliveries_collapse(self, spark):
+        rows = [
+            # triple exact redelivery of one insert
+            (1, "a1", "I", "bin.000001", 10),
+            (1, "a1", "I", "bin.000001", 10),
+            (1, "a1", "I", "bin.000001", 10),
+            (1, "a2", "U", "bin.000001", 20),
+            # duplicated DELETE with null payload — null-safe equality
+            (2, "b1", "I", "bin.000001", 11),
+            (2, None, "D", "bin.000001", 21),
+            (2, None, "D", "bin.000001", 21),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        hist = scd2_history(df, ["id"], ["pos_file", "pos_offset"])
+        got = _hist_tuples(hist)
+        # key 1: two versions (the triple collapses to one row);
+        # key 2: one closed version (delete collapses, closes it)
+        assert got == [
+            (1, "a1", "bin.000001", 10, "bin.000001", 20, 0),
+            (1, "a2", "bin.000001", 20, None, None, 1),
+            (2, "b1", "bin.000001", 11, "bin.000001", 21, 0),
+        ]
+
+    def test_matches_dropduplicates_baseline(self, spark):
+        # randomized-ish feed with planted redeliveries: the window
+        # form must equal a dropDuplicates + history computed the
+        # old way (the oracle's SELECT DISTINCT * semantics)
+        base = [(k, f"v{k}_{p}", op, "bin.000001", k * 10 + p)
+                for k in range(1, 30)
+                for p, op in ((1, "I"), (2, "U"))]
+        feed = base + base[::3]  # every 3rd row redelivered
+        df = spark.createDataFrame(feed, SCHEMA)
+        hist = scd2_history(df, ["id"], ["pos_file", "pos_offset"])
+        assert hist.count() == len(base)
+        # exactly one current version per key
+        cur = hist.filter(F.col("is_current") == 1)
+        assert cur.count() == 29
