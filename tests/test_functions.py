@@ -818,45 +818,3 @@ class TestLshMultiTable:
         rows = S.lsh_multitable_topk(e, q, k).collect()
         assert len({(r.query_id, r.item_id) for r in rows}) == len(rows)
 
-
-class TestShingleCountFold:
-    """r13: jaccard_pairs' denominators ride the self-join via
-    shingle_keys(with_count=True) — the inline per-doc count must equal
-    the aggregated shingle_sizes count, and the folded pairs must equal
-    a sizes-join reference."""
-
-    def test_inline_count_equals_aggregated(self, spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-        sh = D.shingle_keys(docs, "text", "doc_id", 3, with_count=True)
-        agg = D.shingle_sizes(sh.select("doc_id", "sh64"), "doc_id")
-        agg2 = agg.withColumnRenamed("n_shingles", "n_agg")
-        mismatch = (
-            sh.select("doc_id", "n_shingles").distinct()
-            .join(agg2, "doc_id")
-            .filter(F.col("n_shingles") != F.col("n_agg"))
-        )
-        assert mismatch.count() == 0
-        # one count per doc (the inline scalar is constant per doc)
-        per_doc = sh.select("doc_id", "n_shingles").distinct().groupBy("doc_id").count()
-        assert per_doc.filter(F.col("count") > 1).count() == 0
-
-    def test_folded_pairs_equal_sizes_join_reference(self, spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
-        got = {(r.i, r.j, round(r.jaccard, 9))
-               for r in D.jaccard_pairs(docs, threshold=0.3).collect()}
-        # reference: the pre-r13 sizes-join shape
-        sh = D.shingle_keys(docs, "text", "doc_id", 3).persist()
-        sizes = D.shingle_sizes(sh, "doc_id")
-        a = sh.select(F.col("doc_id").alias("i"), "sh64")
-        b = sh.select(F.col("doc_id").alias("j"), "sh64")
-        shared = (a.join(b, "sh64").filter(F.col("i") < F.col("j"))
-                  .groupBy("i", "j").agg(F.count(F.lit(1)).alias("shared")))
-        na = sizes.select(F.col("doc_id").alias("i"), F.col("n_shingles").alias("ni"))
-        nb = sizes.select(F.col("doc_id").alias("j"), F.col("n_shingles").alias("nj"))
-        ref = (shared.join(na, "i").join(nb, "j")
-               .withColumn("jaccard", F.col("shared").cast("double")
-                           / (F.col("ni") + F.col("nj") - F.col("shared")))
-               .filter(F.col("jaccard") >= 0.3))
-        want = {(r.i, r.j, round(r.jaccard, 9)) for r in ref.collect()}
-        sh.unpersist()
-        assert got == want and len(got) > 0

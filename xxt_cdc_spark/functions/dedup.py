@@ -65,13 +65,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
-def shingle_keys(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    with_count: bool = False,
-) -> DataFrame:
+def shingle_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct 64-bit shingle keys, one row per (doc, sh64) — the
     string-free fast path for joins that only need shingle IDENTITY
     (Jaccard candidate generation), not the shingle text.
@@ -92,41 +86,19 @@ def shingle_keys(
         f"transform(sequence(0, size(__toks) - {n}), i -> xxhash64({toks})), "
         f"array())"
     )
+    # the explode keeps the HOF INLINE as the generator input on
+    # purpose: materializing the array as a named column first turns
+    # the generator input into an attribute, which lets
+    # InferFiltersFromGenerate add a `size(e)>0 AND isnotnull(e)`
+    # pre-filter that CollapseProject then inlines and pushes below
+    # the repartition — re-evaluating the whole shingle HOF twice more
+    # per doc (r13, measured; the rule's SPARK-36715 guard skips
+    # inline non-attribute inputs).
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    base = df.repartition(n_parts).select(
-        F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__toks")
-    )
-    if with_count:
-        # the per-doc DISTINCT shingle count is a scalar of the
-        # pre-explode array — computing it here costs one extra HOF
-        # evaluation per DOC, while deriving it downstream costs a
-        # full doc-keyed shuffle of the exploded frame
-        # (shingle_sizes). Callers that need Jaccard denominators
-        # ride this column through their joins instead (r13; same
-        # principle as the r12 minhash signature-agg fold).
-        #
-        # Both size() and explode() take the HOF INLINE on purpose:
-        # materializing the array as a named column turns the
-        # generator input into an attribute, which lets
-        # InferFiltersFromGenerate add a `size(e)>0 AND isnotnull(e)`
-        # pre-filter that CollapseProject then inlines and pushes
-        # below the repartition — re-evaluating the whole shingle HOF
-        # twice more per doc (measured: the inferred-filter plan cost
-        # +2 HOF passes; the rule's SPARK-36715 guard skips inline
-        # non-attribute inputs).
-        # two selects: the count lands in the projection BELOW the
-        # Generate (per doc); a single select would place it above,
-        # re-evaluating the HOF once per exploded ROW
-        return base.select(
-            F.col(id_col),
-            F.size(F.array_distinct(F.expr(keys_arr))).alias("n_shingles"),
-            "__toks",
-        ).select(
-            F.col(id_col), "n_shingles",
-            F.explode(F.array_distinct(F.expr(keys_arr))).alias("sh64"),
-        )
-    return base.select(
-        F.col(id_col), F.explode(F.array_distinct(F.expr(keys_arr))).alias("sh64")
+    return (
+        df.repartition(n_parts)
+        .select(F.col(id_col), F.expr(f"split(trim({text_col}), '\\\\s+')").alias("__toks"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(keys_arr))).alias("sh64"))
     )
 
 
@@ -169,52 +141,38 @@ def jaccard_pairs(
     # materializing the n-gram string (a phantom shared-count needs two
     # distinct shingles of the SAME doc pair to collide in 64 bits —
     # ~1e-9 across the whole corpus)
-    if df_cap is None:
-        # no stop-shingle cut: the Jaccard denominator is the per-doc
-        # DISTINCT shingle count, which shingle_keys computes inline
-        # from the pre-explode array (r13) — so ni/nj RIDE the
-        # self-join as extra grouping keys (functionally dependent on
-        # i/j: same shuffle distribution, +16 bytes/row) instead of
-        # two full doc-keyed aggregations of the shingle frame plus
-        # two joins back. At 100 TB that removes two full-corpus
-        # shuffles from the plan.
-        sh = shingle_keys(df, text_col, id_col, n, with_count=True).persist()
-        a = sh.select(F.col(id_col).alias("i"), F.col("n_shingles").alias("ni"), "sh64")
-        b = sh.select(F.col(id_col).alias("j"), F.col("n_shingles").alias("nj"), "sh64")
-        jac = (
-            a.join(b, "sh64")
-            .filter(F.col("i") < F.col("j"))
-            .groupBy("i", "j", "ni", "nj")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .withColumn(
-                "jaccard",
-                F.col("shared").cast("double")
-                / (F.col("ni") + F.col("nj") - F.col("shared")),
-            )
-        )
-        return jac.filter(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
-    # stop-shingle filter: drop DF > cap rows BEFORE the self-join
-    # AND from the size denominators (Jaccard over rare shingles);
-    # the DF agg, the semi-join and the self-join all shuffle on
-    # sh64, so the raw-shingle exchange is planned once and reused
-    # — which is why only the FILTERED frame is persisted (caching
-    # the pre-filter frame too would double the query's largest
-    # intermediate in executor storage for no extra reuse). The
-    # inline count can't serve here: the denominator is the count of
-    # RARE shingles per doc, known only after the DF filter.
+    # NOTE (r13): an inline-count fold (ni/nj riding the self-join as
+    # extra grouping keys via shingle_keys(with_count=True)) was
+    # measured −33% at sf0.1 and REVERSED by the sf1 slope protocol
+    # (+15-45%): the extra keys sit on the QUADRATIC candidate stream
+    # — at scale the hot-shingle fanout makes candidate rows dominate,
+    # and hashing (i,j,ni,nj) instead of (i,j) per candidate row costs
+    # more than the two map-side-combined doc aggregations it saved.
+    # The toy-width win was stage count, not data. The candidate
+    # aggregation therefore keeps NARROW keys; the denominators join
+    # onto the aggregated (small) pair list.
     sh = shingle_keys(df, text_col, id_col, n)
-    rare = (
-        sh.groupBy("sh64")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("sh64")
-    )
-    sh = sh.join(rare, "sh64").persist()
+    if df_cap is not None:
+        # stop-shingle filter: drop DF > cap rows BEFORE the self-join
+        # AND from the size denominators (Jaccard over rare shingles);
+        # the DF agg, the semi-join and the self-join all shuffle on
+        # sh64, so the raw-shingle exchange is planned once and reused
+        # — which is why only the FILTERED frame is persisted (caching
+        # the pre-filter frame too would double the query's largest
+        # intermediate in executor storage for no extra reuse)
+        rare = (
+            sh.groupBy("sh64")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sh64")
+        )
+        sh = sh.join(rare, "sh64")
+    sh = sh.persist()
     # one row per doc, broadcast twice (ni then nj) — persisted so the
-    # doc-keyed aggregation over the filtered shingle frame runs ONCE;
-    # unpersisted the two broadcast subtrees each re-aggregate it
-    # (Catalyst does not CSE across broadcast exchanges — r13, same
-    # double-evaluation the plan showed for the uncapped path)
+    # doc-keyed aggregation over the shingle frame runs ONCE;
+    # unpersisted, the two broadcast subtrees each re-aggregate it
+    # (Catalyst does not CSE across broadcast exchanges — r13, the
+    # plan showed two identical agg subtrees)
     sizes = shingle_sizes(sh, id_col).persist()
     # single-pass: shared counts straight off the shingle self-join
     a = sh.select(F.col(id_col).alias("i"), "sh64")
