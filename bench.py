@@ -123,6 +123,11 @@ _ANCHOR_OFFICIAL_END = {  # BENCH_r12 anchor_end
     "q3_top_orders": 0.701,
     "lead_lag_user_gaps": 1.043,
 }
+# per-SEGMENT q3 pins (r13, new instrument — see the loop comment):
+# one warm q3 read after every 9th headline query. None until the
+# first official carries anchor_seg_q3; then pin per position like
+# the trios (r14: set from BENCH_r13's anchor_seg_q3).
+_ANCHOR_SEG_OFFICIAL: list[float] | None = None
 
 
 def _materialize(df) -> int:
@@ -1103,6 +1108,7 @@ _COMPACT_DROP = {
     "anchor_queries",          # values duplicated in "queries"
     "anchor_start",            # raw trio timings; the ratios survive
     "anchor_end",
+    "anchor_seg_q3",           # raw segment reads; spread/ratios survive
     "stream_mor_latency_p50_ms",  # alias of apply_latency_p50_ms
     "stream_mor_latency_p95_ms",  # alias of apply_latency_p95_ms
     "stream_mor_batches",
@@ -1221,13 +1227,39 @@ def main() -> None:
     # continuity (its officials are in-loop values too).
     anchor_start = _anchor_trio("start")
 
+    # per-SEGMENT drift reads (r13): the three-position anchors
+    # (start / in-loop / end) cannot see drift that develops and
+    # unwinds INSIDE the loop — r9 and r12 each burned a verdict flag
+    # plus a solo-A/B adjudication on exactly that blind spot (r12:
+    # dedup_simhash +29% at loop position 15 under a 0.996 in-loop
+    # anchor; adjudicated as box variance in r13). One extra WARM
+    # q3_top_orders run after every 9th headline query gives a 4-point
+    # intra-loop box curve at ~3 s total cost. Raw values are
+    # diagnostic (full line + mirror); the compact line carries
+    # anchor_seg_spread = max/min — >1.15 means per-query raw deltas
+    # inside the loop are not attributable to code. Pin the segments
+    # per position from the previous round's official once recorded
+    # (warmth cancels positionally, same lesson as the r10 trio pins).
+    anchor_seg: list[float] = []
+
+    def _seg_read(tag: str) -> None:
+        t0 = time.monotonic()
+        ok = _guard(
+            errors, f"anchor_seg:{tag}",
+            lambda: _materialize(QUERIES["q3_top_orders"](spark, SF_DIR)),
+        )
+        if ok is not None or f"anchor_seg:{tag}" not in errors:
+            anchor_seg.append(round(time.monotonic() - t0, 3))
+
     per_query: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for idx, name in enumerate(HEADLINE, 1):
         best = _best_of_2_query(name)
         if best is not None:
             per_query[name] = best
             total += per_query[name]
+        if idx % 9 == 0:
+            _seg_read(f"after{idx}")
 
     anchor_end = _anchor_trio("end")
 
@@ -1303,6 +1335,14 @@ def main() -> None:
         out["anchor_start"] = anchor_start  # diagnostic; compact drops
     if anchor_end:
         out["anchor_end"] = anchor_end
+    if anchor_seg:
+        out["anchor_seg_q3"] = anchor_seg  # diagnostic; compact drops
+        if min(anchor_seg) > 0:
+            out["anchor_seg_spread"] = round(max(anchor_seg) / min(anchor_seg), 3)
+        if _ANCHOR_SEG_OFFICIAL and len(_ANCHOR_SEG_OFFICIAL) == len(anchor_seg):
+            out["anchor_seg_ratios"] = [
+                round(v / p, 3) for v, p in zip(anchor_seg, _ANCHOR_SEG_OFFICIAL)
+            ]
     if sink:
         out.update(
             cdc_events_per_sec=round(sink["events_per_sec"]),

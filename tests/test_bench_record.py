@@ -134,3 +134,19 @@ def test_compact_keeps_full_query_map_on_current_record():
     parsed = json.loads(bench.compact_record(out))
     assert len(parsed["queries"]) == len(out["queries"])
     assert "queries_omitted" not in parsed
+
+
+def test_compact_keeps_segment_spread_drops_raw_reads():
+    """r13 instrument: the per-segment q3 reads are raw diagnostics
+    (full line + mirror only); the compact line carries the spread
+    scalar (and ratios once pinned) without busting the budget."""
+    out = dict(_current_record())
+    out["anchor_seg_q3"] = [0.71, 0.74, 0.93, 0.72]
+    out["anchor_seg_spread"] = 1.31
+    out["anchor_seg_ratios"] = [1.0, 1.04, 1.31, 1.01]
+    line = bench.compact_record(out)
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert "anchor_seg_q3" not in parsed
+    assert parsed["anchor_seg_spread"] == 1.31
+    assert parsed["anchor_seg_ratios"] == [1.0, 1.04, 1.31, 1.01]
