@@ -108,26 +108,31 @@ PREV_HEADLINE = [
 # warmth (r10: 0.861 / 0.805 / 0.681 for the SAME box). Each position
 # is now read against the SAME position from the previous round's
 # officials, so warmth cancels and the ratios measure only box drift.
-_ANCHOR_OFFICIAL_START = {  # BENCH_r12 anchor_start (BENCH_local mirror)
-    "q1_pricing_summary": 1.512,
-    "q3_top_orders": 1.024,
-    "lead_lag_user_gaps": 1.126,
+_ANCHOR_OFFICIAL_START = {  # BENCH_r13 anchor_start (BENCH_local mirror)
+    "q1_pricing_summary": 2.218,
+    "q3_top_orders": 1.337,
+    "lead_lag_user_gaps": 1.509,
 }
-_ANCHOR_OFFICIAL = {  # BENCH_r12 in-loop officials (anchor_queries)
-    "q1_pricing_summary": 1.243,
-    "q3_top_orders": 0.758,
-    "lead_lag_user_gaps": 0.91,
+_ANCHOR_OFFICIAL = {  # BENCH_r13 in-loop officials (anchor_queries)
+    "q1_pricing_summary": 1.6,
+    "q3_top_orders": 0.954,
+    "lead_lag_user_gaps": 1.453,
 }
-_ANCHOR_OFFICIAL_END = {  # BENCH_r12 anchor_end
-    "q1_pricing_summary": 1.325,
-    "q3_top_orders": 0.701,
-    "lead_lag_user_gaps": 1.043,
+_ANCHOR_OFFICIAL_END = {  # BENCH_r13 anchor_end
+    "q1_pricing_summary": 1.333,
+    "q3_top_orders": 0.99,
+    "lead_lag_user_gaps": 1.214,
 }
-# per-SEGMENT q3 pins (r13, new instrument — see the loop comment):
-# one warm q3 read after every 9th headline query. None until the
-# first official carries anchor_seg_q3; then pin per position like
-# the trios (r14: set from BENCH_r13's anchor_seg_q3).
-_ANCHOR_SEG_OFFICIAL: list[float] | None = None
+# per-SEGMENT q3 pins (r13 instrument, pinned r14): one warm q3 read
+# after every 9th headline query, each position read against the SAME
+# position from BENCH_r13's anchor_seg_q3 (warmth cancels positionally,
+# same lesson as the r10 trio pins). BENCH_r14's anchor_seg_ratios are
+# the adjudicator for the r13 seven-query mid-loop cluster
+# (sketch_hll_rollup +45% ... cdc_reconcile_drift +16%, none
+# code-touched, most under the 1.467 segment): a flagged query's raw
+# delta is box, not code, when its nearest segment RATIO carries the
+# same inflation.
+_ANCHOR_SEG_OFFICIAL: list[float] | None = [1.186, 1.081, 1.467, 1.037]
 
 
 def _materialize(df) -> int:
@@ -603,7 +608,7 @@ def bench_mor_latency(spark, seconds: float = 22.0) -> dict:
 # payload. Cross-round deltas in stream_latency_* / mor latency should
 # be read against stream_anchor_ratio = p50 / pinned official. Refresh
 # the pin to the new official once per round, like anchor_official.
-STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 160.0  # r13 pin = BENCH_r12 official (2026-08-16)
+STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 227.0  # r14 pin = BENCH_r13 official (2026-08-16)
 
 # Live-trigger lane pin (r11 VERDICT item 2): the gate comparator for
 # stream latency is the 250 ms-trigger / 5k ev/s live point, not the
@@ -614,7 +619,7 @@ STREAM_ANCHOR_OFFICIAL_P50_MS: float | None = 160.0  # r13 pin = BENCH_r12 offic
 # r11, 161 ms @ 1.013 in r12) met the README's retirement criterion, so
 # stream_live_p50_ms is now the SOLE P50 gate metric and the
 # drain-posture stream_latency_p50_ms is a throughput diagnostic only.
-STREAM_LIVE_OFFICIAL_P50_MS: float | None = 161.0  # r13 pin = BENCH_r12 official
+STREAM_LIVE_OFFICIAL_P50_MS: float | None = 208.0  # r14 pin = BENCH_r13 official
 
 
 def bench_stream_anchor(spark, seconds: float = 20.0) -> dict:

@@ -76,6 +76,35 @@ def _parse_ts(ts: str | None) -> float | None:
         return None
 
 
+def _rate_span(batches, measured, trigger_ms, secs):
+    """Denominator for the achieved-rate read: the ARRIVAL window of
+    the measured batches' rows.
+
+    The first measured batch's rows arrived during the trigger
+    interval BEFORE its start timestamp, so the span is anchored at
+    the previous (warm-up) batch's start — anchoring at the first
+    measured start shrank the denominator by one interval and
+    overstated the rate ~11% at few-batch counts (r12 ADVICE) —
+    CLAMPED to one trigger interval before the first measured start: a
+    slow warm-up batch (duration > trigger interval) would otherwise
+    stretch the denominator past the arrival window and UNDERSTATE the
+    rate (r13 ADVICE: 4348 vs true 5000 ev/s at tiny batch counts).
+    Falls back to the nominal run duration when timestamps are absent.
+    """
+    span = 0.0
+    if measured and measured[0][0] is not None and measured[-1][0] is not None:
+        prev = batches[2] if len(batches) > 3 else None
+        fallback_start = measured[0][0] - trigger_ms / 1000.0
+        if prev is not None and prev[0] is not None:
+            span_start = max(prev[0], fallback_start)
+        else:
+            span_start = fallback_start
+        span = (measured[-1][0] - span_start) + measured[-1][1] / 1000.0
+    if span <= 0:  # timestamps unavailable: fall back to nominal duration
+        span = secs
+    return span
+
+
 def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: float) -> dict:
     from xxt_cdc_spark.sinks.upsert import JdbcUpsertWriter, apply_batch
     from xxt_cdc_spark.streaming.pipeline import (
@@ -176,26 +205,8 @@ def run_point(spark, lines: list[str], trigger_ms: int, rate_eps: int, secs: flo
                 )
         measured = batches[3:]  # JIT warm-up skip
         durs_sorted = sorted(b[1] for b in measured)
-        # achieved rate over the SAME batches the percentiles describe.
-        # The denominator must cover the ARRIVAL window of the counted
-        # rows: the first measured batch's rows arrived during the
-        # trigger interval BEFORE its start timestamp, so the span is
-        # anchored at the PREVIOUS batch's start (or first-measured
-        # start minus one trigger interval when no prior batch carries
-        # a timestamp) — anchoring at the first measured start shrank
-        # the denominator by one interval and overstated the rate ~11%
-        # at few-batch counts (r12 ADVICE).
         rows = sum(b[2] for b in measured)
-        span = 0.0
-        if measured and measured[0][0] is not None and measured[-1][0] is not None:
-            prev = batches[2] if len(batches) > 3 else None
-            if prev is not None and prev[0] is not None:
-                span_start = prev[0]
-            else:
-                span_start = measured[0][0] - trigger_ms / 1000.0
-            span = (measured[-1][0] - span_start) + measured[-1][1] / 1000.0
-        if span <= 0:  # timestamps unavailable: fall back to nominal duration
-            span = secs
+        span = _rate_span(batches, measured, trigger_ms, secs)
 
         def pct(f: float):
             if not durs_sorted:

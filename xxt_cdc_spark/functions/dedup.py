@@ -172,7 +172,12 @@ def jaccard_pairs(
     # doc-keyed aggregation over the shingle frame runs ONCE;
     # unpersisted, the two broadcast subtrees each re-aggregate it
     # (Catalyst does not CSE across broadcast exchanges — r13, the
-    # plan showed two identical agg subtrees)
+    # plan showed two identical agg subtrees). Neither this nor `sh`
+    # is unpersisted here by design: callers re-materialize the frame
+    # (bench best-of-2, clustering fixpoints), and cross-query
+    # executor-storage accumulation was tested and REFUTED as a drift
+    # source (tools/cache_pressure_ab.py, SCALING r13 — drift is
+    # box-level); the bench loop clearCache()s before the sink phases.
     sizes = shingle_sizes(sh, id_col).persist()
     # single-pass: shared counts straight off the shingle self-join
     a = sh.select(F.col(id_col).alias("i"), "sh64")

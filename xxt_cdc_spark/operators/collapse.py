@@ -41,6 +41,31 @@ def order_exprs(order_cols: list[str], descending: bool = False):
     return out
 
 
+def order_exprs_materialized(
+    order_cols: list[str], prefix: str = "__ord_len_"
+) -> tuple[dict[str, "F.Column"], list["F.Column"]]:
+    """`order_exprs`, split into materialized attributes — for Window
+    sorts that must COLLAPSE. Expression-based sort orders defeat both
+    CollapseWindow (adjacent Window merge) and sort-order reuse across
+    lag/lead windows; with attribute-only ordering a multi-window pass
+    computes on one exchange + one sort (scd2.py, r13: 3 sorts → 1).
+
+    Returns ``(tmp_cols, order_by)``: the caller adds each
+    ``tmp_cols[name]`` via withColumn BEFORE building the window and
+    drops the names from the final result; ``order_by`` references only
+    attributes. Same (length, value) pos_file convention as
+    `order_exprs` — one source of truth for the rotation-safe order."""
+    tmp_cols: dict[str, F.Column] = {}
+    order_by: list[F.Column] = []
+    for c in order_cols:
+        if c == "pos_file":
+            tmp = f"{prefix}{c}"
+            tmp_cols[tmp] = F.length(F.col(c))
+            order_by.append(F.col(tmp))
+        order_by.append(F.col(c))
+    return tmp_cols, order_by
+
+
 def last_write_wins(
     df: DataFrame,
     key_cols: list[str],

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xxt_cdc_spark.model.envelope import OP_DELETE
+from xxt_cdc_spark.operators.collapse import order_exprs_materialized
 
 
 def scd2_history(
@@ -45,24 +46,27 @@ def scd2_history(
     per order column (valid_to null on the current version), and
     ``is_current`` (1 for the key's live version; a deleted key has
     none).
+
+    Malformed-feed delta vs dropDuplicates (r13 behavior change): the
+    redelivery dedup below collapses exact copies only when they sort
+    ADJACENT in the per-key position order. On a well-formed feed —
+    (key, order_cols) unique per distinct row — copies always do, and
+    behavior is identical. On a BROKEN feed where a different row ties
+    on (key, order_cols) and interleaves between two copies, the
+    second copy now survives where dropDuplicates would have collapsed
+    it (either way the tie makes lead() engine-dependent, so such a
+    feed has no well-defined history).
     """
-    # rotation-safe position order (collapse.order_exprs): pos_file
-    # sorts by (length, value) so a widened rotation suffix keeps the
-    # numeric clock; a no-op while suffix width is constant. The
-    # length term is MATERIALIZED as a column (not an inline
-    # expression in orderBy): expression-based sort orders defeat
-    # both CollapseWindow (adjacent Window merge) and sort-order
-    # reuse across the lag/lead windows — with attributes, the whole
-    # history computes on ONE exchange + ONE sort (r13; measured 3
-    # sorts with the inline expressions).
-    sort_tmp = [f"__ord_len_{c}" for c in order_cols if c == "pos_file"]
+    # rotation-safe position order, materialized as attributes
+    # (collapse.order_exprs_materialized — the shared (length, value)
+    # pos_file convention): attribute-only sort orders let
+    # CollapseWindow merge the lag/lead windows onto ONE exchange +
+    # ONE sort (r13; measured 3 sorts with inline expressions).
+    tmp_cols, order_by = order_exprs_materialized(order_cols)
+    sort_tmp = list(tmp_cols)
     src = changes
-    order_by = []
-    for c in order_cols:
-        if c == "pos_file":
-            src = src.withColumn(f"__ord_len_{c}", F.length(F.col(c)))
-            order_by.append(F.col(f"__ord_len_{c}"))
-        order_by.append(F.col(c))
+    for tmp, expr in tmp_cols.items():
+        src = src.withColumn(tmp, expr)
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     # full-row dedup, matching the oracle's SELECT DISTINCT *: the
     # position is the engine's logical clock, so two DIFFERENT rows at

@@ -86,7 +86,7 @@ ORACLE: dict[str, str] = {}
 # row through r4 — r4 VERDICT item 1). The trailing group still fills
 # the remaining sweep slots (50 − |lead|), giving its head a bonus
 # refresh. Bump _ROUND once per driver round when rotating.
-_ROUND = 13
+_ROUND = 14
 _GROUP_A = (relational2, cdc, text, layout, sketches2, quality)
 _GROUP_B = (vector, streaming, sketches, corpus, curation, relational)
 _ORDERED = _GROUP_A + _GROUP_B if _ROUND % 2 == 1 else _GROUP_B + _GROUP_A
