@@ -34,6 +34,66 @@ class TestOhlc:
         assert got[(2, 0)] == (7.0, 7.0, 3.0, 3.0, 2)
 
 
+class TestOhlcPackedOrder:
+    """r14: unique_order=True swaps the struct min/max (SortAggregate —
+    struct agg buffers are not UnsafeRow-mutable) for min_by/max_by on
+    (ts, tiebreak) packed into one DECIMAL(38,0) (HashAggregate).
+    Row-identical whenever (ts, tiebreak) is unique per group."""
+
+    def _frame(self, spark):
+        import random
+
+        rnd = random.Random(1405)
+        rows = []
+        for i in range(400):
+            # pre- and post-epoch timestamps, duplicate instants with
+            # distinct ids, clustered into few (key, bucket) groups
+            ts = datetime.fromtimestamp(rnd.randrange(-10**9, 10**9))
+            rows.append((rnd.randrange(3), rnd.randrange(4), ts, i, rnd.random() * 100))
+        return spark.createDataFrame(rows, "k int, b long, ts timestamp, id long, v double")
+
+    def test_packed_equals_struct_order(self, spark):
+        df = self._frame(spark)
+        ref = {
+            (r.k, r.b): (r.open, r.high, r.low, r.close, r.n_samples)
+            for r in ohlc(df, ["k"], "b", "ts", "v", tiebreak_col="id").collect()
+        }
+        got = {
+            (r.k, r.b): (r.open, r.high, r.low, r.close, r.n_samples)
+            for r in ohlc(
+                df, ["k"], "b", "ts", "v", tiebreak_col="id", unique_order=True
+            ).collect()
+        }
+        assert got == ref
+
+    def test_packed_no_tiebreak_equals_struct_order(self, spark):
+        df = self._frame(spark).dropDuplicates(["k", "b", "ts"])
+        ref = {
+            (r.k, r.b): (r.open, r.high, r.low, r.close, r.n_samples)
+            for r in ohlc(df, ["k"], "b", "ts", "v").collect()
+        }
+        got = {
+            (r.k, r.b): (r.open, r.high, r.low, r.close, r.n_samples)
+            for r in ohlc(df, ["k"], "b", "ts", "v", unique_order=True).collect()
+        }
+        assert got == ref
+
+    def test_packed_plans_hash_aggregate(self, spark):
+        df = self._frame(spark)
+        packed = ohlc(df, ["k"], "b", "ts", "v", tiebreak_col="id", unique_order=True)
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, plan
+        assert "HashAggregate" in plan, plan
+        # ...while the struct order is the documented SortAggregate shape
+        struct_plan = (
+            ohlc(df, ["k"], "b", "ts", "v", tiebreak_col="id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortAggregate" in struct_plan, struct_plan
+
+
 class TestTimeWeightedAvg:
     def test_known_weighting(self, spark):
         # v=10 for 30 min, then v=20 for 10 min, last sample unweighted

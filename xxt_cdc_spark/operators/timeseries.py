@@ -36,13 +36,47 @@ def ohlc(
     ts_col: str,
     value_col: str,
     tiebreak_col: str | None = None,
+    unique_order: bool = False,
 ) -> DataFrame:
     """Open/high/low/close of ``value_col`` per (key, bucket).
 
     Open/close are the values at the min/max of the total order
     ``(ts, tiebreak, value)`` — deterministic even with duplicate
     timestamps.
+
+    ``unique_order=True`` is the caller's assertion that ``(ts,
+    tiebreak)`` (or ``ts`` alone when no tiebreak is given) is UNIQUE
+    within every group and the tiebreak is a non-negative integer. The
+    value column then never participates in the order, and open/close
+    become ``min_by``/``max_by`` over the pair packed into ONE
+    fixed-width column — a DECIMAL(38,0) built as
+    ``unix_micros(ts) * 2^63 + tiebreak`` (monotone in (ts, tiebreak)
+    for any ts sign while tiebreak ∈ [0, 2^63); |unix_micros| < 2^53
+    up to year ~2255, so the product stays < 2^117 « 10^38 — no
+    decimal overflow). Why it matters: a struct min/max buffer is not
+    UnsafeRow-mutable, so the struct form plans as **SortAggregate**
+    (per-task sort of the raw sample stream before both partial and
+    final aggregation); double and decimal buffers are mutable, so the
+    packed form plans as **HashAggregate** with map-side combine and
+    no sort — the shape the 100 TB argument in this module's header
+    always claimed. Row-identical to the struct form whenever the
+    uniqueness assertion holds (pinned by
+    tests/test_gap_fill_packing.py).
     """
+    if unique_order:
+        if tiebreak_col:
+            ordc = F.unix_micros(F.col(ts_col)).cast("decimal(38,0)") * F.expr(
+                "CAST(9223372036854775808 AS DECIMAL(38,0))"
+            ) + F.col(tiebreak_col).cast("decimal(38,0)")
+        else:
+            ordc = F.unix_micros(F.col(ts_col))
+        return df.groupBy(*key_cols, bucket_col).agg(
+            F.min_by(F.col(value_col), ordc).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), ordc).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
     order = [F.col(ts_col)]
     if tiebreak_col:
         order.append(F.col(tiebreak_col))
@@ -79,15 +113,21 @@ def ohlc_coarsen(
     if factor < 1:
         raise ValueError("factor must be >= 1")
     b = F.col(bucket_col)
+    # min_by/max_by on the bare bucket id, not min/max of a (bucket,
+    # value) struct: the stated contract (bucket ids unique per key)
+    # already makes the order total with no value tiebreak, and a
+    # (long, double) agg buffer is UnsafeRow-mutable where a struct
+    # buffer is not — HashAggregate with map-side combine instead of a
+    # SortAggregate that re-sorts the candle stream per task.
     return (
         candles.groupBy(
             *key_cols, F.floor(b / factor).cast("long").alias(coarse_bucket_col)
         )
         .agg(
-            F.min(F.struct(b, F.col("open"))).getField("open").alias("open"),
+            F.min_by(F.col("open"), b).alias("open"),
             F.max("high").alias("high"),
             F.min("low").alias("low"),
-            F.max(F.struct(b, F.col("close"))).getField("close").alias("close"),
+            F.max_by(F.col("close"), b).alias("close"),
             F.sum("n_samples").alias("n_samples"),
         )
     )

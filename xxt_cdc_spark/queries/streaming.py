@@ -386,7 +386,12 @@ def ts_downsample_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", "ts", bucketize("ts", DOWNSAMPLE_BUCKET_S).alias("b"), "value"
     )
-    o = ohlc(ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id").select(
+    # event_id is the events table's unique key, so (ts, event_id) is
+    # unique per group — the packed-order HashAggregate path applies
+    # (row-identical to the struct order; see operators/timeseries.ohlc)
+    o = ohlc(
+        ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id", unique_order=True
+    ).select(
         F.lit("ohlc").alias("family"),
         "user_id",
         "b",
@@ -643,7 +648,9 @@ def ts_ohlc_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", "ts", bucketize("ts", 3600).alias("b"), "value"
     )
-    hourly = ohlc(ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id")
+    hourly = ohlc(
+        ev, ["user_id"], "b", "ts", "value", tiebreak_col="event_id", unique_order=True
+    )
     daily = ohlc_coarsen(hourly, ["user_id"], "b", factor=24)
     return daily.select(
         "user_id", "B", "n_samples", "open", "high", "low", "close"
