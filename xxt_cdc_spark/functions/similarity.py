@@ -214,10 +214,21 @@ def lsh_multitable_topk(
     cand = (
         c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("item_id") != F.col("query_id"))
-        # OR-dedup: a pair matching in several tables scores once
-        .groupBy("query_id", "item_id")
-        .agg(F.first("qv").alias("qv"), F.first("cv").alias("cv"))
+        # score FIRST, OR-dedup on the score (r14): a pair matching in
+        # several tables scores once either way, but aggregating
+        # first(qv)/first(cv) made the dedup a SortAggregate (array agg
+        # buffers are not UnsafeRow-mutable) whose exchange carried
+        # both vectors per candidate row. Computing the cosine on the
+        # map side (identical bits for every duplicate of a pair, so
+        # min ≡ any) turns the dedup into a HashAggregate over
+        # (long, long, double) rows — the exchange ships 24-byte
+        # proxies instead of 2·d-dim payload arrays (guide §8: decide
+        # with small rows). Duplicate pairs are the rare multi-table
+        # matches, so the re-scored rows cost far less than the
+        # payload shuffle they replace.
         .withColumn("cosine", cosine("qv", "cv"))
+        .groupBy("query_id", "item_id")
+        .agg(F.min("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
     return (
