@@ -51,18 +51,27 @@ def profile(
         aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
         aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
     row = df.agg(*aggs)
-    parts = [
-        row.select(
-            F.lit(c).alias("column"),
-            F.col("_n").alias("n_rows"),
-            F.col(f"{c}__nulls").alias("n_null"),
-            F.col(f"{c}__ndv").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_str"),
-            F.col(f"{c}__max").alias("max_str"),
-        )
-        for c in cols
-    ]
-    return reduce(DataFrame.unionByName, parts)
+    # unpivot the one-row aggregate with a single explode instead of a
+    # per-column union of selects over `row` (r14): each union branch
+    # re-embedded the WHOLE aggregation subtree, so the profile pass —
+    # including the multi-distinct Expand and the string min/max
+    # SortAggregate — executed once PER COLUMN (10 SortAggregate nodes
+    # for 5 columns). One array-of-structs explode over the single agg
+    # row computes the identical rows in one pass.
+    fields = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(fields).alias("_p")).select("_p.*")
 
 
 def pk_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
