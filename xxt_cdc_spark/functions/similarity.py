@@ -192,43 +192,44 @@ def lsh_multitable_topk(
     equi-join at corpus scale, the same shuffle shape L times (or one
     exploded join, as here), never a cross join; the scale argument of
     the single-table kernel is unchanged.
+
+    OR-dedup without an aggregation (r15): both sides carry their full
+    L-entry bucket array through the bucket equi-join, so "this pair
+    already matched in an earlier table" is decidable per ROW — keep
+    only the row whose table index t is the pair's FIRST match. That
+    replaces the dedup aggregation entirely (r13: SortAggregate
+    shipping both vectors per candidate; r14: map-side cosine + hash
+    min(cosine), which re-scored every multi-table duplicate and
+    measured +24-29% at sf0.1): zero dedup exchange, exactly one
+    d-dim cosine per distinct pair, and the L-element prefix compare
+    costs a few string equalities per candidate row.
     """
-    t_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("t"), sign_lsh_bucket(vec_col, dims).alias("bucket")
-            )
-            for i, dims in enumerate(tables)
-        ]
-    )
+    barr = F.array(*[sign_lsh_bucket(vec_col, dims) for dims in tables])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(t_arr).alias("tb"),
-    ).select("query_id", "qv", "tb.t", "tb.bucket")
+        barr.alias("qb"),
+    ).select("query_id", "qv", "qb", F.posexplode("qb").alias("t", "bucket"))
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).alias("cv"),
-        F.explode(t_arr).alias("tb"),
-    ).select("item_id", "cv", "tb.t", "tb.bucket")
+        barr.alias("cb"),
+    ).select("item_id", "cv", "cb", F.posexplode("cb").alias("t", "bucket"))
     cand = (
         c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("item_id") != F.col("query_id"))
-        # score FIRST, OR-dedup on the score (r14): a pair matching in
-        # several tables scores once either way, but aggregating
-        # first(qv)/first(cv) made the dedup a SortAggregate (array agg
-        # buffers are not UnsafeRow-mutable) whose exchange carried
-        # both vectors per candidate row. Computing the cosine on the
-        # map side (identical bits for every duplicate of a pair, so
-        # min ≡ any) turns the dedup into a HashAggregate over
-        # (long, long, double) rows — the exchange ships 24-byte
-        # proxies instead of 2·d-dim payload arrays (guide §8: decide
-        # with small rows). Duplicate pairs are the rare multi-table
-        # matches, so the re-scored rows cost far less than the
-        # payload shuffle they replace.
+        # first-match-wins dedup: the joined row for table t survives
+        # iff no earlier table t' < t also matched this pair. Both
+        # bucket arrays are on the row, so this is a pure filter
+        # (slice of an empty prefix at t=0 -> exists() is false).
+        .filter(
+            ~F.expr(
+                "exists(zip_with(slice(qb, 1, t), slice(cb, 1, t),"
+                " (x, y) -> x = y), p -> p)"
+            )
+        )
         .withColumn("cosine", cosine("qv", "cv"))
-        .groupBy("query_id", "item_id")
-        .agg(F.min("cosine").alias("cosine"))
+        .select("query_id", "item_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("item_id"))
     return (
