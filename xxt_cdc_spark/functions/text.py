@@ -173,9 +173,17 @@ def tfidf_topk(df, text_col: str, id_col: str, k: int = 5):
     """Top-k terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, sklearn-style).
 
-    Plan shape: tf shuffle on (id, term); doc-freq agg is vocab-sized
-    (≪ corpus) and joins back on term — AQE broadcasts it when small,
-    sort-merge when the vocabulary itself is huge. The corpus-size
+    Plan shape (r15): tf shuffle on (id, term), then doc-freq as a
+    COUNT window over term on the tf table itself. The previous
+    doc-freq aggregation + join-back re-embedded the whole
+    tokenize+tf subtree (Catalyst does not CSE it — guide §7.2), so
+    the corpus was tokenized and tf-aggregated TWICE and the full tf
+    table rode a BroadcastExchange; the window computes df_t from the
+    single tf pass for one extra term-keyed exchange. (Trade-off,
+    documented: a count-only window partitions by term alone, so a
+    pathologically hot term concentrates its tf rows in one task's
+    sort; the removed duplicate pass and corpus-sized broadcast are
+    the dominant cost at every scale we can measure.) The corpus-size
     scalar N rides in as a broadcast single-row cross join, so the
     whole thing is ONE logical plan with no driver-side collect.
     Scores are rounded to 9 decimals so ranking ties break identically
@@ -184,12 +192,18 @@ def tfidf_topk(df, text_col: str, id_col: str, k: int = 5):
 
     tf = term_frequencies(df, text_col, id_col)
     n = df.agg(F.count("*").alias("n_docs"))
-    idf = doc_frequencies(tf, id_col).crossJoin(F.broadcast(n)).select(
-        "term",
-        (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)).alias("idf"),
-    )
-    scored = tf.join(idf, "term").select(
-        id_col, "term", F.round(F.col("tf") * F.col("idf"), 9).alias("tfidf")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+                9,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -233,29 +247,31 @@ def bm25_search(df, text_col: str, id_col: str, query_terms: tuple[str, ...], k:
         F.count("*").alias("n_docs"),
         (F.sum(token_count(text_col).cast("long")) / F.count("*")).alias("avgdl"),
     )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df_t"))
+    # df_t as a COUNT window over term on the hit-set tf table (r15):
+    # the doc-freq aggregation + join-back re-embedded the whole
+    # tokenize+filter+tf subtree (guide §7.2 — Catalyst does not CSE
+    # it), so the corpus text was exploded twice; the window computes
+    # df_t from the single tf pass. The query vocabulary is a handful
+    # of terms, so the term-keyed window exchange moves only the hit
+    # set it already carried to the join.
+    contrib = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .select(
-            "term",
-            "avgdl",
-            F.log(
-                (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
-            ).alias("idf"),
+            id_col,
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
         )
-    )
-    contrib = tf.join(F.broadcast(idf), "term").select(
-        id_col,
-        (
-            F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (
-                F.col("tf")
-                + BM25_K1
-                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        ).alias("c"),
     )
     scores = contrib.groupBy(id_col).agg(
         F.sum(F.col("c").cast(DEC)).cast("double").alias("score")
