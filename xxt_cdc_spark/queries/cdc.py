@@ -176,8 +176,19 @@ ORDER BY o_orderkey
 
 # --- R5: transport dedup ------------------------------------------------------
 def cdc_dedup_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cf = orders_changefeed(spark, sf_dir)
-    deduped = dedup_transport(cf, ["o_orderkey", "pos_offset"])
+    # project to the three columns the report needs BEFORE the dedup
+    # and dedup on all of them (r15): dropDuplicates on a key subset
+    # keeps the non-key columns via first(), and first(string) agg
+    # buffers are not UnsafeRow-mutable, so the dedup planned as a
+    # SortAggregate carrying every payload column. A distinct over
+    # exactly (key, pos, op) is a grouping-keys-only HashAggregate —
+    # and is literally the oracle's own spelling (SELECT DISTINCT
+    # o_orderkey, pos_offset, op), so equivalence holds even if a
+    # duplicate delivery ever disagreed on payload columns. op is
+    # determined by (o_orderkey, pos_offset) in the changefeed, so the
+    # row set is identical to the previous key-subset dedup.
+    cf = orders_changefeed(spark, sf_dir).select("o_orderkey", "pos_offset", "op")
+    deduped = dedup_transport(cf, ["o_orderkey", "pos_offset", "op"])
     return deduped.groupBy("op").agg(F.count(F.lit(1)).alias("n_events")).orderBy("op")
 
 

@@ -179,14 +179,27 @@ STRING_FUNCS_ORACLE = STRING_FUNCS.replace("AS STRING", "AS VARCHAR")
 # --- date/time function family ------------------------------------------------------
 # date outputs go through an explicit yyyy-MM-dd string format: DATE-
 # typed columns canonicalize differently across engine→pandas paths
+# min/max on the NATIVE date/timestamp type, formatted AFTER the
+# aggregate (r15): min(date_format(...)) aggregates a STRING, whose
+# agg buffer is not UnsafeRow-mutable, so the whole aggregation
+# planned as SortAggregate (per-task sort on partial and final
+# passes). yyyy-MM-dd is monotone with the underlying date for all
+# four-digit years, so MIN/MAX commute with the formatting and the
+# values are identical (the oracle keeps the string-typed spelling).
 DATE_FUNCS = """
-SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, quarter(o_orderdate) AS q,
-       COUNT(*) AS n_orders,
-       MIN(date_format(date_trunc('MONTH', o_orderdate), 'yyyy-MM-dd')) AS month_start,
-       MAX(day(o_orderdate)) AS max_dom,
-       MAX(date_format(o_orderdate, 'yyyy-MM-dd')) AS latest
-FROM orders
-GROUP BY 1, 2, 3
+SELECT y, m, q, n_orders,
+       date_format(month_start_t, 'yyyy-MM-dd') AS month_start,
+       max_dom,
+       date_format(latest_d, 'yyyy-MM-dd') AS latest
+FROM (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, quarter(o_orderdate) AS q,
+         COUNT(*) AS n_orders,
+         MIN(date_trunc('MONTH', o_orderdate)) AS month_start_t,
+         MAX(day(o_orderdate)) AS max_dom,
+         MAX(o_orderdate) AS latest_d
+  FROM orders
+  GROUP BY 1, 2, 3
+)
 ORDER BY y, m
 """
 
