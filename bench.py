@@ -68,6 +68,14 @@ HEADLINE = [
     # it replays a 5-batch incremental pipeline (persistent store,
     # per-batch jobs), so its wall-clock measures batch-loop overhead,
     # not single-query latency; the oracle sweep covers its correctness
+    # r15 additions (r14 VERDICT item 2): the r14 optimization round's
+    # biggest landed wins (quality.profile explode-unpivot -59%, OHLC
+    # packed-order min_by) were invisible to the driver because
+    # neither query was a headline entry. APPENDED AFTER the r14 set
+    # so the four per-segment anchor positions (after every 9th query)
+    # stay positionally identical to the r14 officials.
+    "dq_orders_report",
+    "ts_ohlc_hierarchy",
 ]
 
 # The headline set the PREVIOUS round's official bench measured, so the
@@ -108,20 +116,26 @@ PREV_HEADLINE = [
 # warmth (r10: 0.861 / 0.805 / 0.681 for the SAME box). Each position
 # is now read against the SAME position from the previous round's
 # officials, so warmth cancels and the ratios measure only box drift.
-_ANCHOR_OFFICIAL_START = {  # BENCH_r13 anchor_start (BENCH_local mirror)
-    "q1_pricing_summary": 2.218,
-    "q3_top_orders": 1.337,
-    "lead_lag_user_gaps": 1.509,
+# r15 pin refresh: the r14 official's compact line drops the raw
+# anchor_start/anchor_end trios (diagnostics), so the per-query raws
+# are not recoverable from BENCH_r14.json. Synthesized per-query as
+# r13 pin x the r14 official's MEDIAN positional ratio (start 0.941,
+# end 0.936) — approximate for the non-median queries, exact in the
+# aggregate, and positionally honest (warmth still cancels).
+_ANCHOR_OFFICIAL_START = {  # r13 anchor_start x 0.941 (see note above)
+    "q1_pricing_summary": 2.087,
+    "q3_top_orders": 1.258,
+    "lead_lag_user_gaps": 1.420,
 }
-_ANCHOR_OFFICIAL = {  # BENCH_r13 in-loop officials (anchor_queries)
-    "q1_pricing_summary": 1.6,
-    "q3_top_orders": 0.954,
-    "lead_lag_user_gaps": 1.453,
+_ANCHOR_OFFICIAL = {  # BENCH_r14 in-loop officials (queries map)
+    "q1_pricing_summary": 1.4,
+    "q3_top_orders": 1.0,
+    "lead_lag_user_gaps": 1.1,
 }
-_ANCHOR_OFFICIAL_END = {  # BENCH_r13 anchor_end
-    "q1_pricing_summary": 1.333,
-    "q3_top_orders": 0.99,
-    "lead_lag_user_gaps": 1.214,
+_ANCHOR_OFFICIAL_END = {  # r13 anchor_end x 0.936 (see note above)
+    "q1_pricing_summary": 1.248,
+    "q3_top_orders": 0.927,
+    "lead_lag_user_gaps": 1.136,
 }
 # per-SEGMENT q3 pins (r13 instrument, pinned r14): one warm q3 read
 # after every 9th headline query, each position read against the SAME
@@ -132,7 +146,15 @@ _ANCHOR_OFFICIAL_END = {  # BENCH_r13 anchor_end
 # code-touched, most under the 1.467 segment): a flagged query's raw
 # delta is box, not code, when its nearest segment RATIO carries the
 # same inflation.
-_ANCHOR_SEG_OFFICIAL: list[float] | None = [1.186, 1.081, 1.467, 1.037]
+# r15 pin = the r14 official's raw segment reads, recovered exactly as
+# r14 seg ratio x r13 pin ([1.059, 1.026, 0.996, 1.859] x
+# [1.186, 1.081, 1.467, 1.037]). Segment 4's pin carries the r14
+# official's 1.86x box degradation BY DESIGN: r15 per-query deltas are
+# judged against those same degraded officials, so a healthy r15 box
+# SHOULD read segment-4 ratios near 0.55 — that low ratio is the
+# instrument saying "expect the segment-4 queries to beat their r14
+# officials by ~2x from box alone".
+_ANCHOR_SEG_OFFICIAL: list[float] | None = [1.256, 1.109, 1.461, 1.928]
 
 
 def _materialize(df) -> int:

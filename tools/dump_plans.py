@@ -11,16 +11,17 @@ Usage: python tools/dump_plans.py <out_dir> [suffix=before] [query ...]
 
 from __future__ import annotations
 
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(_sys.argv[0] if __name__ == "__main__" else __file__))))
-
 import os
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
     out_dir = sys.argv[1]
     suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,9 +4,13 @@ to the gap filler (operators/gap_fill.py).
 
 Both are deterministic under ties and mirrorable in ANSI SQL:
 
-- OHLC's open/close use a total order (ts, then value) rather than
-  ``min_by``/``arg_min``, whose tie-breaking is engine- and
-  partition-order-dependent — a hash-gate killer;
+- OHLC's open/close use a total order (ts, then value); ``min_by``/
+  ``max_by`` — whose tie-breaking is engine- and partition-order-
+  dependent, a hash-gate killer — are used ONLY where the caller
+  asserts the ordering value is total/unique (``unique_order=True``,
+  ``ohlc_coarsen``'s per-key-unique bucket ids), which keeps the
+  result deterministic while the mutable agg buffer keeps the
+  aggregation a HashAggregate;
 - the TWA weights each sample by its distance to the NEXT sample in
   the same bucket (the last sample carries no weight), a pure
   ``lead()`` formulation that needs no bucket-boundary bookkeeping and
@@ -46,7 +50,12 @@ def ohlc(
 
     ``unique_order=True`` is the caller's assertion that ``(ts,
     tiebreak)`` (or ``ts`` alone when no tiebreak is given) is UNIQUE
-    within every group and the tiebreak is a non-negative integer. The
+    within every group, NON-NULL, and the tiebreak is a non-negative
+    integer. Non-nullness is part of the contract because the packed
+    path diverges from the struct order on null ordering values:
+    ``min_by``/``max_by`` IGNORE rows whose ordering value is null,
+    while struct min/max sorts null fields first — open/close could
+    differ on a null-ts row. The
     value column then never participates in the order, and open/close
     become ``min_by``/``max_by`` over the pair packed into ONE
     fixed-width column — a DECIMAL(38,0) built as
@@ -60,8 +69,8 @@ def ohlc(
     packed form plans as **HashAggregate** with map-side combine and
     no sort — the shape the 100 TB argument in this module's header
     always claimed. Row-identical to the struct form whenever the
-    uniqueness assertion holds (pinned by
-    tests/test_gap_fill_packing.py).
+    uniqueness + non-null assertion holds (pinned by
+    TestOhlcPackedOrder in tests/test_timeseries.py).
     """
     if unique_order:
         if tiebreak_col:
